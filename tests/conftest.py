@@ -14,3 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin in this image ignores the JAX_PLATFORMS env var, so
+# force CPU through the config API as well (must run before backend init).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

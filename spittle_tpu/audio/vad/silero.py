@@ -1,0 +1,257 @@
+"""Silero VAD v4 forward pass in JAX, batched over streams.
+
+The reference gates microphone audio through the Silero v4 ONNX model one
+30 ms frame at a time via vad-rs (`/root/reference/src-tauri/src/
+audio_toolkit/vad/silero.rs`, model bundled at `src-tauri/resources/models/
+silero_vad_v4.onnx`). Here the same network runs as a batched JAX function:
+many concurrent streams (or many 30 ms frames of one long recording) are
+evaluated in one device call; the only carried state is the 2-layer LSTM
+(h, c).
+
+Architecture (read from the bundled ONNX graph, 16 kHz branch):
+  reflect-pad 96 -> conv(258 filters, k=256, stride 64)  # STFT-as-conv
+  magnitude = sqrt(re^2 + im^2)                           # [B, 129, T]
+  spect = log(mag * 2^20 + 1); norm = spect - smoothed global mean
+  concat(mag, norm) -> depthwise-separable conv encoder (16/32/32/64,
+  three stride-2 1x1 convs) -> 2-layer LSTM(64) -> 1x1 conv -> sigmoid
+  -> mean over time.
+
+Weights load from the reference's bundled ONNX via spittle_tpu.io.onnx_proto
+(weights are data, not code). Tests verify this implementation against the
+generic numpy ONNX interpreter executing the original graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_MODEL_PATH = (
+    "/root/reference/src-tauri/resources/models/silero_vad_v4.onnx"
+)
+
+FRAME_SAMPLES_16K = 480  # 30 ms (reference silero.rs:9-11)
+LSTM_HIDDEN = 64
+STATE_SHAPE = (2, 2)  # (h/c, layers) leading dims; full: [2, 2, B, 64]
+
+
+def load_silero_params(path: str = DEFAULT_MODEL_PATH, branch: str = "16k") -> Dict:
+    """Extract the conv/LSTM weights for one sample-rate branch."""
+    from spittle_tpu.io.onnx_proto import load_onnx
+
+    g = load_onnx(path)
+    if_node = next(n for n in g.nodes if n.op_type == "If")
+    sub = if_node.attr("then_branch" if branch == "16k" else "else_branch")
+    pool = dict(g.initializers)
+    pool.update(sub.initializers)
+    for n in sub.nodes:
+        if n.op_type == "If":
+            for br in ("then_branch", "else_branch"):
+                pool.update(n.attr(br).initializers)
+
+    prefix = "model." if branch == "16k" else "model_8k."
+
+    def p(name):
+        return np.asarray(pool[prefix + name], dtype=np.float32)
+
+    # Anonymous inter-block 1x1 convs and LSTM weights (numbered
+    # initializers; identical across the zero-state/carried-state branches).
+    anon = {"16k": ("1110", "1111", "1113", "1114", "1116", "1117", "1119", "1120",
+                     "343", "345", "347", "415", "417", "419"),
+            "8k": ("1122", "1123", "1125", "1126", "1128", "1129", "1131", "1132",
+                    "833", "835", "837", "905", "907", "909")}[branch]
+    a = {k: np.asarray(pool[k], dtype=np.float32) for k in anon}
+    (c0w, c0b, c1w, c1b, c2w, c2b, c3w, c3b,
+     l0w, l0r, l0b, l1w, l1r, l1b) = (a[k] for k in anon)
+
+    params = {
+        "stft_basis": p("feature_extractor.forward_basis_buffer"),  # [258,1,256]
+        "norm_filter": p("adaptive_normalization.filter_"),  # [1,1,7]
+        "first": {
+            "dw_w": p("first_layer.0.dw_conv.0.weight"),
+            "dw_b": p("first_layer.0.dw_conv.0.bias"),
+            "pw_w": p("first_layer.0.pw_conv.0.weight"),
+            "pw_b": p("first_layer.0.pw_conv.0.bias"),
+            "proj_w": p("first_layer.0.proj.weight"),
+            "proj_b": p("first_layer.0.proj.bias"),
+        },
+        "blocks": [],
+        "between": [
+            {"w": c0w, "b": c0b},
+            {"w": c1w, "b": c1b},
+            {"w": c2w, "b": c2b},
+            {"w": c3w, "b": c3b},
+        ],
+        "lstm": [
+            {"w": l0w[0], "r": l0r[0], "b": l0b[0]},
+            {"w": l1w[0], "r": l1r[0], "b": l1b[0]},
+        ],
+        "head_w": p("decoder.decoder.1.weight"),
+        "head_b": p("decoder.decoder.1.bias"),
+    }
+    for enc in ("3", "7", "11"):
+        blk = {
+            "dw_w": p(f"encoder.{enc}.0.dw_conv.0.weight"),
+            "dw_b": p(f"encoder.{enc}.0.dw_conv.0.bias"),
+            "pw_w": p(f"encoder.{enc}.0.pw_conv.0.weight"),
+            "pw_b": p(f"encoder.{enc}.0.pw_conv.0.bias"),
+        }
+        try:
+            blk["proj_w"] = p(f"encoder.{enc}.0.proj.weight")
+            blk["proj_b"] = p(f"encoder.{enc}.0.proj.bias")
+        except KeyError:
+            pass  # identity residual (encoder.7)
+        params["blocks"].append(blk)
+    return jax.tree.map(jnp.asarray, params)
+
+
+def _conv1d(x, w, b=None, stride=1, padding=0, groups=1):
+    """NCW conv via lax.conv_general_dilated (maps to MXU)."""
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b[None, :, None]
+    return out
+
+
+def _sep_block(x, blk):
+    """Depthwise(k=5) -> relu -> pointwise, + (proj | identity), relu."""
+    c = x.shape[1]
+    h = jax.nn.relu(_conv1d(x, blk["dw_w"], blk["dw_b"], padding=2, groups=c))
+    h = _conv1d(h, blk["pw_w"], blk["pw_b"])
+    if "proj_w" in blk:
+        res = _conv1d(x, blk["proj_w"], blk["proj_b"])
+    else:
+        res = x
+    return jax.nn.relu(h + res)
+
+
+def _lstm_cell(carry, x_t, w, r, b):
+    h, c = carry
+    gates = x_t @ w.T + h @ r.T + (b[: 4 * LSTM_HIDDEN] + b[4 * LSTM_HIDDEN :])
+    i, o, f, g = jnp.split(gates, 4, axis=-1)  # ONNX order: i, o, f, c
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return (h, c), h
+
+
+@functools.partial(jax.jit, static_argnames=("strides",))
+def silero_forward(
+    params: Dict,
+    audio: jnp.ndarray,
+    state: jnp.ndarray,
+    strides: Tuple[int, ...] = (2, 2, 2, 1),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One VAD step on a batch of equal-length windows.
+
+    audio: [B, N] float32 (N >= 64; typically 480 = one 30 ms frame).
+    state: [2, 2, B, 64] (h/c, layer, batch, hidden); zeros at stream start.
+    strides: inter-block conv strides — (2, 2, 2, 1) for the 16 kHz branch,
+    (2, 2, 1, 1) for 8 kHz.
+    Returns (probs [B], new_state).
+    """
+    x = audio[:, None, :]  # [B, 1, N]
+    x = jnp.pad(x, ((0, 0), (0, 0), (96, 96)), mode="reflect")
+    spec = _conv1d(x, params["stft_basis"], stride=64)  # [B, 258, T]
+    half = spec.shape[1] // 2
+    mag = jnp.sqrt(spec[:, :half] ** 2 + spec[:, half:] ** 2)  # [B, 129, T]
+
+    spect = jnp.log(mag * 1048576.0 + 1.0)
+    mean = jnp.mean(spect, axis=1, keepdims=True)  # [B, 1, T]
+    mean_pad = jnp.pad(mean, ((0, 0), (0, 0), (3, 3)), mode="reflect")
+    smoothed = _conv1d(mean_pad, params["norm_filter"])  # [B, 1, T]
+    mean_mean = jnp.mean(smoothed, axis=-1, keepdims=True)  # [B, 1, 1]
+    norm = spect - mean_mean
+
+    h = jnp.concatenate([mag, norm], axis=1)  # [B, 258, T]
+    h = _sep_block(h, params["first"])
+    for betw, blk, stride in zip(params["between"][:3], params["blocks"], strides):
+        h = jax.nn.relu(_conv1d(h, betw["w"], betw["b"], stride=stride))
+        h = _sep_block(h, blk)
+    last = params["between"][3]
+    h = jax.nn.relu(_conv1d(h, last["w"], last["b"], stride=strides[3]))
+
+    # [B, 64, T'] -> scan LSTM layers over T'
+    seq = jnp.moveaxis(h, 2, 0)  # [T', B, 64]
+    new_state = []
+    for li, lp in enumerate(params["lstm"]):
+        (hn, cn), seq = jax.lax.scan(
+            functools.partial(_lstm_cell, w=lp["w"], r=lp["r"], b=lp["b"]),
+            (state[0, li], state[1, li]),
+            seq,
+        )
+        new_state.append((hn, cn))
+    h_stack = jnp.stack([s[0] for s in new_state])  # [2, B, 64]
+    c_stack = jnp.stack([s[1] for s in new_state])
+
+    out = jnp.moveaxis(seq, 0, 2)  # [B, 64, T']
+    out = jax.nn.relu(out)
+    logit = _conv1d(out, params["head_w"], params["head_b"])  # [B, 1, T']
+    prob = jnp.mean(jax.nn.sigmoid(logit), axis=(1, 2))  # [B]
+    return prob, jnp.stack([h_stack, c_stack])
+
+
+def init_state(batch: int) -> jnp.ndarray:
+    return jnp.zeros((2, 2, batch, LSTM_HIDDEN), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_samples",))
+def silero_scan_frames(
+    params: Dict,
+    audio: jnp.ndarray,
+    state: Optional[jnp.ndarray] = None,
+    frame_samples: int = FRAME_SAMPLES_16K,
+) -> jnp.ndarray:
+    """Per-frame speech probabilities for long audio, batched.
+
+    audio: [B, T] with T a multiple of frame_samples. Scans the LSTM state
+    across frames exactly like the streaming per-frame path, so offline
+    long-form segmentation gives the same probabilities the mic path would.
+    Returns probs [B, T // frame_samples].
+    """
+    b, t = audio.shape
+    frames = audio.reshape(b, t // frame_samples, frame_samples)
+    frames = jnp.moveaxis(frames, 1, 0)  # [F, B, frame]
+    if state is None:
+        state = init_state(b)
+
+    def step(st, frame):
+        prob, st = silero_forward(params, frame, st)
+        return st, prob
+
+    _, probs = jax.lax.scan(step, state, frames)
+    return jnp.moveaxis(probs, 0, 1)  # [B, F]
+
+
+class SileroVad:
+    """Single-stream convenience wrapper (API analog of silero.rs).
+
+    `is_voice(frame)` evaluates one 30 ms frame against the threshold,
+    carrying LSTM state; `reset()` clears it. Production batch paths should
+    use silero_forward / silero_scan_frames directly.
+    """
+
+    def __init__(self, model_path: str = DEFAULT_MODEL_PATH, threshold: float = 0.3):
+        self.params = load_silero_params(model_path)
+        self.threshold = threshold
+        self._state = init_state(1)
+
+    def prob(self, frame: np.ndarray) -> float:
+        frame = jnp.asarray(frame, jnp.float32)[None, :]
+        p, self._state = silero_forward(self.params, frame, self._state)
+        return float(p[0])
+
+    def is_voice(self, frame: np.ndarray) -> bool:
+        return self.prob(frame) > self.threshold
+
+    def reset(self) -> None:
+        self._state = init_state(1)

@@ -1,0 +1,366 @@
+"""Whisper encoder-decoder forward passes in JAX.
+
+From-scratch implementation of the Whisper architecture (replacing the
+whisper.cpp engine the reference drives through transcribe-rs at
+`/root/reference/src-tauri/src/managers/transcription.rs:444-504`), designed
+TPU-first:
+
+- transformer blocks are *stacked*: every per-layer weight carries a leading
+  [L] axis and the layer loop is `lax.scan`, so compile time is O(1) in
+  depth and XLA sees one fused block body;
+- attention uses the Pallas flash kernel on TPU (spittle_tpu.ops.attention);
+- the decoder runs with a static-shape KV cache [L, 2, B, n_ctx, H, Dh]
+  updated via dynamic_update_slice, so every decode step hits the same
+  compiled program;
+- cross-attention K/V over the 1500-frame encoder output are precomputed
+  once per segment;
+- weights default to bfloat16 with float32 layernorms and logits.
+
+Parameter tree (all jnp arrays):
+  encoder: conv1_w [D, n_mels, 3], conv1_b, conv2_w [D, D, 3], conv2_b,
+           blocks {attn_ln_g/b [L,D], wq/wk/wv/wo [L,D,D], bq/bv/bo [L,D],
+                   mlp_ln_g/b [L,D], fc1_w [L,D,4D], fc1_b [L,4D],
+                   fc2_w [L,4D,D], fc2_b [L,D]},
+           ln_g, ln_b
+  decoder: tok_emb [V, D], pos_emb [n_ctx, D],
+           blocks {... self-attn ..., cross same shapes, mlp},
+           ln_g, ln_b
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spittle_tpu.ops.attention import attention_reference, multihead_attention
+from .config import WhisperConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Small building blocks
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (out * g + b).astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper encoder positional embedding (log-spaced sinusoids)."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(
+        np.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_block_stack(key, layers, d, cross: bool, dtype):
+    ks = jax.random.split(key, 24)
+    mlp_d = 4 * d
+
+    def w(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    scale = d**-0.5
+    blocks = {
+        "attn_ln_g": jnp.ones((layers, d), jnp.float32),
+        "attn_ln_b": jnp.zeros((layers, d), jnp.float32),
+        "wq": w(ks[0], (layers, d, d), scale),
+        "wk": w(ks[1], (layers, d, d), scale),
+        "wv": w(ks[2], (layers, d, d), scale),
+        "wo": w(ks[3], (layers, d, d), scale),
+        "bq": jnp.zeros((layers, d), dtype),
+        "bv": jnp.zeros((layers, d), dtype),
+        "bo": jnp.zeros((layers, d), dtype),
+        "mlp_ln_g": jnp.ones((layers, d), jnp.float32),
+        "mlp_ln_b": jnp.zeros((layers, d), jnp.float32),
+        "fc1_w": w(ks[4], (layers, d, mlp_d), scale),
+        "fc1_b": jnp.zeros((layers, mlp_d), dtype),
+        "fc2_w": w(ks[5], (layers, mlp_d, d), (2 * mlp_d) ** -0.5),
+        "fc2_b": jnp.zeros((layers, d), dtype),
+    }
+    if cross:
+        blocks.update(
+            {
+                "cross_ln_g": jnp.ones((layers, d), jnp.float32),
+                "cross_ln_b": jnp.zeros((layers, d), jnp.float32),
+                "cross_wq": w(ks[6], (layers, d, d), scale),
+                "cross_wk": w(ks[7], (layers, d, d), scale),
+                "cross_wv": w(ks[8], (layers, d, d), scale),
+                "cross_wo": w(ks[9], (layers, d, d), scale),
+                "cross_bq": jnp.zeros((layers, d), dtype),
+                "cross_bv": jnp.zeros((layers, d), dtype),
+                "cross_bo": jnp.zeros((layers, d), dtype),
+            }
+        )
+    return blocks
+
+
+def init_params(
+    cfg: WhisperConfig, key=None, dtype=jnp.float32
+) -> Params:
+    """Random-normal initialized parameter tree (tests / benchmarks).
+
+    Real checkpoints load via spittle_tpu.models.whisper.weights.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_enc, k_dec, k_emb, k1, k2 = jax.random.split(key, 5)
+    d = cfg.n_audio_state
+
+    def w(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    encoder = {
+        "conv1_w": w(k1, (d, cfg.n_mels, 3), (3 * cfg.n_mels) ** -0.5),
+        "conv1_b": jnp.zeros((d,), dtype),
+        "conv2_w": w(k2, (d, d, 3), (3 * d) ** -0.5),
+        "conv2_b": jnp.zeros((d,), dtype),
+        "blocks": _init_block_stack(k_enc, cfg.n_audio_layer, d, False, dtype),
+        "ln_g": jnp.ones((d,), jnp.float32),
+        "ln_b": jnp.zeros((d,), jnp.float32),
+    }
+    decoder = {
+        "tok_emb": w(k_emb, (cfg.n_vocab, d), d**-0.5),
+        "pos_emb": jnp.zeros((cfg.n_text_ctx, d), dtype),
+        "blocks": _init_block_stack(k_dec, cfg.n_text_layer, d, True, dtype),
+        "ln_g": jnp.ones((d,), jnp.float32),
+        "ln_b": jnp.zeros((d,), jnp.float32),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _attn_full(x, blk, n_head, causal):
+    """Self-attention over a full sequence (encoder / teacher-forced)."""
+    scale = (x.shape[-1] // n_head) ** -0.25
+    q = _split_heads(x @ blk["wq"] + blk["bq"], n_head) * scale
+    k = _split_heads(x @ blk["wk"], n_head) * scale
+    v = _split_heads(x @ blk["wv"] + blk["bv"], n_head)
+    o = multihead_attention(q, k, v, causal=causal)
+    return _merge_heads(o) @ blk["wo"] + blk["bo"]
+
+
+def _mlp(x, blk):
+    h = jax.nn.gelu(x @ blk["fc1_w"] + blk["fc1_b"], approximate=False)
+    return h @ blk["fc2_w"] + blk["fc2_b"]
+
+
+@functools.partial(jax.jit, static_argnames=("n_head",))
+def _encoder_blocks(blocks, x, n_head: int):
+    def body(h, blk):
+        h = h + _attn_full(layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"]),
+                           blk, n_head, causal=False)
+        h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
+def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """mel [B, n_mels, 3000] -> audio features [B, 1500, D]."""
+    enc = params["encoder"]
+    x = jax.lax.conv_general_dilated(
+        mel.astype(enc["conv1_w"].dtype), enc["conv1_w"],
+        window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    ) + enc["conv1_b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"],
+        window_strides=(2,), padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    ) + enc["conv2_b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x.transpose(0, 2, 1)  # [B, T=1500, D]
+    pos = jnp.asarray(
+        sinusoidal_positions(cfg.n_audio_ctx, cfg.n_audio_state), x.dtype
+    )
+    x = x + pos[None]
+    x = _encoder_blocks(enc["blocks"], x, cfg.n_audio_head)
+    return layer_norm(x, enc["ln_g"], enc["ln_b"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def precompute_cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig):
+    """Per-layer cross-attention K/V from encoder output.
+
+    Returns (k, v) with shape [L, B, H, 1500, Dh] each.
+    """
+    blocks = params["decoder"]["blocks"]
+    h = cfg.n_text_head
+
+    def body(_, blk):
+        k = _split_heads(xa @ blk["cross_wk"], h)
+        v = _split_heads(xa @ blk["cross_wv"] + blk["cross_bv"], h)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, None, blocks)
+    return ks, vs
+
+
+def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32):
+    """Static self-attention cache: [L, 2, B, n_text_ctx, H, Dh]."""
+    return jnp.zeros(
+        (
+            cfg.n_text_layer,
+            2,
+            batch,
+            cfg.n_text_ctx,
+            cfg.n_text_head,
+            cfg.n_text_state // cfg.n_text_head,
+        ),
+        dtype,
+    )
+
+
+def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head):
+    """One token through all decoder layers. x: [B, 1, D]."""
+    scale = (x.shape[-1] // n_head) ** -0.25
+    n_ctx = kv_cache.shape[3]
+
+    def body(carry, inputs):
+        h, = carry
+        blk, cache_l, ck, cv = inputs
+        # self-attention with cache
+        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
+        q = _split_heads(xn @ blk["wq"] + blk["bq"], n_head) * scale
+        k_new = _split_heads(xn @ blk["wk"], n_head) * scale
+        v_new = _split_heads(xn @ blk["wv"] + blk["bv"], n_head)
+        # cache layout [2, B, n_ctx, H, Dh]; write at pos
+        cache_l = jax.lax.dynamic_update_slice(
+            cache_l,
+            jnp.stack([k_new.transpose(0, 2, 1, 3), v_new.transpose(0, 2, 1, 3)]),
+            (0, 0, pos, 0, 0),
+        )
+        k_all = cache_l[0].transpose(0, 2, 1, 3)  # [B, H, n_ctx, Dh]
+        v_all = cache_l[1].transpose(0, 2, 1, 3)
+        mask = (jnp.arange(n_ctx) <= pos)[None, None, None, :]
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_all, preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
+        h = h + _merge_heads(o) @ blk["wo"] + blk["bo"]
+
+        # cross-attention (precomputed K/V)
+        xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
+        dh = xn.shape[-1] // n_head
+        cq = _split_heads(xn @ blk["cross_wq"] + blk["cross_bq"], n_head)
+        cscores = jnp.einsum(
+            "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
+            preferred_element_type=jnp.float32,
+        )
+        cprobs = jax.nn.softmax(cscores, axis=-1).astype(cv.dtype)
+        co = jnp.einsum("bhqk,bhkd->bhqd", cprobs, cv)
+        h = h + _merge_heads(co) @ blk["cross_wo"] + blk["cross_bo"]
+
+        h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
+        return (h,), cache_l
+
+    (x,), new_cache = jax.lax.scan(
+        body, (x,), (blocks, kv_cache, cross_k, cross_v)
+    )
+    return x, new_cache
+
+
+def logits_from_hidden(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    dec = params["decoder"]
+    h = layer_norm(h, dec["ln_g"], dec["ln_b"])
+    return (h @ dec["tok_emb"].T.astype(h.dtype)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: Params,
+    tokens: jnp.ndarray,  # [B] int32 current token
+    pos: jnp.ndarray,  # scalar int32 position
+    kv_cache: jnp.ndarray,
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    cfg: WhisperConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One incremental decode step -> (logits [B, V], new_cache)."""
+    dec = params["decoder"]
+    x = dec["tok_emb"][tokens][:, None, :]  # [B, 1, D]
+    x = (x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1)[None]).astype(
+        dec["tok_emb"].dtype
+    )
+    x, new_cache = _decoder_step_blocks(
+        dec["blocks"], x, kv_cache, cross_kv[0], cross_kv[1], pos,
+        cfg.n_text_head,
+    )
+    return logits_from_hidden(params, x)[:, 0], new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decoder_forward(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, T]
+    xa: jnp.ndarray,  # [B, 1500, D]
+    cfg: WhisperConfig,
+) -> jnp.ndarray:
+    """Teacher-forced decoder over a full token sequence -> [B, T, V].
+
+    Used for tests, prompt prefill scoring, and training.
+    """
+    dec = params["decoder"]
+    b, t = tokens.shape
+    h = cfg.n_text_head
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][None, :t]
+    x = x.astype(dec["tok_emb"].dtype)
+    cross_k, cross_v = precompute_cross_kv(params, xa, cfg)
+
+    def body(hcur, inputs):
+        blk, ck, cv = inputs
+        hcur = hcur + _attn_full(
+            layer_norm(hcur, blk["attn_ln_g"], blk["attn_ln_b"]), blk, h,
+            causal=True,
+        )
+        xn = layer_norm(hcur, blk["cross_ln_g"], blk["cross_ln_b"])
+        dh = xn.shape[-1] // h
+        cq = _split_heads(xn @ blk["cross_wq"] + blk["cross_bq"], h) * dh**-0.25
+        o = attention_reference(cq, ck * dh**-0.25, cv)
+        hcur = hcur + _merge_heads(o) @ blk["cross_wo"] + blk["cross_bo"]
+        hcur = hcur + _mlp(
+            layer_norm(hcur, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk
+        )
+        return hcur, None
+
+    x, _ = jax.lax.scan(body, x, (dec["blocks"], cross_k, cross_v))
+    return logits_from_hidden(params, x)

@@ -1,0 +1,199 @@
+"""Attention ops: Pallas flash attention for TPU + jnp reference.
+
+The encoder self-attention over 1500 mel frames is the FLOPs hot spot of
+Whisper (replacing whisper.cpp's ggml attention, reference engine behind
+`managers/transcription.rs:501`). The Pallas kernel is a standard tiled
+online-softmax flash attention:
+
+- grid (batch*heads, q_tiles, kv_tiles), kv minor-most so VMEM scratch
+  (running max / sum / accumulator) persists across the kv sweep;
+- QK^T and PV ride the MXU in f32 accumulation; tiles are 128-aligned;
+- optional causal masking and a static kv-length mask (the encoder pads
+  1500 -> 1536 for tiling).
+
+Decode-time single-token attention uses plain XLA ops (matmul sizes are
+tiny; the KV cache read dominates and XLA handles it well).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+_NEG_INF = -1e30
+
+
+def attention_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Plain XLA attention. q: [B, H, Tq, D]; k/v: [B, H, Tk, D]."""
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    tq, tk = q.shape[2], k.shape[2]
+    if kv_len is not None and kv_len < tk:
+        mask = jnp.arange(tk)[None, :] < kv_len
+        scores = jnp.where(mask[None, None], scores, _NEG_INF)
+    if causal:
+        cmask = jnp.arange(tq)[:, None] >= jnp.arange(tk)[None, :] - (tk - tq)
+        scores = jnp.where(cmask[None, None], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, causal: bool, kv_len: int, block_q: int, block_k: int, num_k: int,
+):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_q, block_k]
+
+    col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col < kv_len
+    if causal:
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        mask = mask & (row >= col)
+    s = jnp.where(mask, s, _NEG_INF)
+
+    m_prev = m_scr[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [block_q, block_k]
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+
+    @pl.when(kj == num_k - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "kv_len", "block_q", "block_k"),
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Tiled flash attention. q: [B, H, Tq, D]; k/v: [B, H, Tk, D].
+
+    Tq/Tk must be multiples of the block sizes (pad and pass kv_len for
+    ragged kv). Scale q/k before calling (Whisper multiplies both by
+    head_dim**-0.25).
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
+    kv_len = tk if kv_len is None else kv_len
+    num_q = tq // block_q
+    num_k = tk // block_k
+
+    qf = q.reshape(b * h, tq, d)
+    kf = k.reshape(b * h, tk, d)
+    vf = v.reshape(b * h, tk, d)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_k=block_k,
+        num_k=num_k,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, kj: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, kj: (bh, kj, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, kj: (bh, kj, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, kj: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + qf.size) * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, tq, d)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def multihead_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Dispatch: Pallas flash kernel on TPU when tiles align, else XLA.
+
+    Inputs [B, H, T, D]. Pads T up to tile multiples when needed.
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    use_flash = (
+        _on_tpu()
+        and d in (64, 128)
+        and tq >= DEFAULT_BLOCK_Q
+    )
+    if not use_flash:
+        return attention_reference(q, k, v, causal=causal, kv_len=kv_len)
+
+    pq = (-tq) % DEFAULT_BLOCK_Q
+    pk = (-tk) % DEFAULT_BLOCK_K
+    real_kv = kv_len if kv_len is not None else tk
+    if pq or pk:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    out = flash_attention(q, k, v, causal=causal, kv_len=real_kv)
+    return out[:, :, :tq]

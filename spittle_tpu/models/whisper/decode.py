@@ -1,0 +1,305 @@
+"""Whisper decoding: batched greedy loop with whisper.cpp-compatible rules.
+
+Replicates the logits filtering whisper.cpp applies per step (the engine the
+reference drives at `managers/transcription.rs:461-504`): blank suppression
+at sample start, special-token suppression, optional non-speech list,
+timestamp pairing rules, non-decreasing timestamps, max-initial-timestamp,
+and the timestamp-vs-text sum-probability rule. Everything is vectorized
+over the batch and runs inside one `lax.while_loop` with a static-shape
+token buffer and KV cache, so a whole batch of push-to-talk sessions
+decodes in a single compiled program.
+
+Language auto-detect (`language=None` in the reference settings,
+transcription.rs:448-459) runs as a single prefill step over the lang-token
+slice of the logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .model import (
+    decode_step,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeOptions:
+    task: str = "transcribe"  # or "translate"
+    language: Optional[str] = None  # None -> auto-detect
+    timestamps: bool = True
+    max_initial_timestamp: float = 1.0  # seconds
+    suppress_blank: bool = True
+    # ids of tokens to always suppress (non-speech list etc.); static tuple
+    suppress_tokens: Tuple[int, ...] = ()
+    space_token: Optional[int] = None  # id of " " for blank suppression
+    max_tokens: int = 0  # 0 -> n_text_ctx
+
+
+def sot_sequence(
+    cfg: WhisperConfig,
+    lang_token: Optional[int] = None,
+    task: str = "transcribe",
+    timestamps: bool = True,
+) -> Tuple[int, ...]:
+    """[sot, language, task, (notimestamps)] for multilingual models,
+    [sot, (notimestamps)] for English-only."""
+    seq = [cfg.sot]
+    if cfg.multilingual:
+        seq.append(lang_token if lang_token is not None else cfg.lang_begin)
+        seq.append(cfg.translate if task == "translate" else cfg.transcribe)
+    if not timestamps:
+        seq.append(cfg.no_timestamps)
+    return tuple(seq)
+
+
+def _static_suppress_mask(cfg: WhisperConfig, opts: DecodeOptions) -> np.ndarray:
+    mask = np.zeros(cfg.n_vocab, np.float32)
+    always = [cfg.sot, cfg.sot_prev, cfg.sot_lm, cfg.no_speech,
+              cfg.translate, cfg.transcribe]
+    always.extend(range(cfg.lang_begin, cfg.lang_begin + cfg.n_langs))
+    for t in always:
+        mask[t] = NEG_INF
+    for t in opts.suppress_tokens:
+        mask[t] = NEG_INF
+    if opts.timestamps:
+        mask[cfg.no_timestamps] = NEG_INF
+    else:
+        mask[cfg.timestamp_begin :] = NEG_INF
+    return mask
+
+
+def _process_logits(
+    logits: jnp.ndarray,  # [B, V] float32
+    *,
+    cfg: WhisperConfig,
+    opts: DecodeOptions,
+    static_mask: jnp.ndarray,  # [V]
+    pos: jnp.ndarray,  # scalar: index being sampled
+    sample_begin: int,
+    last_tok: jnp.ndarray,  # [B]
+    penult_tok: jnp.ndarray,  # [B]
+    ts_floor: jnp.ndarray,  # [B] minimum allowed timestamp token
+) -> jnp.ndarray:
+    v = cfg.n_vocab
+    ts_begin = cfg.timestamp_begin
+    vocab_idx = jnp.arange(v)
+    is_ts = vocab_idx >= ts_begin
+
+    logits = logits + static_mask[None]
+
+    at_begin = pos == sample_begin
+    if opts.suppress_blank and opts.space_token is not None:
+        blank = (vocab_idx == opts.space_token) | (vocab_idx == cfg.eot)
+        logits = jnp.where(at_begin & blank[None], NEG_INF, logits)
+
+    if opts.timestamps:
+        last_is_ts = last_tok >= ts_begin
+        penult_is_ts = penult_tok >= ts_begin
+        # Timestamps come in pairs (except directly before EOT):
+        # last ts + penult ts -> no more ts now; last ts + penult text ->
+        # only ts or EOT.
+        no_ts_now = last_is_ts & penult_is_ts & (pos > sample_begin)
+        force_ts = last_is_ts & ~penult_is_ts & (pos > sample_begin)
+        logits = jnp.where(no_ts_now[:, None] & is_ts[None], NEG_INF, logits)
+        text_not_eot = (~is_ts) & (vocab_idx != cfg.eot)
+        logits = jnp.where(force_ts[:, None] & text_not_eot[None], NEG_INF, logits)
+
+        # Non-decreasing timestamps.
+        below_floor = is_ts[None] & (vocab_idx[None] < ts_floor[:, None])
+        logits = jnp.where(below_floor, NEG_INF, logits)
+
+        # Initial timestamp bound.
+        if opts.max_initial_timestamp is not None:
+            max_init = ts_begin + int(round(opts.max_initial_timestamp / 0.02))
+            logits = jnp.where(
+                at_begin & (vocab_idx > max_init)[None] & is_ts[None],
+                NEG_INF,
+                logits,
+            )
+
+        # If total timestamp probability beats the best text token, sample a
+        # timestamp (sum-prob rule; mirrors whisper.cpp/openai).
+        lsm = jax.nn.log_softmax(logits, axis=-1)
+        ts_logprob = jax.nn.logsumexp(
+            jnp.where(is_ts[None], lsm, NEG_INF), axis=-1
+        )
+        max_text = jnp.max(jnp.where(is_ts[None], NEG_INF, lsm), axis=-1)
+        force = ts_logprob > max_text
+        logits = jnp.where(force[:, None] & ~is_ts[None], NEG_INF, logits)
+
+    return logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "opts", "prefix_len"))
+def _greedy_loop(
+    params,
+    xa: jnp.ndarray,
+    prefix: jnp.ndarray,  # [B, P]
+    cfg: WhisperConfig,
+    opts: DecodeOptions,
+    prefix_len: int,
+):
+    b = xa.shape[0]
+    max_len = opts.max_tokens or cfg.n_text_ctx
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cache = init_kv_cache(cfg, b, dtype=xa.dtype)
+    static_mask = jnp.asarray(_static_suppress_mask(cfg, opts))
+
+    # Prefill over the prefix; capture logits at every prefix position.
+    def pre_body(cache, t):
+        logits, cache = decode_step(params, prefix[:, t], t, cache, cross_kv, cfg)
+        return cache, logits
+
+    cache, pre_logits = jax.lax.scan(
+        pre_body, cache, jnp.arange(prefix_len)
+    )  # pre_logits [P, B, V]
+
+    tokens = jnp.concatenate(
+        [prefix, jnp.full((b, max_len - prefix_len), cfg.eot, jnp.int32)], axis=1
+    )
+
+    state = dict(
+        tokens=tokens,
+        pos=jnp.asarray(prefix_len, jnp.int32),
+        cache=cache,
+        cur_logits=pre_logits[-1].astype(jnp.float32),
+        finished=jnp.zeros(b, bool),
+        ts_floor=jnp.full(b, cfg.timestamp_begin, jnp.int32),
+        sum_logprob=jnp.zeros(b, jnp.float32),
+        length=jnp.zeros(b, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["pos"] < max_len) & jnp.any(~s["finished"])
+
+    def body(s):
+        pos = s["pos"]
+        last = jnp.take_along_axis(s["tokens"], (pos - 1)[None, None].repeat(b, 0), 1)[:, 0]
+        penult = jnp.take_along_axis(
+            s["tokens"], jnp.maximum(pos - 2, 0)[None, None].repeat(b, 0), 1
+        )[:, 0]
+        logits = _process_logits(
+            s["cur_logits"],
+            cfg=cfg, opts=opts, static_mask=static_mask,
+            pos=pos, sample_begin=prefix_len,
+            last_tok=last, penult_tok=penult, ts_floor=s["ts_floor"],
+        )
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lsm = jax.nn.log_softmax(logits, axis=-1)
+        step_lp = jnp.take_along_axis(lsm, next_tok[:, None], 1)[:, 0]
+
+        next_tok = jnp.where(s["finished"], cfg.eot, next_tok)
+        newly = ~s["finished"]
+        sum_logprob = s["sum_logprob"] + jnp.where(newly, step_lp, 0.0)
+        length = s["length"] + newly.astype(jnp.int32)
+
+        tokens = jax.lax.dynamic_update_slice(
+            s["tokens"], next_tok[:, None], (0, pos)
+        )
+        is_ts = next_tok >= cfg.timestamp_begin
+        ts_floor = jnp.where(is_ts & newly, next_tok, s["ts_floor"])
+        finished = s["finished"] | (next_tok == cfg.eot)
+
+        cur_logits, cache = decode_step(
+            params, next_tok, pos, s["cache"], cross_kv, cfg
+        )
+        return dict(
+            tokens=tokens,
+            pos=pos + 1,
+            cache=cache,
+            cur_logits=cur_logits.astype(jnp.float32),
+            finished=finished,
+            ts_floor=ts_floor,
+            sum_logprob=sum_logprob,
+            length=length,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final, pre_logits
+
+
+def greedy_decode(
+    params,
+    xa: jnp.ndarray,
+    cfg: WhisperConfig,
+    opts: DecodeOptions = DecodeOptions(),
+    lang_tokens: Optional[jnp.ndarray] = None,
+    prompt_tokens: Sequence[int] = (),
+) -> Dict[str, Any]:
+    """Greedy-decode a batch of encoded windows.
+
+    xa: [B, 1500, D] encoder output. lang_tokens: [B] per-item language
+    token ids (from detect_language) or None for opts.language/default.
+    prompt_tokens: shared initial-prompt conditioning, prepended as
+    [sot_prev, *prompt] (reference initial_prompt semantics,
+    transcription.rs:461-499).
+
+    Returns dict with "tokens" [B, L] (prefix + generated, EOT-padded),
+    "sample_begin", "avg_logprob" [B], "no_speech_prob" [B].
+    """
+    b = xa.shape[0]
+    if opts.language is not None and lang_tokens is None and cfg.multilingual:
+        from .tokenizer import LANGUAGES, LANGUAGES_V3
+
+        langs = LANGUAGES_V3 if cfg.n_langs == 100 else LANGUAGES
+        lang_tokens = jnp.full(
+            (b,), cfg.lang_begin + langs.index(opts.language), jnp.int32
+        )
+
+    sot_seq = list(
+        sot_sequence(cfg, lang_token=0, task=opts.task, timestamps=opts.timestamps)
+    )
+    prompt_prefix = [cfg.sot_prev, *prompt_tokens] if prompt_tokens else []
+    sot_pos = len(prompt_prefix)
+    prefix_list = prompt_prefix + sot_seq
+    prefix = jnp.asarray(prefix_list, jnp.int32)[None].repeat(b, 0)
+    if cfg.multilingual:
+        lang_col = sot_pos + 1
+        if lang_tokens is None:
+            lang_tokens = jnp.full((b,), cfg.lang_begin, jnp.int32)
+        prefix = prefix.at[:, lang_col].set(lang_tokens)
+
+    final, pre_logits = _greedy_loop(
+        params, xa, prefix, cfg, opts, prefix_len=len(prefix_list)
+    )
+    no_speech_prob = jax.nn.softmax(
+        pre_logits[sot_pos].astype(jnp.float32), axis=-1
+    )[:, cfg.no_speech]
+    avg_logprob = final["sum_logprob"] / jnp.maximum(final["length"], 1)
+    return {
+        "tokens": final["tokens"],
+        "sample_begin": len(prefix_list),
+        "avg_logprob": avg_logprob,
+        "no_speech_prob": no_speech_prob,
+        "length": final["length"],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_language(params, xa: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """Language probabilities [B, n_langs] from one [sot] prefill step."""
+    b = xa.shape[0]
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cache = init_kv_cache(cfg, b, dtype=xa.dtype)
+    logits, _ = decode_step(
+        params,
+        jnp.full((b,), cfg.sot, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        cache,
+        cross_kv,
+        cfg,
+    )
+    lang_slice = logits[:, cfg.lang_begin : cfg.lang_begin + cfg.n_langs]
+    return jax.nn.softmax(lang_slice.astype(jnp.float32), axis=-1)

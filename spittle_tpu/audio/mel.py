@@ -18,6 +18,7 @@ mel filterbank, log10 clamped at 1e-10, 8-dB dynamic-range floor, (x+4)/4.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +126,7 @@ def log_mel_spectrogram(
     n_fft: int = N_FFT,
     hop: int = HOP_LENGTH,
     use_fft: bool = True,
+    filters: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Batched Whisper log-mel: [..., T] float32 PCM -> [..., n_mels, T//hop].
 
@@ -146,7 +148,10 @@ def log_mel_spectrogram(
         spec = frames @ basis  # MXU
         n_bins = n_fft // 2 + 1
         power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
-    mel_w = jnp.asarray(mel_filterbank(n_mels, n_fft).T)  # [bins, n_mels]
+    if filters is None:
+        mel_w = jnp.asarray(mel_filterbank(n_mels, n_fft).T)  # [bins, n_mels]
+    else:
+        mel_w = filters.T  # e.g. the filterbank embedded in a GGML file
     mel = power @ mel_w  # MXU: [..., F, n_mels]
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     # Dynamic-range floor: per-item max over (frames, mels), minus 8.

@@ -1,0 +1,56 @@
+"""Engine interface: the seam the app shell drives.
+
+Mirrors the reference's TranscriptionEngine trait semantics
+(`/root/reference/src-tauri/src/managers/transcription.rs:14-27,444-534`):
+load/unload a model and synchronously transcribe a float32 16 kHz mono
+buffer with optional language / translate / initial-prompt parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Protocol, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TranscribeParams:
+    """Per-call decode options (transcription.rs:494-499)."""
+
+    language: Optional[str] = None  # None -> auto-detect
+    translate: bool = False
+    initial_prompt: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Segment:
+    start: float  # seconds
+    end: float
+    text: str
+
+
+@dataclasses.dataclass
+class TranscriptionResult:
+    text: str
+    segments: List[Segment] = dataclasses.field(default_factory=list)
+    language: Optional[str] = None
+
+
+class TranscriptionEngine(Protocol):
+    def load_model(self, model_path: str) -> None: ...
+
+    def unload_model(self) -> None: ...
+
+    @property
+    def is_loaded(self) -> bool: ...
+
+    def transcribe_samples(
+        self, samples: np.ndarray, params: Optional[TranscribeParams] = None
+    ) -> TranscriptionResult: ...
+
+    def transcribe_batch(
+        self,
+        batch: Sequence[np.ndarray],
+        params: Optional[TranscribeParams] = None,
+    ) -> List[TranscriptionResult]: ...

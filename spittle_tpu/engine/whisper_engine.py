@@ -1,0 +1,277 @@
+"""Whisper engine: batched long-form transcription on TPU.
+
+Replaces the whisper.cpp path the reference drives through transcribe-rs
+(`managers/transcription.rs:262-276,445-504`). Key TPU-first differences:
+
+- every 30 s window is a fixed-shape (batch, 80/128, 3000) mel tensor, so
+  compiled programs are reused across calls;
+- concurrent utterances batch into one device program — the long-form loop
+  advances a per-utterance seek cursor and regroups unfinished utterances
+  into the next batched round (whisper.cpp decodes windows serially);
+- language auto-detect (reference language=None semantics,
+  transcription.rs:448-459) runs batched on the first window.
+
+Segment timestamps come from the decoded timestamp tokens (0.02 s units),
+like whisper.cpp's segment output.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spittle_tpu.audio.mel import (
+    HOP_LENGTH,
+    N_SAMPLES,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+)
+from spittle_tpu.models.whisper.config import CONFIGS, WhisperConfig
+from spittle_tpu.models.whisper.decode import (
+    DecodeOptions,
+    detect_language,
+    greedy_decode,
+)
+from spittle_tpu.models.whisper.model import encode, init_params
+from spittle_tpu.models.whisper.tokenizer import (
+    WhisperTokenizer,
+    load_tokenizer,
+    make_test_vocab,
+)
+from .base import Segment, TranscribeParams, TranscriptionResult
+
+WINDOW_FRAMES = 3000  # mel frames per 30 s window
+FRAMES_PER_SECOND = 100
+
+
+class WhisperEngine:
+    """TranscriptionEngine backed by the JAX Whisper stack."""
+
+    def __init__(self, dtype=jnp.float32):
+        self.dtype = dtype
+        self.cfg: Optional[WhisperConfig] = None
+        self.params = None
+        self.tokenizer: Optional[WhisperTokenizer] = None
+        self.mel_filters: Optional[jnp.ndarray] = None
+        self._space_token: Optional[int] = None
+
+    # -- lifecycle -------------------------------------------------------
+
+    def load_model(self, model_path: str) -> None:
+        """Load a GGML file, HF safetensors dir, or `random:<config>` (tests)."""
+        if model_path.startswith("random:"):
+            name = model_path.split(":", 1)[1]
+            self.cfg = CONFIGS[name]
+            self.params = init_params(self.cfg, jax.random.PRNGKey(0), self.dtype)
+            self.tokenizer = WhisperTokenizer(self.cfg, make_test_vocab())
+        else:
+            from spittle_tpu.models.whisper.weights import load_params
+
+            self.cfg, self.params, extras = load_params(
+                model_path, dtype=np.dtype(self.dtype) if self.dtype != jnp.bfloat16
+                else np.float32
+            )
+            if self.dtype == jnp.bfloat16:
+                self.params = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 and a.ndim >= 2 else a,
+                    self.params,
+                )
+            if "mel_filters" in extras:
+                self.mel_filters = jnp.asarray(extras["mel_filters"])
+            if "vocab" in extras:
+                vocab = {tok: i for i, tok in enumerate(extras["vocab"])}
+                self.tokenizer = WhisperTokenizer(self.cfg, vocab)
+            else:
+                self.tokenizer = load_tokenizer(
+                    self.cfg,
+                    model_path if os.path.isdir(model_path)
+                    else os.path.dirname(model_path),
+                )
+        space = self.tokenizer.encode(" ")
+        self._space_token = space[0] if space else None
+
+    def unload_model(self) -> None:
+        self.cfg = None
+        self.params = None
+        self.tokenizer = None
+        self.mel_filters = None
+
+    @property
+    def is_loaded(self) -> bool:
+        return self.params is not None
+
+    # -- transcription ---------------------------------------------------
+
+    def _mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
+        """[B, n_samples] -> [B, n_mels, frames]."""
+        return log_mel_spectrogram(
+            jnp.asarray(audio_batch), n_mels=self.cfg.n_mels,
+            filters=self.mel_filters,
+        )
+
+    def _decode_options(
+        self, params: TranscribeParams, timestamps: bool = True
+    ) -> DecodeOptions:
+        return DecodeOptions(
+            task="translate" if params.translate else "transcribe",
+            language=params.language,
+            timestamps=timestamps,
+            space_token=self._space_token,
+        )
+
+    def transcribe_samples(
+        self, samples: np.ndarray, params: Optional[TranscribeParams] = None
+    ) -> TranscriptionResult:
+        return self.transcribe_batch([samples], params)[0]
+
+    def transcribe_batch(
+        self,
+        batch: Sequence[np.ndarray],
+        params: Optional[TranscribeParams] = None,
+    ) -> List[TranscriptionResult]:
+        """Batched long-form transcription.
+
+        Each item is a float32 16 kHz mono buffer of any length. Items are
+        chunked into 30 s windows; all items' current windows decode as one
+        batch, then items with remaining audio re-enter the next round at
+        their seek offsets (timestamp-guided, whisper.cpp-style).
+        """
+        assert self.is_loaded, "no model loaded"
+        params = params or TranscribeParams()
+        cfg = self.cfg
+        tok = self.tokenizer
+
+        prompt_tokens: Tuple[int, ...] = ()
+        if params.initial_prompt:
+            # whisper.cpp truncates the prompt to n_text_ctx/2 - 1
+            ids = tok.encode(" " + params.initial_prompt.strip())
+            prompt_tokens = tuple(ids[-(cfg.n_text_ctx // 2 - 1):])
+
+        n = len(batch)
+        audios = [np.asarray(a, np.float32) for a in batch]
+        seeks = [0] * n  # in mel frames
+        content_frames = [max(1, len(a) // HOP_LENGTH) for a in audios]
+        seg_tokens: List[List[int]] = [[] for _ in range(n)]
+        segments: List[List[Segment]] = [[] for _ in range(n)]
+        languages: List[Optional[str]] = [params.language] * n
+
+        lang_tokens_arr: Optional[np.ndarray] = None
+        round_idx = 0
+        while True:
+            active = [i for i in range(n) if seeks[i] < content_frames[i]]
+            if not active:
+                break
+            # Build this round's window batch.
+            windows = np.zeros((len(active), N_SAMPLES), np.float32)
+            for bi, i in enumerate(active):
+                start = seeks[i] * HOP_LENGTH
+                chunk = audios[i][start : start + N_SAMPLES]
+                windows[bi, : len(chunk)] = chunk
+            mel = self._mel(windows)
+            xa = encode(self.params, mel, cfg)
+
+            lt = None
+            if cfg.multilingual:
+                if params.language is None and round_idx == 0:
+                    probs = np.asarray(detect_language(self.params, xa, cfg))
+                    det = probs.argmax(-1)
+                    lang_tokens_arr = np.full(n, cfg.lang_begin, np.int64)
+                    for bi, i in enumerate(active):
+                        lang_tokens_arr[i] = cfg.lang_begin + det[bi]
+                        languages[i] = tok.lang_code(int(lang_tokens_arr[i]))
+                if lang_tokens_arr is not None:
+                    lt = jnp.asarray(
+                        [lang_tokens_arr[i] for i in active], jnp.int32
+                    )
+            opts = self._decode_options(params)
+            out = greedy_decode(
+                self.params, xa, cfg, opts,
+                lang_tokens=lt, prompt_tokens=prompt_tokens,
+            )
+            tokens = np.asarray(out["tokens"])
+            sb = out["sample_begin"]
+
+            for bi, i in enumerate(active):
+                row = tokens[bi, sb:]
+                gen = []
+                for t in row:
+                    if t == cfg.eot:
+                        break
+                    gen.append(int(t))
+                win_offset = seeks[i] / FRAMES_PER_SECOND
+                segs, advance = self._parse_window(gen, win_offset)
+                window_frames = min(
+                    WINDOW_FRAMES, content_frames[i] - seeks[i]
+                )
+                segments[i].extend(segs)
+                seg_tokens[i].extend(gen)
+                seeks[i] += advance if advance > 0 else window_frames
+            round_idx += 1
+
+        results = []
+        for i in range(n):
+            text = tok.decode(seg_tokens[i]).strip()
+            results.append(
+                TranscriptionResult(
+                    text=text, segments=segments[i], language=languages[i]
+                )
+            )
+        return results
+
+    def _pad_window_batch(self, audios: List[np.ndarray]) -> np.ndarray:
+        out = np.zeros((len(audios), N_SAMPLES), np.float32)
+        for i, a in enumerate(audios):
+            out[i, : min(len(a), N_SAMPLES)] = a[:N_SAMPLES]
+        return out
+
+    def _parse_window(
+        self, gen_tokens: List[int], offset_sec: float
+    ) -> Tuple[List[Segment], int]:
+        """Split decoded tokens at timestamp pairs into segments.
+
+        Returns (segments, seek advance in mel frames; 0 = full window).
+        """
+        cfg = self.cfg
+        tok = self.tokenizer
+        ts_begin = cfg.timestamp_begin
+        segs: List[Segment] = []
+        cur_text: List[int] = []
+        cur_start: Optional[float] = None
+        last_ts_time = None
+        for t in gen_tokens:
+            if t >= ts_begin:
+                t_sec = (t - ts_begin) * 0.02
+                last_ts_time = t_sec
+                if cur_start is None:
+                    cur_start = t_sec
+                else:
+                    segs.append(
+                        Segment(
+                            start=offset_sec + cur_start,
+                            end=offset_sec + t_sec,
+                            text=tok.decode(cur_text),
+                        )
+                    )
+                    cur_start = None
+                    cur_text = []
+            else:
+                if cur_start is None:
+                    cur_start = 0.0
+                cur_text.append(t)
+        if cur_text:
+            segs.append(
+                Segment(
+                    start=offset_sec + (cur_start or 0.0),
+                    end=offset_sec + (last_ts_time or 30.0),
+                    text=tok.decode(cur_text),
+                )
+            )
+        advance = 0
+        if last_ts_time is not None and last_ts_time > 0:
+            advance = int(last_ts_time * FRAMES_PER_SECOND)
+        return segs, advance

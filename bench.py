@@ -1,0 +1,88 @@
+"""Headline benchmark: batched Whisper RTFx per chip.
+
+Measures the production serving shape — batch of 30 s windows through the
+large-v3-turbo encoder plus a fixed 32-token greedy decode with static KV
+cache — and reports RTFx (seconds of audio transcribed per wall second per
+chip). The reference publishes no quantitative numbers (BASELINE.md); the
+north-star target is >=500x RTFx on a v5e chip, so vs_baseline is
+value / 500.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 16
+DECODE_TOKENS = 32
+WINDOW_SECONDS = 30.0
+
+
+def main():
+    from spittle_tpu.audio.mel import log_mel_spectrogram
+    from spittle_tpu.models.whisper.config import CONFIGS
+    from spittle_tpu.models.whisper.model import (
+        decode_step,
+        encode,
+        init_kv_cache,
+        init_params,
+        precompute_cross_kv,
+    )
+
+    cfg = CONFIGS["large-v3-turbo"]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((BATCH, int(16000 * WINDOW_SECONDS))), jnp.float32
+    )
+
+    @jax.jit
+    def window_step(params, audio):
+        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+        xa = encode(params, mel, cfg)
+        cross_kv = precompute_cross_kv(params, xa, cfg)
+        cache = init_kv_cache(cfg, audio.shape[0], dtype=xa.dtype)
+
+        def body(carry, pos):
+            tokens, cache = carry
+            logits, cache = decode_step(params, tokens, pos, cache, cross_kv, cfg)
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (next_tok, cache), next_tok
+
+        init_tokens = jnp.full((audio.shape[0],), cfg.sot, jnp.int32)
+        (_, _), toks = jax.lax.scan(
+            body, (init_tokens, cache), jnp.arange(DECODE_TOKENS)
+        )
+        return toks
+
+    # Warmup / compile. Fetch to host: on the tunneled axon platform,
+    # block_until_ready can return before device execution finishes, so a
+    # device_get is the only honest completion barrier.
+    np.asarray(window_step(params, audio))
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(window_step(params, audio))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    rtfx = BATCH * WINDOW_SECONDS / dt
+
+    print(json.dumps({
+        "metric": "whisper-large-v3-turbo batched RTFx (30s windows, batch "
+                  f"{BATCH}, {DECODE_TOKENS}-token decode)",
+        "value": round(rtfx, 1),
+        "unit": "x realtime per chip",
+        "vs_baseline": round(rtfx / 500.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

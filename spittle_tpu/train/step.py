@@ -1,0 +1,61 @@
+"""Whisper fine-tuning step (sharded).
+
+The reference ships no training (inference-only desktop app); this module
+exists so the framework can fine-tune its engines (e.g. domain adaptation
+for dictation jargon) and to exercise the full dp+tp sharded compute path:
+encoder + teacher-forced decoder + cross-entropy + AdamW, jitted over a
+('data', 'model') mesh with parameters sharded per parallel.mesh rules.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spittle_tpu.models.whisper.config import WhisperConfig
+from spittle_tpu.models.whisper.model import decoder_forward, encode
+
+
+def cross_entropy_loss(
+    params: Dict[str, Any],
+    mel: jnp.ndarray,  # [B, n_mels, frames]
+    tokens: jnp.ndarray,  # [B, T] input tokens
+    targets: jnp.ndarray,  # [B, T] next-token labels
+    mask: jnp.ndarray,  # [B, T] 1.0 where the label counts
+    cfg: WhisperConfig,
+) -> jnp.ndarray:
+    xa = encode(params, mel, cfg)
+    logits = decoder_forward(params, tokens, xa, cfg)  # [B, T, V]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(cfg: WhisperConfig, learning_rate: float = 1e-5):
+    """Returns (init_opt_state, train_step).
+
+    train_step(params, opt_state, batch) -> (params, opt_state, loss) where
+    batch = dict(mel, tokens, targets, mask). Jit this under a Mesh with
+    sharded params/batch; XLA inserts the dp gradient psum and tp
+    collectives from the sharding annotations.
+    """
+    tx = optax.adamw(learning_rate, weight_decay=0.01)
+
+    def init_opt_state(params):
+        return tx.init(params)
+
+    @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(cross_entropy_loss)(
+            params, batch["mel"], batch["tokens"], batch["targets"],
+            batch["mask"], cfg,
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_opt_state, train_step

@@ -13,11 +13,20 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: repeat bench runs skip the multi-minute
+# XLA compile on the tunneled TPU backend.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SPITTLE_JAX_CACHE", "/tmp/spittle_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 16
 DECODE_TOKENS = 32

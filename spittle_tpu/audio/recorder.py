@@ -100,7 +100,12 @@ class AudioRecorder:
         self._thread.start()
 
     def start(self) -> None:
-        self._cmd.put(("start", None))
+        """Begin accumulating. Synchronous: when this returns, the consumer
+        has switched to recording, so any audio subsequently pushed to the
+        source is guaranteed to be captured (stop() drains the queue)."""
+        ack: "queue.Queue[bool]" = queue.Queue()
+        self._cmd.put(("start", ack))
+        ack.get(timeout=5)
 
     def stop(self) -> np.ndarray:
         reply: "queue.Queue[np.ndarray]" = queue.Queue()
@@ -155,7 +160,19 @@ class AudioRecorder:
                 segment_fill = 0
                 if self._vad is not None and hasattr(self._vad, "reset"):
                     self._vad.reset()
+                arg.put(True)
             elif cmd == "stop":
+                # Drain audio already queued before the stop arrived so the
+                # reply deterministically contains everything pushed so far.
+                while True:
+                    pending = self._source.read(timeout=0.01)
+                    if pending is None or len(pending) == 0:
+                        break
+                    if self._level_cb is not None:
+                        levels = visualizer.feed(pending)
+                        if levels is not None:
+                            self._level_cb(levels)
+                    resampler.push(pending, handle_frame)
                 resampler.finish(handle_frame)
                 out = (
                     np.concatenate(processed)

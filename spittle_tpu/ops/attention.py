@@ -167,6 +167,15 @@ def _on_tpu() -> bool:
         return False
 
 
+# Measured on v5e (batch 16 x 20 heads x 1536 x 64): XLA's fused attention
+# runs ~2x faster than this flash kernel (547 vs 1137 ms per encoder pass),
+# so XLA is the default; flip to the Pallas path with USE_PALLAS_FLASH for
+# kernel tuning work.
+import os
+
+USE_PALLAS_FLASH = os.environ.get("SPITTLE_PALLAS_FLASH", "0") == "1"
+
+
 def multihead_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -174,14 +183,15 @@ def multihead_attention(
     causal: bool = False,
     kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas flash kernel on TPU when tiles align, else XLA.
+    """Dispatch: XLA fused attention by default; optional Pallas flash path.
 
     Inputs [B, H, T, D]. Pads T up to tile multiples when needed.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
     use_flash = (
-        _on_tpu()
+        USE_PALLAS_FLASH
+        and _on_tpu()
         and d in (64, 128)
         and tq >= DEFAULT_BLOCK_Q
     )

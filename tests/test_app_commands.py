@@ -1,0 +1,181 @@
+"""Application layer: services wiring, shortcut handling, command surface."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from spittle_tpu.app.actions import ActionContext
+from spittle_tpu.app.commands import Commands
+from spittle_tpu.app.services import AppServices
+from spittle_tpu.audio.recorder import QueueSource
+from spittle_tpu.config.settings import KeyboardImplementation, LogLevel
+from spittle_tpu.pipeline import BufferTextOutput
+
+
+@pytest.fixture()
+def app(tmp_path):
+    src = QueueSource(16000)
+    services = AppServices(
+        str(tmp_path), source_factory=lambda: src, use_mock_engine=True
+    )
+    out = BufferTextOutput()
+    actions = ActionContext(services, out)
+    cmds = Commands(services, actions)
+    yield services, actions, cmds, src, out
+    services.shutdown()
+
+
+class TestShortcutFlow:
+    def test_push_to_talk_records_and_pastes(self, app):
+        services, actions, cmds, src, out = app
+        # Install a canned engine result by loading the mock engine.
+        services.transcription.load_model("m", "/fake", "whisper")
+        services.transcription._engine.canned_text = "dictated words"
+
+        actions.handle_shortcut_event("transcribe", "ctrl+space", True)
+        assert services.audio.is_recording()
+        src.push(np.ones(32000, np.float32) * 0.1)
+        time.sleep(0.3)
+        actions.handle_shortcut_event("transcribe", "ctrl+space", False)
+        deadline = time.time() + 5
+        while not out.buffer and time.time() < deadline:
+            time.sleep(0.02)
+        assert out.buffer == "dictated words "
+
+    def test_toggle_mode(self, app):
+        services, actions, cmds, src, out = app
+        services.update_settings(push_to_talk=False)
+        services.transcription.load_model("m", "/fake", "whisper")
+        actions.handle_shortcut_event("transcribe", "x", True)  # start
+        assert services.audio.is_recording()
+        actions.handle_shortcut_event("transcribe", "x", False)  # release: noop
+        assert services.audio.is_recording()
+        src.push(np.ones(16000, np.float32) * 0.1)
+        time.sleep(0.3)
+        actions.handle_shortcut_event("transcribe", "x", True)  # toggle off
+        deadline = time.time() + 5
+        while services.audio.is_recording() and time.time() < deadline:
+            time.sleep(0.02)
+        assert not services.audio.is_recording()
+
+    def test_cancel_only_fires_when_recording(self, app):
+        services, actions, cmds, src, out = app
+        actions.handle_shortcut_event("cancel", "escape", True)  # no-op
+        assert not services.audio.is_recording()
+        actions.handle_shortcut_event("transcribe", "x", True)
+        assert services.audio.is_recording()
+        actions.handle_shortcut_event("cancel", "escape", True)
+        assert not services.audio.is_recording()
+
+    def test_unknown_binding_ignored(self, app):
+        _, actions, *_ = app
+        actions.handle_shortcut_event("nope", "x", True)  # must not raise
+
+
+class TestCommands:
+    def test_settings_mutations(self, app):
+        services, actions, cmds, *_ = app
+        cmds.change_ptt_setting(False)
+        assert services.get_settings().push_to_talk is False
+        cmds.change_selected_language_setting("de")
+        assert services.get_settings().selected_language == "de"
+        cmds.update_custom_words(["Kubernetes"])
+        assert services.get_settings().custom_words == ["Kubernetes"]
+        cmds.set_log_level(LogLevel.INFO)
+        assert services.get_settings().log_level is LogLevel.INFO
+
+    def test_binding_change_and_reset(self, app):
+        services, actions, cmds, *_ = app
+        cmds.change_binding("transcribe", "f13")
+        assert services.get_settings().bindings["transcribe"].current_binding == "f13"
+        cmds.reset_binding("transcribe")
+        b = services.get_settings().bindings["transcribe"]
+        assert b.current_binding == b.default_binding
+
+    def test_settings_persisted_across_reload(self, app, tmp_path):
+        services, actions, cmds, *_ = app
+        cmds.change_word_correction_threshold_setting(0.42)
+        reloaded = services.settings_store.load()
+        assert reloaded.word_correction_threshold == 0.42
+
+    def test_prompt_crud(self, app):
+        services, actions, cmds, *_ = app
+        n0 = len(services.get_settings().post_process_prompts)
+        cmds.add_post_process_prompt("my_prompt", "Mine", "Do ${output}")
+        assert len(services.get_settings().post_process_prompts) == n0 + 1
+        cmds.update_post_process_prompt("my_prompt", "Mine2", "Do it: ${output}")
+        p = next(p for p in services.get_settings().post_process_prompts
+                 if p.id == "my_prompt")
+        assert p.name == "Mine2"
+        cmds.set_post_process_selected_prompt("my_prompt")
+        cmds.delete_post_process_prompt("my_prompt")
+        s = services.get_settings()
+        assert all(p.id != "my_prompt" for p in s.post_process_prompts)
+        assert s.post_process_selected_prompt_id is None
+
+    def test_jargon_pack_import_export(self, app):
+        services, actions, cmds, *_ = app
+        payload = (
+            '[{"id": "p1", "label": "Pack", "terms": ["X"], '
+            '"corrections": [{"from": "ex", "to": "X"}]}]'
+        )
+        assert cmds.import_jargon_packs_json(payload) == 1
+        assert cmds.import_jargon_packs_json(payload) == 0  # dedup by id
+        out = cmds.export_jargon_packs_json()
+        assert '"p1"' in out
+        assert cmds.get_jargon_builtin_profiles()["web_dev"]["terms"]
+
+    def test_model_surface(self, app):
+        services, actions, cmds, *_ = app
+        models = cmds.get_available_models()
+        assert any(m.id == "small" for m in models)
+        assert cmds.get_model_info("small").engine_type == "whisper"
+        assert not cmds.has_any_models_available()
+        assert cmds.get_transcription_model_status()["loaded"] is False
+
+    def test_history_surface(self, app):
+        services, actions, cmds, *_ = app
+        services.history.save_transcription(
+            np.zeros(1600, np.float32), "t", "text"
+        )
+        entries = cmds.get_history_entries()
+        assert len(entries) == 1
+        assert cmds.get_audio_file_path(entries[0].id)
+        assert cmds.toggle_history_entry_saved(entries[0].id) is True
+        cmds.delete_history_entry(entries[0].id)
+        assert cmds.get_history_entries() == []
+
+    def test_microphone_mode(self, app):
+        services, actions, cmds, *_ = app
+        cmds.update_microphone_mode(True)
+        assert cmds.get_microphone_mode() is True
+        cmds.update_microphone_mode(False)
+
+    def test_misc_surface(self, app):
+        services, actions, cmds, *_ = app
+        assert cmds.get_keyboard_implementation() in KeyboardImplementation
+        assert isinstance(cmds.is_recording(), bool)
+        assert cmds.get_app_dir_path()
+        assert cmds.check_apple_intelligence_available() is False
+        cmds.initialize_enigo()
+        cmds.initialize_shortcuts()
+        cmds.cancel_operation()
+
+
+class TestBindingSurfaceCompleteness:
+    def test_all_reference_commands_present(self):
+        """Every command exported in the reference's bindings.ts must have a
+        snake_case counterpart on Commands."""
+        import re
+
+        with open("/root/reference/src/bindings.ts") as f:
+            names = re.findall(r"async ([a-zA-Z]+)", f.read())
+        skip = set()  # all commands must exist
+        missing = []
+        for name in names:
+            snake = re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+            if not hasattr(Commands, snake):
+                missing.append(snake)
+        assert not missing, missing

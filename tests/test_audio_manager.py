@@ -106,8 +106,8 @@ class TestAudioRecordingManager:
         assert mgr.is_recording()
         assert not mgr.try_start_recording("other")  # busy
         src.push(np.ones(32000, np.float32) * 0.05)
-        time.sleep(0.3)
-        out = mgr.stop_recording("transcribe")
+        time.sleep(0.1)  # let the consumer pick up the start command
+        out = mgr.stop_recording("transcribe")  # stop drains pending audio
         assert out is not None and len(out) >= 32000
         assert not mgr.is_recording()
         mgr.shutdown()

@@ -1,0 +1,169 @@
+"""Batching transcription server: many sessions, one device program.
+
+This is the TPU-native "distributed backend" (SURVEY.md §2.8/§7.7) that the
+reference has no counterpart for: its engine transcribes one utterance at a
+time under a mutex (`managers/transcription.rs:398-605`). Here concurrent
+push-to-talk sessions submit audio to a queue; a dispatcher coalesces
+requests into length-bucketed batches (stable compiled shapes), runs one
+batched engine call, and resolves per-request futures. Under a
+('data','model') Mesh the padded batch is placed with a batch sharding so
+XLA splits the work across chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from spittle_tpu.engine.base import TranscribeParams, TranscriptionResult
+
+# Audio-length buckets (seconds): requests pad up to the bucket edge so the
+# engine sees a small, fixed set of shapes (compile-once, serve-forever).
+DEFAULT_BUCKETS = (1.0, 2.0, 5.0, 10.0, 30.0)
+SAMPLE_RATE = 16_000
+
+
+@dataclasses.dataclass
+class _Request:
+    samples: np.ndarray
+    params: TranscribeParams
+    future: Future
+    enqueued_at: float
+
+
+def bucket_for(n_samples: int, buckets: Sequence[float] = DEFAULT_BUCKETS) -> int:
+    """Samples -> bucket length in samples (last bucket for longer audio)."""
+    for b in buckets:
+        if n_samples <= int(b * SAMPLE_RATE):
+            return int(b * SAMPLE_RATE)
+    return int(buckets[-1] * SAMPLE_RATE)
+
+
+class BatchingTranscriptionServer:
+    """Coalesces transcribe requests into batched engine calls.
+
+    engine: any TranscriptionEngine with transcribe_batch.
+    max_batch: cap per device program (BASELINE config 5 targets 32).
+    max_wait_ms: dispatch latency budget — a lone request never waits
+    longer than this before running.
+    mesh: optional jax Mesh; batched calls run under it with the batch
+    sharded over the 'data' axis.
+    """
+
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 32,
+        max_wait_ms: float = 10.0,
+        buckets: Sequence[float] = DEFAULT_BUCKETS,
+        mesh=None,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.buckets = tuple(buckets)
+        self.mesh = mesh
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._shutdown = threading.Event()
+        self.batch_sizes: List[int] = []  # observability
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    # -- client API ------------------------------------------------------
+
+    def submit(
+        self, samples: np.ndarray, params: Optional[TranscribeParams] = None
+    ) -> Future:
+        fut: Future = Future()
+        self._queue.put(
+            _Request(
+                samples=np.asarray(samples, np.float32),
+                params=params or TranscribeParams(),
+                future=fut,
+                enqueued_at=time.monotonic(),
+            )
+        )
+        return fut
+
+    def transcribe(
+        self, samples: np.ndarray, params: Optional[TranscribeParams] = None,
+        timeout: float = 300.0,
+    ) -> TranscriptionResult:
+        """Synchronous client call — the TranscriptionManager seam."""
+        return self.submit(samples, params).result(timeout=timeout)
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    # -- dispatcher ------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        """Block for one request, then drain for up to max_wait."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-signal shutdown
+                break
+            batch.append(nxt)
+        return batch
+
+    def _group_by_bucket(
+        self, batch: List[_Request]
+    ) -> List[Tuple[int, List[_Request]]]:
+        groups = {}
+        for req in batch:
+            key = (
+                bucket_for(len(req.samples), self.buckets),
+                req.params,
+            )
+            groups.setdefault(key, []).append(req)
+        return [(k[0], reqs) for k, reqs in groups.items()]
+
+    def _dispatch_loop(self) -> None:
+        while not self._shutdown.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            for bucket_len, reqs in self._group_by_bucket(batch):
+                self._run_group(bucket_len, reqs)
+
+    def _run_group(self, bucket_len: int, reqs: List[_Request]) -> None:
+        padded = [
+            np.pad(r.samples[:bucket_len], (0, max(0, bucket_len - len(r.samples))))
+            for r in reqs
+        ]
+        self.batch_sizes.append(len(reqs))
+        try:
+            if self.mesh is not None:
+                with self.mesh:
+                    results = self.engine.transcribe_batch(
+                        padded, reqs[0].params
+                    )
+            else:
+                results = self.engine.transcribe_batch(padded, reqs[0].params)
+        except Exception as e:
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
+            return
+        for r, res in zip(reqs, results):
+            r.future.set_result(res)

@@ -1,0 +1,125 @@
+"""Batching server tests: coalescing, bucketing, latency, mesh sharding."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from spittle_tpu.engine.base import TranscribeParams, TranscriptionResult
+from spittle_tpu.parallel.serving import (
+    BatchingTranscriptionServer,
+    bucket_for,
+)
+
+
+class RecordingEngine:
+    """Engine that records batch shapes and answers with lengths."""
+
+    def __init__(self, delay=0.0):
+        self.batches = []
+        self.delay = delay
+
+    def transcribe_batch(self, batch, params=None):
+        self.batches.append([len(b) for b in batch])
+        if self.delay:
+            time.sleep(self.delay)
+        return [TranscriptionResult(text=f"len={len(b)}") for b in batch]
+
+
+def test_bucket_for():
+    assert bucket_for(100) == 16000
+    assert bucket_for(16000) == 16000
+    assert bucket_for(16001) == 32000
+    assert bucket_for(16000 * 100) == 16000 * 30
+
+
+def test_single_request_roundtrip():
+    eng = RecordingEngine()
+    srv = BatchingTranscriptionServer(eng, max_wait_ms=5)
+    res = srv.transcribe(np.ones(8000, np.float32))
+    assert res.text == "len=16000"  # padded to 1 s bucket
+    srv.shutdown()
+
+
+def test_concurrent_requests_coalesce():
+    eng = RecordingEngine(delay=0.05)
+    srv = BatchingTranscriptionServer(eng, max_wait_ms=50)
+    futs = [srv.submit(np.ones(8000, np.float32)) for _ in range(8)]
+    # occupy the dispatcher with the first batch, the rest coalesce
+    results = [f.result(timeout=10) for f in futs]
+    assert all(r.text == "len=16000" for r in results)
+    assert max(srv.batch_sizes) >= 2  # at least some coalescing happened
+    srv.shutdown()
+
+
+def test_buckets_not_mixed():
+    eng = RecordingEngine(delay=0.02)
+    srv = BatchingTranscriptionServer(eng, max_wait_ms=60)
+    futs = [
+        srv.submit(np.ones(8000, np.float32)),
+        srv.submit(np.ones(60000, np.float32)),  # 5 s bucket
+        srv.submit(np.ones(8000, np.float32)),
+    ]
+    [f.result(timeout=10) for f in futs]
+    # every engine batch is length-homogeneous
+    for shapes in eng.batches:
+        assert len(set(shapes)) == 1
+    srv.shutdown()
+
+
+def test_different_params_not_mixed():
+    eng = RecordingEngine(delay=0.02)
+    srv = BatchingTranscriptionServer(eng, max_wait_ms=60)
+    f1 = srv.submit(np.ones(8000, np.float32), TranscribeParams(language="en"))
+    f2 = srv.submit(np.ones(8000, np.float32), TranscribeParams(language="de"))
+    f1.result(timeout=10), f2.result(timeout=10)
+    assert len(eng.batches) >= 2
+    srv.shutdown()
+
+
+def test_engine_error_propagates():
+    class Boom:
+        def transcribe_batch(self, batch, params=None):
+            raise ValueError("engine down")
+
+    srv = BatchingTranscriptionServer(Boom(), max_wait_ms=5)
+    with pytest.raises(ValueError):
+        srv.transcribe(np.ones(100, np.float32), timeout=5)
+    srv.shutdown()
+
+
+def test_max_batch_respected():
+    eng = RecordingEngine(delay=0.05)
+    srv = BatchingTranscriptionServer(eng, max_batch=4, max_wait_ms=200)
+    futs = [srv.submit(np.ones(100, np.float32)) for _ in range(10)]
+    [f.result(timeout=10) for f in futs]
+    assert max(srv.batch_sizes) <= 4
+    srv.shutdown()
+
+
+def test_under_mesh_data_sharding():
+    import jax
+    from spittle_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(min(8, len(jax.devices())), tp=1)
+
+    class MeshCheckingEngine:
+        def transcribe_batch(self, batch, params=None):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            import jax.numpy as jnp
+
+            arr = jax.device_put(
+                jnp.asarray(np.stack(batch)),
+                NamedSharding(mesh, P("data")),
+            )
+            total = jax.jit(lambda x: x.sum(axis=-1))(arr)
+            return [TranscriptionResult(text=str(float(t))) for t in total]
+
+    srv = BatchingTranscriptionServer(
+        MeshCheckingEngine(), max_wait_ms=100, mesh=mesh
+    )
+    futs = [srv.submit(np.ones(1000, np.float32)) for _ in range(8)]
+    results = [f.result(timeout=30) for f in futs]
+    assert all(r.text == "1000.0" for r in results)
+    srv.shutdown()

@@ -16,11 +16,15 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class TranscribeParams:
-    """Per-call decode options (transcription.rs:494-499)."""
+    """Per-call decode options (transcription.rs:494-499).
+
+    beam_size > 1 selects beam search (whisper.cpp BeamSearch strategy);
+    1 is greedy."""
 
     language: Optional[str] = None  # None -> auto-detect
     translate: bool = False
     initial_prompt: Optional[str] = None
+    beam_size: int = 1
 
 
 @dataclasses.dataclass

@@ -189,10 +189,18 @@ class WhisperEngine:
                         [lang_tokens_arr[i] for i in active], jnp.int32
                     )
             opts = self._decode_options(params)
-            out = greedy_decode(
-                self.params, xa, cfg, opts,
-                lang_tokens=lt, prompt_tokens=prompt_tokens,
-            )
+            if params.beam_size > 1:
+                from spittle_tpu.models.whisper.beam import beam_decode
+
+                out = beam_decode(
+                    self.params, xa, cfg, opts, beam_size=params.beam_size,
+                    lang_tokens=lt, prompt_tokens=prompt_tokens,
+                )
+            else:
+                out = greedy_decode(
+                    self.params, xa, cfg, opts,
+                    lang_tokens=lt, prompt_tokens=prompt_tokens,
+                )
             tokens = np.asarray(out["tokens"])
             sb = out["sample_begin"]
 
@@ -222,6 +230,46 @@ class WhisperEngine:
                 )
             )
         return results
+
+    def transcribe_vad_segments(
+        self,
+        audio: np.ndarray,
+        params: Optional[TranscribeParams] = None,
+        vad_params=None,
+    ) -> TranscriptionResult:
+        """Long-form transcription gated by the Silero+Smoothed VAD chain.
+
+        Splits a long 16 kHz buffer into speech spans (batched Silero over
+        all 30 ms frames), transcribes all spans as one batch, and stitches
+        the text with absolute timestamps — replacing the reference's
+        serial whisper.cpp windowing over silence-laden audio (BASELINE
+        config 2)."""
+        from spittle_tpu.audio.vad.segmenter import segment_speech
+
+        audio = np.asarray(audio, np.float32)
+        spans = segment_speech(audio, params=vad_params)
+        if not spans:
+            return TranscriptionResult(text="")
+        chunks = [audio[s.start_sample : s.end_sample] for s in spans]
+        results = self.transcribe_batch(chunks, params)
+        segments: List[Segment] = []
+        texts = []
+        for span, res in zip(spans, results):
+            if res.text:
+                texts.append(res.text)
+            for seg in res.segments:
+                segments.append(
+                    Segment(
+                        start=seg.start + span.start_sec,
+                        end=seg.end + span.start_sec,
+                        text=seg.text,
+                    )
+                )
+        return TranscriptionResult(
+            text=" ".join(texts).strip(),
+            segments=segments,
+            language=results[0].language if results else None,
+        )
 
     def _pad_window_batch(self, audios: List[np.ndarray]) -> np.ndarray:
         out = np.zeros((len(audios), N_SAMPLES), np.float32)

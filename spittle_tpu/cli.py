@@ -1,0 +1,138 @@
+"""Developer CLI: transcribe files, inspect VAD, replay scenarios.
+
+Counterpart of the reference's interactive recorder CLI
+(`/root/reference/src-tauri/src/audio_toolkit/bin/cli.rs` — its manual test
+harness, SURVEY §4.6) adapted to the TPU framework: drive the full
+file -> resample -> VAD -> mel -> model -> text path from a terminal.
+
+Usage:
+  python -m spittle_tpu.cli transcribe audio.wav --model random:tiny.en
+  python -m spittle_tpu.cli vad audio.wav
+  python -m spittle_tpu.cli rolling tests/data/rolling_scenarios/*.json
+  python -m spittle_tpu.cli catalog
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_transcribe(args) -> int:
+    import numpy as np
+
+    from spittle_tpu.audio.resample import resample
+    from spittle_tpu.audio.wav import load_wav_file
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+    from spittle_tpu.utils.tracing import get_tracer
+
+    tracer = get_tracer()
+    audio, rate = load_wav_file(args.audio)
+    if rate != 16000:
+        audio = np.asarray(resample(audio, rate, 16000))
+
+    engine = WhisperEngine()
+    with tracer.span("model_load"):
+        engine.load_model(args.model)
+    params = TranscribeParams(
+        language=args.language,
+        translate=args.translate,
+        initial_prompt=args.initial_prompt,
+        beam_size=args.beam_size,
+    )
+    with tracer.span("transcribe"):
+        if args.vad:
+            result = engine.transcribe_vad_segments(audio, params)
+        else:
+            result = engine.transcribe_samples(audio, params)
+    print(result.text)
+    if args.timestamps:
+        for seg in result.segments:
+            print(f"[{seg.start:7.2f} -> {seg.end:7.2f}] {seg.text}")
+    if args.stats:
+        print(json.dumps(tracer.stats(), indent=2), file=sys.stderr)
+    return 0
+
+
+def cmd_vad(args) -> int:
+    import numpy as np
+
+    from spittle_tpu.audio.resample import resample
+    from spittle_tpu.audio.vad.segmenter import segment_speech
+    from spittle_tpu.audio.wav import load_wav_file
+
+    audio, rate = load_wav_file(args.audio)
+    if rate != 16000:
+        audio = np.asarray(resample(audio, rate, 16000))
+    segments = segment_speech(audio)
+    total = 0.0
+    for s in segments:
+        print(f"speech {s.start_sec:8.2f}s -> {s.end_sec:8.2f}s")
+        total += s.end_sec - s.start_sec
+    print(f"{len(segments)} segments, {total:.2f}s speech of "
+          f"{len(audio) / 16000:.2f}s audio")
+    return 0
+
+
+def cmd_rolling(args) -> int:
+    from spittle_tpu.text.rolling import run_scenario_file
+
+    for path in args.scenarios:
+        for line in run_scenario_file(path, under_delete=args.under_delete):
+            print(line)
+    return 0
+
+
+def cmd_catalog(args) -> int:
+    from spittle_tpu.config.catalog import load_model_catalog
+
+    cat = load_model_catalog()
+    for m in cat.models:
+        star = "*" if m.is_recommended else " "
+        print(f"{star} {m.id:24s} {m.engine_type:12s} {m.size_mb:6d} MB  "
+              f"speed={m.speed_score:.2f} acc={m.accuracy_score:.2f}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="spittle-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("transcribe", help="transcribe a WAV file")
+    t.add_argument("audio")
+    t.add_argument("--model", default="random:tiny.en",
+                   help="GGML file, safetensors dir, or random:<config>")
+    t.add_argument("--language", default=None)
+    t.add_argument("--translate", action="store_true")
+    t.add_argument("--initial-prompt", default=None)
+    t.add_argument("--beam-size", type=int, default=1)
+    t.add_argument("--vad", action="store_true",
+                   help="VAD-segment long audio before transcribing")
+    t.add_argument("--timestamps", action="store_true")
+    t.add_argument("--stats", action="store_true")
+    t.set_defaults(fn=cmd_transcribe)
+
+    v = sub.add_parser("vad", help="show speech segments of a WAV file")
+    v.add_argument("audio")
+    v.set_defaults(fn=cmd_vad)
+
+    r = sub.add_parser("rolling", help="replay rolling-rewrite scenarios")
+    r.add_argument("scenarios", nargs="+")
+    r.add_argument("--under-delete", type=int, default=1)
+    r.set_defaults(fn=cmd_rolling)
+
+    c = sub.add_parser("catalog", help="list the model catalog")
+    c.set_defaults(fn=cmd_catalog)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -189,18 +189,9 @@ class WhisperEngine:
                         [lang_tokens_arr[i] for i in active], jnp.int32
                     )
             opts = self._decode_options(params)
-            if params.beam_size > 1:
-                from spittle_tpu.models.whisper.beam import beam_decode
-
-                out = beam_decode(
-                    self.params, xa, cfg, opts, beam_size=params.beam_size,
-                    lang_tokens=lt, prompt_tokens=prompt_tokens,
-                )
-            else:
-                out = greedy_decode(
-                    self.params, xa, cfg, opts,
-                    lang_tokens=lt, prompt_tokens=prompt_tokens,
-                )
+            out = self._decode_with_fallback(
+                xa, opts, params, lt, prompt_tokens
+            )
             tokens = np.asarray(out["tokens"])
             sb = out["sample_begin"]
 
@@ -230,6 +221,87 @@ class WhisperEngine:
                 )
             )
         return results
+
+    # Quality-gated temperature ladder (whisper.cpp fallback semantics:
+    # retry at increasing temperature when the decode is degenerate).
+    FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    COMPRESSION_RATIO_THRESHOLD = 2.4
+    LOGPROB_THRESHOLD = -1.0
+
+    @staticmethod
+    def _compression_ratio(text: str) -> float:
+        import zlib
+
+        if not text:
+            return 0.0
+        raw = text.encode("utf-8")
+        return len(raw) / len(zlib.compress(raw))
+
+    def _decode_once(self, xa, opts, params, lt, prompt_tokens):
+        if params.beam_size > 1 and opts.temperature == 0.0:
+            from spittle_tpu.models.whisper.beam import beam_decode
+
+            return beam_decode(
+                self.params, xa, self.cfg, opts, beam_size=params.beam_size,
+                lang_tokens=lt, prompt_tokens=prompt_tokens,
+            )
+        return greedy_decode(
+            self.params, xa, self.cfg, opts,
+            lang_tokens=lt, prompt_tokens=prompt_tokens,
+        )
+
+    def _decode_with_fallback(self, xa, opts, params, lt, prompt_tokens):
+        """Per-item retry ladder: a window whose decode looks degenerate
+        (compression ratio > 2.4 or avg logprob < -1.0) re-decodes at the
+        next temperature; accepted items keep their first good result."""
+        import dataclasses as _dc
+
+        n = xa.shape[0]
+        best = None
+        pending = list(range(n))
+        for temp in self.FALLBACK_TEMPERATURES:
+            t_opts = _dc.replace(opts, temperature=temp)
+            out = self._decode_once(
+                xa[np.asarray(pending)] if len(pending) != n else xa,
+                t_opts, params,
+                (lt[np.asarray(pending)] if lt is not None and len(pending) != n
+                 else lt),
+                prompt_tokens,
+            )
+            tokens = np.asarray(out["tokens"])
+            avg_lp = np.asarray(out["avg_logprob"])
+            sb = out["sample_begin"]
+            if best is None:
+                best = {
+                    "tokens": tokens.copy(),
+                    "avg_logprob": avg_lp.copy(),
+                    "no_speech_prob": np.asarray(out["no_speech_prob"]).copy(),
+                    "sample_begin": sb,
+                }
+            still = []
+            for bi, item in enumerate(pending):
+                text = self._tokens_to_text(tokens[bi], sb)
+                ok = (
+                    self._compression_ratio(text)
+                    <= self.COMPRESSION_RATIO_THRESHOLD
+                    and avg_lp[bi] >= self.LOGPROB_THRESHOLD
+                )
+                best["tokens"][item] = tokens[bi]
+                best["avg_logprob"][item] = avg_lp[bi]
+                if not ok:
+                    still.append(item)
+            pending = still
+            if not pending:
+                break
+        return best
+
+    def _tokens_to_text(self, row, sample_begin) -> str:
+        gen = []
+        for t in row[sample_begin:]:
+            if t == self.cfg.eot:
+                break
+            gen.append(int(t))
+        return self.tokenizer.decode(gen)
 
     def transcribe_vad_segments(
         self,

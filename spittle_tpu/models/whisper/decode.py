@@ -45,6 +45,8 @@ class DecodeOptions:
     suppress_tokens: Tuple[int, ...] = ()
     space_token: Optional[int] = None  # id of " " for blank suppression
     max_tokens: int = 0  # 0 -> n_text_ctx
+    temperature: float = 0.0  # 0 = argmax; >0 = categorical sampling
+    seed: int = 0  # PRNG seed for temperature sampling
 
 
 def sot_sequence(
@@ -150,7 +152,10 @@ def _greedy_loop(
     cfg: WhisperConfig,
     opts: DecodeOptions,
     prefix_len: int,
+    temperature: jnp.ndarray = None,  # traced scalar: one compile for all temps
 ):
+    if temperature is None:
+        temperature = jnp.asarray(opts.temperature, jnp.float32)
     b = xa.shape[0]
     max_len = opts.max_tokens or cfg.n_text_ctx
     cross_kv = precompute_cross_kv(params, xa, cfg)
@@ -179,6 +184,7 @@ def _greedy_loop(
         ts_floor=jnp.full(b, cfg.timestamp_begin, jnp.int32),
         sum_logprob=jnp.zeros(b, jnp.float32),
         length=jnp.zeros(b, jnp.int32),
+        key=jax.random.PRNGKey(opts.seed),
     )
 
     def cond(s):
@@ -196,7 +202,14 @@ def _greedy_loop(
             pos=pos, sample_begin=prefix_len,
             last_tok=last, penult_tok=penult, ts_floor=s["ts_floor"],
         )
-        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # Uniform sampling path: argmax at temperature 0, categorical above
+        # (single compiled program across the whole fallback ladder).
+        key, sub = jax.random.split(s["key"])
+        sampled = jax.random.categorical(
+            sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+        ).astype(jnp.int32)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(temperature > 0, sampled, greedy)
         lsm = jax.nn.log_softmax(logits, axis=-1)
         step_lp = jnp.take_along_axis(lsm, next_tok[:, None], 1)[:, 0]
 
@@ -224,6 +237,7 @@ def _greedy_loop(
             ts_floor=ts_floor,
             sum_logprob=sum_logprob,
             length=length,
+            key=key,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -271,8 +285,13 @@ def greedy_decode(
             lang_tokens = jnp.full((b,), cfg.lang_begin, jnp.int32)
         prefix = prefix.at[:, lang_col].set(lang_tokens)
 
+    import dataclasses as _dc
+
+    static_opts = _dc.replace(opts, temperature=0.0)
     final, pre_logits = _greedy_loop(
-        params, xa, prefix, cfg, opts, prefix_len=len(prefix_list)
+        params, xa, prefix, cfg, static_opts,
+        prefix_len=len(prefix_list),
+        temperature=jnp.asarray(opts.temperature, jnp.float32),
     )
     no_speech_prob = jax.nn.softmax(
         pre_logits[sot_pos].astype(jnp.float32), axis=-1

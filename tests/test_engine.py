@@ -72,3 +72,20 @@ def test_mock_engine():
     out = m.transcribe_samples(np.zeros(16000, np.float32))
     assert out.text == ""
     assert m.calls == [16000]
+
+
+def test_temperature_fallback_machinery(engine):
+    # Degenerate text triggers the ladder; ensure it terminates and the
+    # compression-ratio gate works as specified.
+    assert engine._compression_ratio("") == 0.0
+    assert engine._compression_ratio("hello world, this is fine") < 2.4
+    assert engine._compression_ratio("aaaaaaa " * 50) > 2.4
+    res = engine.transcribe_samples(make_audio(1.0), TranscribeParams(language="en"))
+    assert isinstance(res.text, str)
+
+
+def test_beam_path_through_engine(engine):
+    res = engine.transcribe_samples(
+        make_audio(1.0, 3), TranscribeParams(language="en", beam_size=2)
+    )
+    assert isinstance(res.text, str)

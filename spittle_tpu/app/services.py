@@ -29,8 +29,8 @@ from spittle_tpu.managers.transcription import TranscriptionManager
 
 def default_engine_factory(engine_type: str):
     """Map catalog engine_type to an engine instance (LoadedEngine dispatch,
-    transcription.rs:29-34). Whisper is the TPU JAX engine; Parakeet will
-    join it; others fall back to the mock until implemented."""
+    transcription.rs:29-34): whisper / parakeet / moonshine / sense_voice,
+    all backed by the JAX model stacks."""
     if engine_type == "whisper":
         from spittle_tpu.engine.whisper_engine import WhisperEngine
 
@@ -39,6 +39,14 @@ def default_engine_factory(engine_type: str):
         from spittle_tpu.engine.parakeet_engine import ParakeetEngine
 
         return ParakeetEngine()
+    if engine_type == "moonshine":
+        from spittle_tpu.engine.moonshine_engine import MoonshineEngine
+
+        return MoonshineEngine()
+    if engine_type == "sense_voice":
+        from spittle_tpu.engine.sensevoice_engine import SenseVoiceEngine
+
+        return SenseVoiceEngine()
     return MockEngine()
 
 

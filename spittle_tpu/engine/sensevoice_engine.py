@@ -1,0 +1,97 @@
+"""SenseVoice engine (engine-slot parity: transcription.rs:321-339).
+
+Params semantics match the reference: language in zh/en/ja/ko/yue/auto and
+use_itn (inverse text normalization prompt)."""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spittle_tpu.models.parakeet.features import HOP, parakeet_features
+from spittle_tpu.models.sensevoice.model import (
+    CONFIGS,
+    SenseVoiceConfig,
+    ctc_greedy_decode,
+    encode,
+    init_params,
+    lfr_stack,
+    prompt_ids_for,
+)
+from .base import Segment, TranscribeParams, TranscriptionResult
+from .parakeet_engine import SentencePieceTable
+
+
+class SenseVoiceEngine:
+    def __init__(self, dtype=jnp.float32, use_itn: bool = True):
+        self.dtype = dtype
+        self.use_itn = use_itn
+        self.cfg: Optional[SenseVoiceConfig] = None
+        self.params = None
+        self.table: Optional[SentencePieceTable] = None
+
+    def load_model(self, model_path: str) -> None:
+        if model_path.startswith("random:"):
+            self.cfg = CONFIGS[model_path.split(":", 1)[1]]
+            self.params = init_params(self.cfg, jax.random.PRNGKey(0), self.dtype)
+            self.table = SentencePieceTable.test_table(self.cfg.vocab_size)
+            return
+        self.cfg = CONFIGS["sense-voice-small"]
+        st = os.path.join(model_path, "model.safetensors")
+        if not os.path.exists(st):
+            raise FileNotFoundError(f"{model_path}: expected model.safetensors")
+        from safetensors.numpy import load_file
+
+        self.params = jax.tree.map(jnp.asarray, dict(load_file(st)))
+        self.table = SentencePieceTable.load(model_path)
+
+    def unload_model(self) -> None:
+        self.cfg = self.params = self.table = None
+
+    @property
+    def is_loaded(self) -> bool:
+        return self.params is not None
+
+    def transcribe_samples(
+        self, samples: np.ndarray, params: Optional[TranscribeParams] = None
+    ) -> TranscriptionResult:
+        return self.transcribe_batch([samples], params)[0]
+
+    def transcribe_batch(
+        self,
+        batch: Sequence[np.ndarray],
+        params: Optional[TranscribeParams] = None,
+    ) -> List[TranscriptionResult]:
+        assert self.is_loaded
+        params = params or TranscribeParams()
+        language = params.language or "auto"
+        audios = [np.asarray(a, np.float32) for a in batch]
+        max_len = max(max(len(a) for a in audios), HOP * 16)
+        padded = np.zeros((len(audios), max_len), np.float32)
+        for i, a in enumerate(audios):
+            padded[i, : len(a)] = a
+        mel = parakeet_features(jnp.asarray(padded), n_mels=self.cfg.n_mels)
+        feats = lfr_stack(mel, self.cfg.lfr_m, self.cfg.lfr_n)
+        pids = np.tile(
+            prompt_ids_for(self.cfg, language, self.use_itn), (len(audios), 1)
+        )
+        logits = np.asarray(
+            encode(self.params, feats, jnp.asarray(pids), self.cfg)
+        )
+        decoded = ctc_greedy_decode(logits, self.cfg.blank_id, self.cfg.n_prompt)
+        out = []
+        for i, ids in enumerate(decoded):
+            text = self.table.decode(ids)
+            dur = len(audios[i]) / 16000.0
+            out.append(
+                TranscriptionResult(
+                    text=text,
+                    segments=[Segment(0.0, dur, text)] if text else [],
+                    language=None if language == "auto" else language,
+                )
+            )
+        return out

@@ -1,0 +1,202 @@
+"""Headless UI state: tray, overlay, audio feedback, platform helpers.
+
+The reference renders these natively (tray.rs, overlay.rs NSPanel/
+gtk-layer-shell, audio_feedback.rs rodio, helpers/clamshell.rs,
+apple_intelligence.rs). The framework keeps the state machines and
+behavior here; a desktop shell subscribes to the event bus and renders.
+
+- TrayController: Idle/Recording/Transcribing icon state + localized menu
+  labels (tray i18n data mirrored from the reference locale files).
+- OverlayController: show/hide with recording/transcribing/processing
+  states and Top/Bottom/None positioning (overlay.rs state surface).
+- AudioFeedback: start/stop sound resolution per SoundTheme incl. custom
+  WAVs in app data (audio_feedback.rs path logic); playback is a hook.
+- clamshell/is_laptop probes (macOS ioreg/pmset; Linux /sys fallbacks).
+- Apple Intelligence provider stub (available only on macOS arm64; the
+  reference itself stubs it elsewhere, pipeline.rs:852-856).
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import os
+import subprocess
+import sys
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from spittle_tpu.config.settings import AppSettings, SoundTheme
+from spittle_tpu.events import EventBus, HIDE_OVERLAY, SHOW_OVERLAY
+
+_I18N = os.path.join(
+    os.path.dirname(__file__), "..", "config", "data", "tray_i18n.json"
+)
+
+
+class TrayIconState(enum.Enum):
+    IDLE = "idle"
+    RECORDING = "recording"
+    TRANSCRIBING = "transcribing"
+
+
+def get_language_code(locale: str) -> str:
+    for sep in ("-", "_"):
+        if sep in locale:
+            return locale.split(sep)[0]
+    return locale
+
+
+def get_tray_translations(locale: Optional[str] = None) -> Dict[str, str]:
+    """Localized tray labels; zh-TW preserved, otherwise language-code
+    lookup with English fallback (tray_i18n.rs:22-36)."""
+    with open(os.path.normpath(_I18N), encoding="utf-8") as f:
+        table = json.load(f)
+    if locale and locale in table:
+        return table[locale]
+    lang = get_language_code(locale) if locale else "en"
+    return table.get(lang, table["en"])
+
+
+class TrayController:
+    """Tray state + menu model (tray.rs surface, render-agnostic)."""
+
+    def __init__(self, events: EventBus, locale: Optional[str] = None):
+        self.events = events
+        self.state = TrayIconState.IDLE
+        self.strings = get_tray_translations(locale)
+        self.last_transcript: str = ""
+
+    def set_state(self, state: TrayIconState) -> None:
+        self.state = state
+        self.events.emit("tray-state-changed", state.value)
+
+    def menu_items(self):
+        s = self.strings
+        return [
+            ("settings", s["settings"]),
+            ("check_updates", s["checkUpdates"]),
+            ("copy_last_transcript", s["copyLastTranscript"]),
+            ("unload_model", s["unloadModel"]),
+            ("cancel", s["cancel"]),
+            ("quit", s["quit"]),
+        ]
+
+
+class OverlayController:
+    """Recording-pill overlay states (overlay.rs: recording/transcribing/
+    processing; positions Top/Bottom/None)."""
+
+    def __init__(self, events: EventBus, settings_provider: Callable[[], AppSettings]):
+        self.events = events
+        self._settings = settings_provider
+        self.visible = False
+        self.state = "recording"
+        events.listen(SHOW_OVERLAY, self._on_show)
+        events.listen(HIDE_OVERLAY, self._on_hide)
+
+    @property
+    def position(self) -> str:
+        return self._settings().overlay_position.value
+
+    def _on_show(self, payload) -> None:
+        if self.position == "none":
+            return
+        self.visible = True
+        if isinstance(payload, dict) and "state" in payload:
+            self.state = payload["state"]
+
+    def _on_hide(self, _payload) -> None:
+        self.visible = False
+
+
+class SoundType(enum.Enum):
+    START = "start"
+    STOP = "stop"
+
+
+class AudioFeedback:
+    """Sound path resolution + volume; playback via injectable player."""
+
+    def __init__(
+        self,
+        settings_provider: Callable[[], AppSettings],
+        data_dir: str,
+        resources_dir: Optional[str] = None,
+        player: Optional[Callable[[str, float], None]] = None,
+    ):
+        self._settings = settings_provider
+        self.data_dir = data_dir
+        self.resources_dir = resources_dir or os.path.join(data_dir, "resources")
+        self._player = player
+        self.played = []  # observability for tests/shell
+
+    def sound_path(self, sound: SoundType) -> str:
+        s = self._settings()
+        theme = s.sound_theme
+        if theme is SoundTheme.CUSTOM:
+            return os.path.join(
+                self.data_dir, "custom_sounds", f"custom_{sound.value}.wav"
+            )
+        rel = theme.start_path() if sound is SoundType.START else theme.stop_path()
+        return os.path.join(self.resources_dir, os.path.basename(rel))
+
+    def play(self, sound: SoundType) -> None:
+        s = self._settings()
+        if not s.audio_feedback:
+            return
+        path = self.sound_path(sound)
+        self.played.append(path)
+        if self._player is not None:
+            self._player(path, s.audio_feedback_volume)
+
+
+# -- platform helpers (helpers/clamshell.rs) --------------------------------
+
+
+def is_clamshell(run=subprocess.run) -> bool:
+    """Lid-closed detection: macOS ioreg AppleClamshellState; Linux
+    /proc/acpi/button/lid state; False elsewhere."""
+    if sys.platform == "darwin":
+        try:
+            out = run(["ioreg", "-r", "-k", "AppleClamshellState", "-d", "4"],
+                      capture_output=True, timeout=3)
+            return b'"AppleClamshellState" = Yes' in out.stdout
+        except Exception:
+            return False
+    if sys.platform == "linux":
+        base = "/proc/acpi/button/lid"
+        try:
+            for lid in os.listdir(base):
+                with open(os.path.join(base, lid, "state")) as f:
+                    if "closed" in f.read():
+                        return True
+        except OSError:
+            pass
+    return False
+
+
+def is_laptop(run=subprocess.run) -> bool:
+    if sys.platform == "darwin":
+        try:
+            out = run(["pmset", "-g", "batt"], capture_output=True, timeout=3)
+            return b"Battery" in out.stdout or b"InternalBattery" in out.stdout
+        except Exception:
+            return False
+    return os.path.exists("/sys/class/power_supply/BAT0")
+
+
+# -- Apple Intelligence provider stub (apple_intelligence.rs) ----------------
+
+
+def check_apple_intelligence_availability() -> bool:
+    """True only on macOS arm64 with the FoundationModels runtime; this
+    build targets TPU servers, so it reports unavailable (the reference
+    stubs identically off-macOS)."""
+    return False
+
+
+def apple_intelligence_process_text(prompt: str, token_limit: int = 0):
+    raise RuntimeError(
+        "Apple Intelligence is a macOS-arm64-only provider (FFI stub)"
+    )

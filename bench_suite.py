@@ -1,0 +1,162 @@
+"""Extended benchmark suite: the five BASELINE.json configs on TPU.
+
+Prints one JSON line per config (bench.py stays the single-line headline
+for the driver). Random weights — throughput/latency depend on
+architecture + shapes, not weight values.
+
+  1. whisper tiny.en greedy, one 30 s window
+  2. Silero VAD + resample chunking over 10-minute audio
+  3. whisper small, beam-5 + language detect (+ word-timestamp pass)
+  4. parakeet FastConformer-TDT greedy
+  5. whisper large-v3-turbo, batch-32 streaming latency (end-of-speech -> text)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SPITTLE_JAX_CACHE", "/tmp/spittle_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed(fn, n=5, warmup=1):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def report(name, seconds_audio, dt, extra=None):
+    line = {
+        "config": name,
+        "wall_s": round(dt, 4),
+        "rtfx": round(seconds_audio / dt, 1),
+    }
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def whisper_window_fn(cfg_name, batch, decode_tokens, beam=1):
+    from spittle_tpu.audio.mel import log_mel_spectrogram
+    from spittle_tpu.models.whisper.config import CONFIGS
+    from spittle_tpu.models.whisper.decode import DecodeOptions, greedy_decode
+    from spittle_tpu.models.whisper.beam import beam_decode
+    from spittle_tpu.models.whisper.model import encode, init_params
+
+    cfg = CONFIGS[cfg_name]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, 480000)), jnp.float32)
+    opts = DecodeOptions(
+        language=None if cfg.multilingual else None,
+        timestamps=True, max_tokens=decode_tokens,
+    )
+
+    def run():
+        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+        xa = encode(params, mel, cfg)
+        if beam > 1:
+            out = beam_decode(params, xa, cfg, opts, beam_size=beam)
+        else:
+            out = greedy_decode(params, xa, cfg, opts)
+        np.asarray(out["tokens"])
+
+    return run, cfg, params
+
+
+def main():
+    # 1. tiny.en greedy single 30 s window
+    run, *_ = whisper_window_fn("tiny.en", 1, 64)
+    dt = timed(run)
+    report("whisper-tiny.en greedy 1x30s", 30.0, dt)
+
+    # 2. VAD + resample chunking on 10-minute audio
+    from spittle_tpu.audio.resample import resample
+    from spittle_tpu.audio.vad.silero import (
+        init_state, load_silero_params, silero_scan_frames)
+    from spittle_tpu.audio.vad.smoothed import smooth_probs
+
+    vad_params = load_silero_params()
+    rng = np.random.default_rng(1)
+    ten_min_48k = jnp.asarray(
+        rng.standard_normal(48000 * 600) * 0.1, jnp.float32
+    )
+
+    def run_vad():
+        a16 = resample(ten_min_48k, 48000, 16000)
+        frames = (a16.shape[-1] // 480) * 480
+        probs = silero_scan_frames(vad_params, a16[:frames][None])
+        mask = smooth_probs(probs)
+        np.asarray(mask)
+
+    dt = timed(run_vad, n=3)
+    report("silero-vad + 48k->16k resample, 10-min audio", 600.0, dt)
+
+    # 3. whisper small beam-5 + language detect
+    from spittle_tpu.models.whisper.decode import detect_language
+    from spittle_tpu.audio.mel import log_mel_spectrogram
+    from spittle_tpu.models.whisper.model import encode
+
+    run_b, cfg_s, params_s = whisper_window_fn("small", 4, 48, beam=5)
+    rng = np.random.default_rng(2)
+    audio4 = jnp.asarray(rng.standard_normal((4, 480000)), jnp.float32)
+
+    def run_small():
+        mel = log_mel_spectrogram(audio4, n_mels=cfg_s.n_mels)
+        xa = encode(params_s, mel, cfg_s)
+        np.asarray(detect_language(params_s, xa, cfg_s))
+        run_b()
+
+    dt = timed(run_small, n=3)
+    report("whisper-small beam5 + langdetect, batch 4x30s", 120.0, dt)
+
+    # 4. parakeet TDT
+    from spittle_tpu.models.parakeet.config import CONFIGS as PK
+    from spittle_tpu.models.parakeet.decode import tdt_greedy_decode
+    from spittle_tpu.models.parakeet.features import parakeet_features
+    from spittle_tpu.models.parakeet.model import (
+        encode as pk_encode, init_params as pk_init)
+
+    pk_cfg = PK["parakeet-tdt-0.6b-v2"]
+    pk_params = pk_init(pk_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    audio_pk = jnp.asarray(
+        np.random.default_rng(3).standard_normal((8, 16000 * 30)), jnp.float32
+    )
+
+    def run_pk():
+        feats = parakeet_features(audio_pk, n_mels=pk_cfg.n_mels)
+        enc = pk_encode(pk_params, feats, pk_cfg)
+        lens = jnp.full((8,), enc.shape[1], jnp.int32)
+        toks, counts, _ = tdt_greedy_decode(pk_params, enc, lens, pk_cfg,
+                                            max_tokens=256)
+        np.asarray(counts)
+
+    dt = timed(run_pk, n=3)
+    report("parakeet-tdt-0.6b greedy, batch 8x30s", 240.0, dt)
+
+    # 5. large-v3-turbo batch-32 streaming latency
+    run32, *_ = whisper_window_fn("large-v3-turbo", 32, 32)
+    dt = timed(run32, n=5)
+    report(
+        "whisper-large-v3-turbo batch 32x30s (end-of-speech->text)",
+        32 * 30.0, dt,
+        extra={"p50_latency_ms": round(dt * 1000, 1)},
+    )
+
+
+if __name__ == "__main__":
+    main()

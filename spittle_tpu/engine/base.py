@@ -25,6 +25,14 @@ class TranscribeParams:
     translate: bool = False
     initial_prompt: Optional[str] = None
     beam_size: int = 1
+    word_timestamps: bool = False  # cross-attention DTW word timings
+
+
+@dataclasses.dataclass
+class Word:
+    word: str
+    start: float
+    end: float
 
 
 @dataclasses.dataclass
@@ -39,6 +47,7 @@ class TranscriptionResult:
     text: str
     segments: List[Segment] = dataclasses.field(default_factory=list)
     language: Optional[str] = None
+    words: List[Word] = dataclasses.field(default_factory=list)
 
 
 class TranscriptionEngine(Protocol):

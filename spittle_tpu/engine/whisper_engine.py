@@ -158,6 +158,7 @@ class WhisperEngine:
         content_frames = [max(1, len(a) // HOP_LENGTH) for a in audios]
         seg_tokens: List[List[int]] = [[] for _ in range(n)]
         segments: List[List[Segment]] = [[] for _ in range(n)]
+        words: List[list] = [[] for _ in range(n)]
         languages: List[Optional[str]] = [params.language] * n
 
         lang_tokens_arr: Optional[np.ndarray] = None
@@ -207,6 +208,22 @@ class WhisperEngine:
                 window_frames = min(
                     WINDOW_FRAMES, content_frames[i] - seeks[i]
                 )
+                if params.word_timestamps and gen:
+                    from spittle_tpu.models.whisper.alignment import (
+                        word_timestamps as _wt,
+                    )
+                    from .base import Word
+
+                    timings = _wt(
+                        self.params, gen, xa[bi : bi + 1],
+                        n_frames=window_frames // 2,  # encoder positions
+                        cfg=cfg, tokenizer=tok,
+                        prefix=tuple(int(t) for t in tokens[bi, :sb]),
+                    )
+                    words[i].extend(
+                        Word(w.word, w.start + win_offset, w.end + win_offset)
+                        for w in timings
+                    )
                 segments[i].extend(segs)
                 seg_tokens[i].extend(gen)
                 seeks[i] += advance if advance > 0 else window_frames
@@ -217,7 +234,8 @@ class WhisperEngine:
             text = tok.decode(seg_tokens[i]).strip()
             results.append(
                 TranscriptionResult(
-                    text=text, segments=segments[i], language=languages[i]
+                    text=text, segments=segments[i], language=languages[i],
+                    words=words[i],
                 )
             )
         return results

@@ -89,3 +89,13 @@ def test_beam_path_through_engine(engine):
         make_audio(1.0, 3), TranscribeParams(language="en", beam_size=2)
     )
     assert isinstance(res.text, str)
+
+
+def test_word_timestamps_through_engine(engine):
+    res = engine.transcribe_samples(
+        make_audio(2.0, 7),
+        TranscribeParams(language="en", word_timestamps=True),
+    )
+    assert isinstance(res.words, list)
+    for w in res.words:
+        assert w.end >= w.start >= 0

@@ -235,14 +235,17 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig):
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32):
-    """Static self-attention cache: [L, 2, B, n_text_ctx, H, Dh]."""
+    """Static self-attention cache: [L, 2, B, H, n_text_ctx, Dh].
+
+    Head-major layout so decode steps read K/V in their attention layout
+    with no per-step transposes."""
     return jnp.zeros(
         (
             cfg.n_text_layer,
             2,
             batch,
-            cfg.n_text_ctx,
             cfg.n_text_head,
+            cfg.n_text_ctx,
             cfg.n_text_state // cfg.n_text_head,
         ),
         dtype,
@@ -252,7 +255,7 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32):
 def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head):
     """One token through all decoder layers. x: [B, 1, D]."""
     scale = (x.shape[-1] // n_head) ** -0.25
-    n_ctx = kv_cache.shape[3]
+    n_ctx = kv_cache.shape[4]
 
     def body(carry, inputs):
         h, = carry
@@ -260,16 +263,14 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head):
         # self-attention with cache
         xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
         q = _split_heads(xn @ blk["wq"] + blk["bq"], n_head) * scale
-        k_new = _split_heads(xn @ blk["wk"], n_head) * scale
+        k_new = _split_heads(xn @ blk["wk"], n_head) * scale  # [B, H, 1, Dh]
         v_new = _split_heads(xn @ blk["wv"] + blk["bv"], n_head)
-        # cache layout [2, B, n_ctx, H, Dh]; write at pos
+        # cache layout [2, B, H, n_ctx, Dh]; write at pos (no transposes)
         cache_l = jax.lax.dynamic_update_slice(
-            cache_l,
-            jnp.stack([k_new.transpose(0, 2, 1, 3), v_new.transpose(0, 2, 1, 3)]),
-            (0, 0, pos, 0, 0),
+            cache_l, jnp.stack([k_new, v_new]), (0, 0, 0, pos, 0)
         )
-        k_all = cache_l[0].transpose(0, 2, 1, 3)  # [B, H, n_ctx, Dh]
-        v_all = cache_l[1].transpose(0, 2, 1, 3)
+        k_all = cache_l[0]  # [B, H, n_ctx, Dh]
+        v_all = cache_l[1]
         mask = (jnp.arange(n_ctx) <= pos)[None, None, None, :]
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k_all, preferred_element_type=jnp.float32

@@ -21,6 +21,45 @@ from spittle_tpu.pipeline import PipelineHooks, TranscriptionPipeline, TextOutpu
 from .services import AppServices
 
 
+class StreamingSession:
+    """Segment-on-silence session: transcribes emitted segments in order on
+    a worker thread and pastes them live (revives the reference's dormant
+    streaming mode; recorder.rs:306-313, pipeline.rs pasted_segments)."""
+
+    def __init__(self, services: AppServices, output):
+        import queue as _q
+
+        self.services = services
+        self.output = output
+        self.texts = []  # pasted segments incl. trailing space
+        self._q: "_q.Queue" = _q.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, samples) -> None:
+        self._q.put(samples)
+
+    def _run(self) -> None:
+        while True:
+            samples = self._q.get()
+            if samples is None:
+                return
+            try:
+                text = self.services.transcription.transcribe(samples)
+            except Exception:
+                text = ""
+            if text:
+                self.output.paste(text)
+                self.texts.append(text + " ")
+            self._q.task_done()
+
+    def finish(self):
+        """Drain pending segments; returns the pasted segment texts."""
+        self._q.join()
+        self._q.put(None)
+        return list(self.texts)
+
+
 class TranscribeAction:
     def __init__(self, post_process: bool):
         self.post_process = post_process
@@ -28,6 +67,10 @@ class TranscribeAction:
     def start(self, app: "ActionContext", binding_id: str) -> None:
         services = app.services
         settings = services.get_settings()
+        if settings.audio_segment_size_seconds > 0:
+            app.streaming_session = StreamingSession(services, app.output)
+        else:
+            app.streaming_session = None
         # Background model load (actions.rs:33-35)
         model_id = settings.selected_model
         if model_id:
@@ -49,15 +92,18 @@ class TranscribeAction:
         services = app.services
         samples = services.audio.stop_recording(binding_id)
         services.events.emit(HIDE_OVERLAY, None)
-        if samples is None or not len(samples):
+        session = getattr(app, "streaming_session", None)
+        app.streaming_session = None
+        pasted_segments = session.finish() if session is not None else []
+        if (samples is None or not len(samples)) and not pasted_segments:
             self._clear_toggle(services, binding_id)
             return
 
         def run():
             settings = services.get_settings()
             pipeline = TranscriptionPipeline(
-                samples=samples,
-                pasted_segments=[],
+                samples=samples if samples is not None else np.zeros(0, np.float32),
+                pasted_segments=pasted_segments,
                 settings=settings,
                 post_process=self.post_process,
                 binding_id=binding_id,
@@ -115,12 +161,23 @@ class ActionContext:
         self.services = services
         self.output = output
         self._hooks_factory = hooks_factory
+        self.streaming_session: Optional[StreamingSession] = None
+        # Route recorder segment emissions into the active session.
+        services.audio._on_segment = self._on_segment
+        services.audio._segment_size = (
+            lambda: services.get_settings().audio_segment_size_seconds
+        )
         self.action_map: Dict[str, object] = {
             "transcribe": TranscribeAction(post_process=False),
             "transcribe_with_post_process": TranscribeAction(post_process=True),
             "cancel": CancelAction(),
             "test": TestAction(),
         }
+
+    def _on_segment(self, samples: np.ndarray) -> None:
+        session = self.streaming_session
+        if session is not None:
+            session.submit(samples)
 
     def pipeline_hooks(self, samples: np.ndarray) -> PipelineHooks:
         if self._hooks_factory is not None:

@@ -55,13 +55,21 @@ class AudioRecordingManager:
         always_on: bool = False,
         mute_while_recording: bool = False,
         on_health_cancel: Optional[Callable[[], None]] = None,
+        segment_size_getter: Optional[Callable[[], float]] = None,
+        on_segment: Optional[Callable[[np.ndarray], None]] = None,
     ):
+        """segment_size_getter/on_segment revive the reference's dormant
+        segment-on-silence mode (recorder.rs:306-313, setting
+        audio_segment_size_seconds): when the size is > 0, accumulated
+        speech streams out in fixed-size segments during recording."""
         self.events = events or EventBus()
         self._source_factory = source_factory
         self._vad_factory = vad_factory
         self._always_on = always_on
         self._mute_while_recording = mute_while_recording
         self._on_health_cancel = on_health_cancel
+        self._segment_size = segment_size_getter or (lambda: 0.0)
+        self._on_segment = on_segment
         self._pipeline = RecordingPipeline()
         self._recorder: Optional[AudioRecorder] = None
         self._rec_lock = threading.Lock()
@@ -86,6 +94,11 @@ class AudioRecordingManager:
             if self._vad_factory is not None:
                 rec = rec.with_vad(self._vad_factory())
             rec = rec.with_level_callback(self._on_level)
+            seg_seconds = self._segment_size()
+            if seg_seconds and seg_seconds > 0 and self._on_segment:
+                rec = rec.with_segment_emission(
+                    int(seg_seconds * TARGET_SAMPLE_RATE), self._on_segment
+                )
             rec.open()
             self._recorder = rec
 

@@ -179,3 +179,38 @@ class TestBindingSurfaceCompleteness:
             if not hasattr(Commands, snake):
                 missing.append(snake)
         assert not missing, missing
+
+
+class TestSegmentStreaming:
+    def test_segment_on_silence_streams_and_finalizes(self, tmp_path):
+        import numpy as np
+        from spittle_tpu.app.actions import ActionContext
+        from spittle_tpu.app.services import AppServices
+        from spittle_tpu.audio.recorder import QueueSource
+        from spittle_tpu.pipeline import BufferTextOutput
+
+        src = QueueSource(16000)
+        services = AppServices(
+            str(tmp_path), source_factory=lambda: src, use_mock_engine=True
+        )
+        services.update_settings(audio_segment_size_seconds=0.5)
+        services.transcription.load_model("m", "/fake", "whisper")
+        services.transcription._engine.canned_text = "seg"
+        out = BufferTextOutput()
+        actions = ActionContext(services, out)
+
+        actions.handle_shortcut_event("transcribe", "x", True)
+        # 2 s of audio -> at least two 0.5 s segments stream out live
+        src.push(np.ones(32000, np.float32) * 0.1)
+        deadline = time.time() + 5
+        while out.buffer.count("seg") < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert out.buffer.count("seg") >= 2  # live segment pastes
+        actions.handle_shortcut_event("transcribe", "x", False)
+        deadline = time.time() + 5
+        while services.audio.is_recording() and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        # final remainder also pasted; buffer ends with pastes only
+        assert out.buffer.count("seg") >= 2
+        services.shutdown()

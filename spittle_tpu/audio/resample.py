@@ -86,18 +86,28 @@ def resampled_length(n: int, in_hz: int, out_hz: int) -> int:
 def _resample_blocks(
     x: jnp.ndarray, in_hz: int, out_hz: int, n_in: int
 ) -> jnp.ndarray:
+    """Polyphase resampling as a strided conv: every output block of L
+    samples is one correlation of an F-long input window (stride M) with
+    the [F, L] per-phase filter bank — maps to the MXU with no index
+    tensors, so arbitrarily long audio is fine."""
     L, M, dmin, F, weights = _block_plan(in_hz, out_hz)
     out_len = resampled_length(n_in, in_hz, out_hz)
     num_blocks = -(-out_len // L)
     # Zero-extension semantics (scipy 'constant' padding).
     left = max(0, -dmin)
     right = max(0, (num_blocks - 1) * M + dmin + F - n_in + left)
-    pad = [(0, 0)] * (x.ndim - 1) + [(left, right)]
-    xp = jnp.pad(x.astype(jnp.float32), pad)
-    idx = (np.arange(num_blocks)[:, None] * M + dmin + left) + np.arange(F)[None, :]
-    blocks = xp[..., idx]  # [..., num_blocks, F]
-    out = blocks @ jnp.asarray(weights)  # MXU: [..., num_blocks, L]
-    out = out.reshape(*x.shape[:-1], num_blocks * L)
+    lead_shape = x.shape[:-1]
+    xp = jnp.pad(
+        x.astype(jnp.float32).reshape(-1, 1, x.shape[-1]),
+        ((0, 0), (0, 0), (left, right)),
+    )
+    kernel = jnp.asarray(weights.T)[:, None, :]  # [L, 1, F]
+    out = jax.lax.conv_general_dilated(
+        xp, kernel, window_strides=(M,), padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # [N, L, num_blocks']
+    out = out[:, :, :num_blocks]
+    out = out.transpose(0, 2, 1).reshape(*lead_shape, num_blocks * L)
     return out[..., :out_len]
 
 

@@ -26,6 +26,10 @@ class TranscribeParams:
     initial_prompt: Optional[str] = None
     beam_size: int = 1
     word_timestamps: bool = False  # cross-attention DTW word timings
+    # whisper.cpp no_context=false equivalent: condition later windows on
+    # the previous window's text (applied on the single-utterance path;
+    # batched rounds keep the shared initial prompt only).
+    condition_on_previous_text: bool = True
 
 
 @dataclasses.dataclass

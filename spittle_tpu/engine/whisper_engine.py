@@ -146,11 +146,13 @@ class WhisperEngine:
         cfg = self.cfg
         tok = self.tokenizer
 
+        max_prompt = cfg.n_text_ctx // 2 - 1
         prompt_tokens: Tuple[int, ...] = ()
         if params.initial_prompt:
             # whisper.cpp truncates the prompt to n_text_ctx/2 - 1
             ids = tok.encode(" " + params.initial_prompt.strip())
-            prompt_tokens = tuple(ids[-(cfg.n_text_ctx // 2 - 1):])
+            prompt_tokens = tuple(ids[-max_prompt:])
+        base_prompt = prompt_tokens
 
         n = len(batch)
         audios = [np.asarray(a, np.float32) for a in batch]
@@ -227,6 +229,19 @@ class WhisperEngine:
                 segments[i].extend(segs)
                 seg_tokens[i].extend(gen)
                 seeks[i] += advance if advance > 0 else window_frames
+            # Prompt carry (whisper.cpp no_context=false): single-utterance
+            # sequential windows condition on the text decoded so far.
+            if (
+                n == 1
+                and params.condition_on_previous_text
+                and seg_tokens[0]
+            ):
+                text_tokens = [
+                    t for t in seg_tokens[0] if t < cfg.timestamp_begin
+                ]
+                prompt_tokens = tuple(
+                    (list(base_prompt) + text_tokens)[-max_prompt:]
+                )
             round_idx += 1
 
         results = []

@@ -78,12 +78,29 @@ def whisper_window_fn(cfg_name, batch, decode_tokens, beam=1):
     return run, cfg, params
 
 
+def guard(fn):
+    try:
+        fn()
+    except Exception as e:
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:300]}),
+              flush=True)
+
+
 def main():
+    guard(_config1)
+    guard(_config2)
+    guard(_config3)
+    guard(_config4)
+    guard(_config5)
+
+
+def _config1():
     # 1. tiny.en greedy single 30 s window
     run, *_ = whisper_window_fn("tiny.en", 1, 64)
     dt = timed(run)
     report("whisper-tiny.en greedy 1x30s", 30.0, dt)
 
+def _config2():
     # 2. VAD + resample chunking on 10-minute audio
     from spittle_tpu.audio.resample import resample
     from spittle_tpu.audio.vad.silero import (
@@ -106,6 +123,7 @@ def main():
     dt = timed(run_vad, n=3)
     report("silero-vad + 48k->16k resample, 10-min audio", 600.0, dt)
 
+def _config3():
     # 3. whisper small beam-5 + language detect
     from spittle_tpu.models.whisper.decode import detect_language
     from spittle_tpu.audio.mel import log_mel_spectrogram
@@ -124,6 +142,7 @@ def main():
     dt = timed(run_small, n=3)
     report("whisper-small beam5 + langdetect, batch 4x30s", 120.0, dt)
 
+def _config4():
     # 4. parakeet TDT
     from spittle_tpu.models.parakeet.config import CONFIGS as PK
     from spittle_tpu.models.parakeet.decode import tdt_greedy_decode
@@ -148,6 +167,7 @@ def main():
     dt = timed(run_pk, n=3)
     report("parakeet-tdt-0.6b greedy, batch 8x30s", 240.0, dt)
 
+def _config5():
     # 5. large-v3-turbo batch-32 streaming latency
     run32, *_ = whisper_window_fn("large-v3-turbo", 32, 32)
     dt = timed(run32, n=5)

@@ -27,23 +27,41 @@ def cross_entropy_loss(
     targets: jnp.ndarray,  # [B, T] next-token labels
     mask: jnp.ndarray,  # [B, T] 1.0 where the label counts
     cfg: WhisperConfig,
+    seq_sharding=None,  # NamedSharding for encoder activations (sp)
 ) -> jnp.ndarray:
     xa = encode(params, mel, cfg)
+    if seq_sharding is not None:
+        # Sequence parallelism: encoder output sharded along time; GSPMD
+        # inserts the gathers the decoder's cross-attention needs.
+        xa = jax.lax.with_sharding_constraint(xa, seq_sharding)
     logits = decoder_forward(params, tokens, xa, cfg)  # [B, T, V]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def make_train_step(cfg: WhisperConfig, learning_rate: float = 1e-5):
+def make_train_step(
+    cfg: WhisperConfig,
+    learning_rate: float = 1e-5,
+    sequence_parallel_mesh=None,
+):
     """Returns (init_opt_state, train_step).
 
     train_step(params, opt_state, batch) -> (params, opt_state, loss) where
     batch = dict(mel, tokens, targets, mask). Jit this under a Mesh with
     sharded params/batch; XLA inserts the dp gradient psum and tp
-    collectives from the sharding annotations.
+    collectives from the sharding annotations. Passing a mesh as
+    sequence_parallel_mesh additionally shards encoder activations along
+    the time axis over 'model' (sp).
     """
     tx = optax.adamw(learning_rate, weight_decay=0.01)
+    seq_sharding = None
+    if sequence_parallel_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        seq_sharding = NamedSharding(
+            sequence_parallel_mesh, P("data", "model", None)
+        )
 
     def init_opt_state(params):
         return tx.init(params)
@@ -52,7 +70,7 @@ def make_train_step(cfg: WhisperConfig, learning_rate: float = 1e-5):
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(cross_entropy_loss)(
             params, batch["mel"], batch["tokens"], batch["targets"],
-            batch["mask"], cfg,
+            batch["mask"], cfg, seq_sharding,
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

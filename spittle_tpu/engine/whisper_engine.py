@@ -51,13 +51,17 @@ FRAMES_PER_SECOND = 100
 class WhisperEngine:
     """TranscriptionEngine backed by the JAX Whisper stack."""
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, suppress_non_speech: bool = False):
+        """suppress_non_speech mirrors whisper.cpp's
+        suppress_non_speech_tokens (default false there too)."""
         self.dtype = dtype
+        self.suppress_non_speech = suppress_non_speech
         self.cfg: Optional[WhisperConfig] = None
         self.params = None
         self.tokenizer: Optional[WhisperTokenizer] = None
         self.mel_filters: Optional[jnp.ndarray] = None
         self._space_token: Optional[int] = None
+        self._non_speech: Optional[Tuple[int, ...]] = None
 
     # -- lifecycle -------------------------------------------------------
 
@@ -117,11 +121,19 @@ class WhisperEngine:
     def _decode_options(
         self, params: TranscribeParams, timestamps: bool = True
     ) -> DecodeOptions:
+        suppress: Tuple[int, ...] = ()
+        if self.suppress_non_speech and self.tokenizer is not None:
+            from spittle_tpu.models.whisper.tokenizer import non_speech_tokens
+
+            if self._non_speech is None:
+                self._non_speech = non_speech_tokens(self.tokenizer)
+            suppress = self._non_speech
         return DecodeOptions(
             task="translate" if params.translate else "transcribe",
             language=params.language,
             timestamps=timestamps,
             space_token=self._space_token,
+            suppress_tokens=suppress,
         )
 
     def transcribe_samples(

@@ -209,6 +209,26 @@ def load_tokenizer(cfg: WhisperConfig, model_dir: str) -> WhisperTokenizer:
     raise FileNotFoundError(f"no tokenizer vocab found in {model_dir}")
 
 
+def non_speech_tokens(tokenizer: WhisperTokenizer) -> Tuple[int, ...]:
+    """Token ids suppressed by suppress_non_speech_tokens (the OpenAI /
+    whisper.cpp standard list): bracket/markup symbols and music notes,
+    with and without a leading space, plus lone dash/quote variants."""
+    symbols = list("\"#()*+/:;<=>@[\\]^_`{|}~「」『』") + (
+        "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪"
+    ).split()
+    miscellaneous = set("♩♪♫♬♭♮♯")
+    result = set()
+    # -1 sentinel behavior: the ids of " -" and " '" lead the list upstream.
+    for tok in [tokenizer.encode(" -"), tokenizer.encode(" '")]:
+        if len(tok) == 1:
+            result.add(tok[0])
+    for symbol in symbols + list(miscellaneous):
+        for t in [tokenizer.encode(symbol), tokenizer.encode(" " + symbol)]:
+            if len(t) == 1 or (symbol in miscellaneous and t):
+                result.add(t[0])
+    return tuple(sorted(result))
+
+
 def make_test_vocab(n: int = 300) -> Dict[bytes, int]:
     """Tiny deterministic vocabulary for unit tests: all single bytes plus a
     few common merges. Token ids are NOT Whisper ids; tests only."""

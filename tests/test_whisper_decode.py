@@ -141,3 +141,19 @@ class TestTokenizer:
         assert self.tok.lang_token("en") == self.cfg.lang_begin
         assert self.tok.lang_token("zh") == self.cfg.lang_begin + 1
         assert self.tok.lang_code(self.cfg.lang_begin + 2) == "de"
+
+
+def test_non_speech_token_list():
+    from spittle_tpu.models.whisper.tokenizer import non_speech_tokens
+
+    cfg = WhisperConfig(
+        name="t", n_mels=80, n_audio_ctx=60, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_vocab=51865, n_text_ctx=32,
+        n_text_state=64, n_text_head=4, n_text_layer=2,
+    )
+    tok = WhisperTokenizer(cfg, make_test_vocab())
+    ids = non_speech_tokens(tok)
+    assert ids == tuple(sorted(ids))
+    # single-byte symbols resolve to their byte tokens in the test vocab
+    assert tok.vocab[b"#"] in ids
+    assert tok.vocab[b"("] in ids

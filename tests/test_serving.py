@@ -123,3 +123,50 @@ def test_under_mesh_data_sharding():
     results = [f.result(timeout=30) for f in futs]
     assert all(r.text == "1000.0" for r in results)
     srv.shutdown()
+
+
+class TestHttpFront:
+    def test_transcribe_and_health(self, tmp_path):
+        import http.client
+        import io
+        import wave
+
+        from spittle_tpu.parallel.http_server import TranscriptionHTTPServer
+
+        eng = RecordingEngine()
+        srv = BatchingTranscriptionServer(eng, max_wait_ms=5)
+        http_srv = TranscriptionHTTPServer(srv)
+        http_srv.start()
+        host, port = http_srv.address
+
+        # WAV body
+        from spittle_tpu.audio.wav import save_wav_file
+        wav_path = str(tmp_path / "a.wav")
+        save_wav_file(wav_path, np.ones(8000, np.float32) * 0.1)
+        body = open(wav_path, "rb").read()
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("POST", "/transcribe", body)
+        resp = conn.getresponse()
+        data = resp.read()
+        assert resp.status == 200, data
+        import json
+        payload = json.loads(data)
+        assert payload["text"] == "len=16000"
+
+        # raw f32 at 48 kHz with resampling
+        raw = (np.ones(48000, np.float32) * 0.1).tobytes()
+        conn.request("POST", "/transcribe", raw,
+                     headers={"X-Sample-Rate": "48000"})
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert payload["text"] == "len=16000"  # 1 s -> 16000-bucket
+
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        health = json.loads(resp.read())
+        assert health["ok"] and health["batches"]
+
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+        http_srv.stop()
+        srv.shutdown()

@@ -157,3 +157,30 @@ def test_non_speech_token_list():
     # single-byte symbols resolve to their byte tokens in the test vocab
     assert tok.vocab[b"#"] in ids
     assert tok.vocab[b"("] in ids
+
+
+def test_bpe_matches_tiktoken_engine():
+    """Our from-scratch BPE must agree with tiktoken's reference
+    byte-pair-merge over the same rank table (offline parity check)."""
+    import tiktoken
+
+    vocab = make_test_vocab()
+    enc = tiktoken.Encoding(
+        name="t",
+        pat_str=(r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+"""
+                 r"""| ?[^\s\w]+|\s+(?!\S)|\s+"""),
+        mergeable_ranks=vocab,
+        special_tokens={},
+    )
+    cfg = WhisperConfig(
+        name="t", n_mels=80, n_audio_ctx=60, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_vocab=51865, n_text_ctx=32,
+        n_text_state=64, n_text_head=4, n_text_layer=2,
+    )
+    tok = WhisperTokenizer(cfg, vocab)
+    for text in [
+        "hello world", " the theory of things", "Testing, 1 2 3!",
+        "the quick brown fox jumps over this and that",
+        "it is what it is for you and for them", "né unicode ☃ test",
+    ]:
+        assert tok.encode(text) == enc.encode(text), text

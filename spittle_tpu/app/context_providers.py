@@ -108,3 +108,30 @@ def update_mru(roots: List[str], workspace_root: str) -> List[str]:
     roots = [r for r in roots if r != workspace_root]
     roots.insert(0, workspace_root)
     return roots[:MRU_LIMIT]
+
+
+# -- context writers (the Cursor extension / terminal hook's role) ----------
+# The reference ships a VS Code/Cursor extension (extensions/cursor-context)
+# that writes workspaceRoots into the cache file this module reads. These
+# writers are the editor/terminal-side counterpart for environments where a
+# shell hook or editor plugin integrates directly with the framework.
+
+
+def write_cursor_context(workspace_roots: List[str], home: Optional[str] = None) -> str:
+    path = os.path.join(cache_dir(home), "cursor_context.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"workspaceRoots": list(workspace_roots)}, f)
+    os.replace(tmp, path)
+    return path
+
+
+def write_terminal_context(cwd: str, home: Optional[str] = None) -> str:
+    path = os.path.join(cache_dir(home), "terminal_context.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"cwd": cwd}, f)
+    os.replace(tmp, path)
+    return path

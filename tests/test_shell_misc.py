@@ -244,3 +244,21 @@ class TestCli:
         assert main(["vad", wav]) == 0
         assert main(["transcribe", wav, "--model", "random:unit-test",
                      "--language", "en"]) == 0
+
+
+def test_context_writers_roundtrip(tmp_path):
+    import os as _os
+    from spittle_tpu.app.context_providers import (
+        write_cursor_context, write_terminal_context,
+    )
+
+    _os.environ["XDG_CACHE_HOME"] = str(tmp_path / ".cache")
+    try:
+        ws = tmp_path / "proj"
+        ws.mkdir()
+        write_cursor_context([str(ws)], home=str(tmp_path))
+        assert get_cursor_workspace(str(tmp_path)) == str(ws)
+        write_terminal_context(str(ws), home=str(tmp_path))
+        assert get_terminal_context_cwd(str(tmp_path)) == str(ws)
+    finally:
+        del _os.environ["XDG_CACHE_HOME"]

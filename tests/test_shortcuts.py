@@ -1,0 +1,95 @@
+"""Shortcut registry: validation, fallback, capture mode."""
+
+import pytest
+
+from spittle_tpu.app.shortcuts import (
+    FrontendKeyEvent,
+    InMemoryBackend,
+    ShortcutRegistry,
+    validate_hotkey,
+)
+from spittle_tpu.config.settings import KeyboardImplementation
+from spittle_tpu.events import EventBus, HANDY_KEYS_EVENT
+
+
+def test_validate_hotkey():
+    assert validate_hotkey("ctrl+space")
+    assert validate_hotkey("option+shift+space")
+    assert validate_hotkey("escape")
+    assert validate_hotkey("f13")
+    assert not validate_hotkey("")
+    assert not validate_hotkey("bogus+x")
+    assert not validate_hotkey("ctrl+")
+
+
+def make_registry(fail_handy=False):
+    events = []
+    backends = {
+        KeyboardImplementation.HANDY_KEYS: InMemoryBackend(fail_register=fail_handy),
+        KeyboardImplementation.TAURI: InMemoryBackend(),
+    }
+    persisted = []
+    reg = ShortcutRegistry(
+        backends,
+        handler=lambda b, hk, p: events.append((b, hk, p)),
+        implementation=KeyboardImplementation.HANDY_KEYS,
+        persist_implementation=persisted.append,
+    )
+    return reg, backends, events, persisted
+
+
+def test_register_and_fire():
+    reg, backends, events, _ = make_registry()
+    assert reg.register_binding("transcribe", "ctrl+space")
+    backends[KeyboardImplementation.HANDY_KEYS].fire("ctrl+space", True)
+    backends[KeyboardImplementation.HANDY_KEYS].fire("ctrl+space", False)
+    assert events == [("transcribe", "ctrl+space", True),
+                      ("transcribe", "ctrl+space", False)]
+
+
+def test_rebind_unregisters_old():
+    reg, backends, events, _ = make_registry()
+    reg.register_binding("transcribe", "ctrl+space")
+    reg.register_binding("transcribe", "f13")
+    hk = backends[KeyboardImplementation.HANDY_KEYS]
+    assert "ctrl+space" not in hk.registered
+    assert "f13" in hk.registered
+
+
+def test_fallback_to_tauri_persisted():
+    reg, backends, events, persisted = make_registry(fail_handy=True)
+    assert reg.register_binding("transcribe", "ctrl+space")
+    assert reg.implementation is KeyboardImplementation.TAURI
+    assert persisted == [KeyboardImplementation.TAURI]
+    backends[KeyboardImplementation.TAURI].fire("ctrl+space", True)
+    assert events
+
+
+def test_invalid_hotkey_raises():
+    reg, *_ = make_registry()
+    with pytest.raises(ValueError):
+        reg.register_binding("transcribe", "not a hotkey!")
+
+
+def test_cancel_register_unregister():
+    reg, backends, *_ = make_registry()
+    assert reg.register_cancel()
+    assert "escape" in backends[KeyboardImplementation.HANDY_KEYS].registered
+    assert reg.unregister_cancel()
+    assert "escape" not in backends[KeyboardImplementation.HANDY_KEYS].registered
+    assert not reg.unregister_cancel()  # idempotent
+
+
+def test_key_capture_streams_events_and_swallows_actions():
+    reg, backends, events, _ = make_registry()
+    bus_events = []
+    reg.events.listen(HANDY_KEYS_EVENT, bus_events.append)
+    reg.register_binding("transcribe", "ctrl+space")
+    reg.start_key_capture()
+    backends[KeyboardImplementation.HANDY_KEYS].fire("ctrl+space", True)
+    assert events == []  # action routing suppressed during capture
+    reg.feed_captured_key("space", True, ["ctrl"])
+    assert bus_events and bus_events[0].key == "space"
+    reg.stop_key_capture()
+    backends[KeyboardImplementation.HANDY_KEYS].fire("ctrl+space", True)
+    assert events  # routing restored

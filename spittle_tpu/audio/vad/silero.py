@@ -204,6 +204,28 @@ def init_state(batch: int) -> jnp.ndarray:
     return jnp.zeros((2, 2, batch, LSTM_HIDDEN), jnp.float32)
 
 
+def _conv_features(params: Dict, audio: jnp.ndarray, strides) -> jnp.ndarray:
+    """Everything before the LSTM (frame-local): [N, frame] -> [N, T', 64]."""
+    x = audio[:, None, :]
+    x = jnp.pad(x, ((0, 0), (0, 0), (96, 96)), mode="reflect")
+    spec = _conv1d(x, params["stft_basis"], stride=64)
+    half = spec.shape[1] // 2
+    mag = jnp.sqrt(spec[:, :half] ** 2 + spec[:, half:] ** 2)
+    spect = jnp.log(mag * 1048576.0 + 1.0)
+    mean = jnp.mean(spect, axis=1, keepdims=True)
+    mean_pad = jnp.pad(mean, ((0, 0), (0, 0), (3, 3)), mode="reflect")
+    smoothed = _conv1d(mean_pad, params["norm_filter"])
+    norm = spect - jnp.mean(smoothed, axis=-1, keepdims=True)
+    h = jnp.concatenate([mag, norm], axis=1)
+    h = _sep_block(h, params["first"])
+    for betw, blk, stride in zip(params["between"][:3], params["blocks"], strides):
+        h = jax.nn.relu(_conv1d(h, betw["w"], betw["b"], stride=stride))
+        h = _sep_block(h, blk)
+    last = params["between"][3]
+    h = jax.nn.relu(_conv1d(h, last["w"], last["b"], stride=strides[3]))
+    return jnp.moveaxis(h, 1, 2)  # [N, T', 64]
+
+
 @functools.partial(jax.jit, static_argnames=("frame_samples",))
 def silero_scan_frames(
     params: Dict,
@@ -213,23 +235,41 @@ def silero_scan_frames(
 ) -> jnp.ndarray:
     """Per-frame speech probabilities for long audio, batched.
 
-    audio: [B, T] with T a multiple of frame_samples. Scans the LSTM state
-    across frames exactly like the streaming per-frame path, so offline
-    long-form segmentation gives the same probabilities the mic path would.
+    audio: [B, T] with T a multiple of frame_samples. The conv feature
+    stack is frame-local, so all frames run as ONE batched device call;
+    only the tiny 2-layer LSTM scans across frames (bit-identical to the
+    streaming per-frame path, but ~frame-count-times more parallel).
     Returns probs [B, T // frame_samples].
     """
     b, t = audio.shape
-    frames = audio.reshape(b, t // frame_samples, frame_samples)
-    frames = jnp.moveaxis(frames, 1, 0)  # [F, B, frame]
+    f = t // frame_samples
+    frames = audio.reshape(b * f, frame_samples)
+    feats = _conv_features(params, frames, (2, 2, 2, 1))  # [B*F, T', 64]
+    tprime = feats.shape[1]
+    # [B*F, T', 64] -> sequence over frames-and-inner-steps: [F*T', B, 64]
+    seq = feats.reshape(b, f * tprime, -1)
+    seq = jnp.moveaxis(seq, 1, 0)  # [F*T', B, 64]
     if state is None:
         state = init_state(b)
 
-    def step(st, frame):
-        prob, st = silero_forward(params, frame, st)
-        return st, prob
+    def lstm_all(carry, x_t):
+        (h0, c0), (h1, c1) = carry
+        lp0, lp1 = params["lstm"]
+        (h0, c0), y0 = _lstm_cell((h0, c0), x_t, lp0["w"], lp0["r"], lp0["b"])
+        (h1, c1), y1 = _lstm_cell((h1, c1), y0, lp1["w"], lp1["r"], lp1["b"])
+        return ((h0, c0), (h1, c1)), y1
 
-    _, probs = jax.lax.scan(step, state, frames)
-    return jnp.moveaxis(probs, 0, 1)  # [B, F]
+    init = ((state[0, 0], state[1, 0]), (state[0, 1], state[1, 1]))
+    _, ys = jax.lax.scan(lstm_all, init, seq)  # [F*T', B, 64]
+
+    out = jnp.moveaxis(ys, 0, 1)  # [B, F*T', 64]
+    out = jax.nn.relu(out)
+    logit = jnp.einsum(
+        "btd,od->bto", out, params["head_w"][:, :, 0]
+    ) + params["head_b"]
+    probs = jax.nn.sigmoid(logit)[..., 0]  # [B, F*T']
+    # Per-frame prob = mean over the frame's inner time steps.
+    return probs.reshape(b, f, tprime).mean(-1)
 
 
 class SileroVad:

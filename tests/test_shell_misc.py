@@ -262,3 +262,33 @@ def test_context_writers_roundtrip(tmp_path):
         assert get_terminal_context_cwd(str(tmp_path)) == str(ws)
     finally:
         del _os.environ["XDG_CACHE_HOME"]
+
+
+class TestLogging:
+    def test_file_level_runtime_adjustable(self, tmp_path):
+        from spittle_tpu.config.settings import LogLevel
+        from spittle_tpu.utils.logging import LogSystem
+
+        sys_ = LogSystem(str(tmp_path))
+        log = sys_.logger
+        sys_.set_file_level(LogLevel.ERROR)
+        log.debug("hidden debug line")
+        log.error("visible error line")
+        sys_.set_file_level(LogLevel.DEBUG)
+        log.debug("now visible debug")
+        for h in log.handlers:
+            h.flush()
+        content = open(sys_.log_path).read()
+        assert "hidden debug line" not in content
+        assert "visible error line" in content
+        assert "now visible debug" in content
+
+    def test_rotation_config(self, tmp_path):
+        from spittle_tpu.utils.logging import FILE_BACKUPS, FILE_MAX_BYTES, LogSystem
+
+        assert FILE_MAX_BYTES == 500_000 and FILE_BACKUPS == 1
+        sys_ = LogSystem(str(tmp_path))
+        import logging as _l
+        rot = [h for h in sys_.logger.handlers
+               if isinstance(h, _l.handlers.RotatingFileHandler)][0]
+        assert rot.maxBytes == 500_000 and rot.backupCount == 1

@@ -426,7 +426,9 @@ class Commands:
         return self.services.get_settings().always_on_microphone
 
     def get_available_microphones(self) -> List[str]:
-        return []  # device enumeration is provided by the desktop shell
+        from spittle_tpu.shell.audio_devices import list_input_devices
+
+        return [d.name for d in list_input_devices()]
 
     def set_selected_microphone(self, name: Optional[str]) -> None:
         self._update(selected_microphone=name)
@@ -435,7 +437,9 @@ class Commands:
         return self.services.get_settings().selected_microphone
 
     def get_available_output_devices(self) -> List[str]:
-        return []
+        from spittle_tpu.shell.audio_devices import list_output_devices
+
+        return [d.name for d in list_output_devices()]
 
     def set_selected_output_device(self, name: Optional[str]) -> None:
         self._update(selected_output_device=name)

@@ -292,3 +292,48 @@ class TestLogging:
         rot = [h for h in sys_.logger.handlers
                if isinstance(h, _l.handlers.RotatingFileHandler)][0]
         assert rot.maxBytes == 500_000 and rot.backupCount == 1
+
+
+class TestAudioDevices:
+    PACTL = "0\talsa_input.pci.analog-stereo\tmodule\ts16le\tRUNNING\n" \
+            "1\talsa_output.pci.analog-stereo.monitor\tmodule\ts16le\tIDLE\n" \
+            "2\tusb_mic.mono\tmodule\ts16le\tSUSPENDED\n"
+    ARECORD = ("**** List of CAPTURE Hardware Devices ****\n"
+               "card 0: PCH [HDA Intel PCH], device 0: ALC295 Analog "
+               "[ALC295 Analog]\n"
+               "card 1: Webcam [USB Webcam], device 0: USB Audio [USB Audio]\n")
+
+    def test_parse_pactl(self):
+        from spittle_tpu.shell.audio_devices import parse_pactl_sources
+
+        devs = parse_pactl_sources(self.PACTL, "usb_mic.mono")
+        names = [d.name for d in devs]
+        assert "alsa_input.pci.analog-stereo" in names
+        assert all(not n.endswith(".monitor") for n in names)
+        assert [d.is_default for d in devs] == [False, True]
+
+    def test_parse_arecord(self):
+        from spittle_tpu.shell.audio_devices import parse_arecord_l
+
+        devs = parse_arecord_l(self.ARECORD)
+        assert len(devs) == 2
+        assert devs[0].is_default
+        assert "hw:1,0" in devs[1].name
+
+    def test_list_with_injected_runners(self):
+        from spittle_tpu.shell.audio_devices import list_input_devices
+
+        def run(cmd):
+            if cmd[:2] == ["pactl", "get-default-source"]:
+                return "usb_mic.mono\n"
+            if cmd[:2] == ["pactl", "list"]:
+                return self.PACTL
+            return None
+
+        devs = list_input_devices(which=lambda t: t == "pactl", run=run)
+        assert any(d.is_default for d in devs)
+
+    def test_no_tools_empty(self):
+        from spittle_tpu.shell.audio_devices import list_input_devices
+
+        assert list_input_devices(which=lambda t: None) == []

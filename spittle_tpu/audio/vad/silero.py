@@ -159,29 +159,8 @@ def silero_forward(
     (2, 2, 1, 1) for 8 kHz.
     Returns (probs [B], new_state).
     """
-    x = audio[:, None, :]  # [B, 1, N]
-    x = jnp.pad(x, ((0, 0), (0, 0), (96, 96)), mode="reflect")
-    spec = _conv1d(x, params["stft_basis"], stride=64)  # [B, 258, T]
-    half = spec.shape[1] // 2
-    mag = jnp.sqrt(spec[:, :half] ** 2 + spec[:, half:] ** 2)  # [B, 129, T]
-
-    spect = jnp.log(mag * 1048576.0 + 1.0)
-    mean = jnp.mean(spect, axis=1, keepdims=True)  # [B, 1, T]
-    mean_pad = jnp.pad(mean, ((0, 0), (0, 0), (3, 3)), mode="reflect")
-    smoothed = _conv1d(mean_pad, params["norm_filter"])  # [B, 1, T]
-    mean_mean = jnp.mean(smoothed, axis=-1, keepdims=True)  # [B, 1, 1]
-    norm = spect - mean_mean
-
-    h = jnp.concatenate([mag, norm], axis=1)  # [B, 258, T]
-    h = _sep_block(h, params["first"])
-    for betw, blk, stride in zip(params["between"][:3], params["blocks"], strides):
-        h = jax.nn.relu(_conv1d(h, betw["w"], betw["b"], stride=stride))
-        h = _sep_block(h, blk)
-    last = params["between"][3]
-    h = jax.nn.relu(_conv1d(h, last["w"], last["b"], stride=strides[3]))
-
-    # [B, 64, T'] -> scan LSTM layers over T'
-    seq = jnp.moveaxis(h, 2, 0)  # [T', B, 64]
+    feats = _conv_features(params, audio, strides)  # [B, T', 64]
+    seq = jnp.moveaxis(feats, 1, 0)  # [T', B, 64]
     new_state = []
     for li, lp in enumerate(params["lstm"]):
         (hn, cn), seq = jax.lax.scan(

@@ -44,7 +44,7 @@ from spittle_tpu.models.whisper.tokenizer import (
 )
 from .base import Segment, TranscribeParams, TranscriptionResult
 
-WINDOW_FRAMES = 3000  # mel frames per 30 s window
+WINDOW_FRAMES = 3000  # mel frames per 30 s window (standard Whisper)
 FRAMES_PER_SECOND = 100
 
 
@@ -110,6 +110,16 @@ class WhisperEngine:
         return self.params is not None
 
     # -- transcription ---------------------------------------------------
+
+    @property
+    def window_frames(self) -> int:
+        # Standard models use 1500 encoder positions = 3000 mel frames;
+        # smaller n_audio_ctx (tests, custom models) scales the window.
+        return self.cfg.n_audio_ctx * 2
+
+    @property
+    def window_samples(self) -> int:
+        return self.window_frames * HOP_LENGTH
 
     def _mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
         """[B, n_samples] -> [B, n_mels, frames]."""
@@ -182,10 +192,10 @@ class WhisperEngine:
             if not active:
                 break
             # Build this round's window batch.
-            windows = np.zeros((len(active), N_SAMPLES), np.float32)
+            windows = np.zeros((len(active), self.window_samples), np.float32)
             for bi, i in enumerate(active):
                 start = seeks[i] * HOP_LENGTH
-                chunk = audios[i][start : start + N_SAMPLES]
+                chunk = audios[i][start : start + self.window_samples]
                 windows[bi, : len(chunk)] = chunk
             mel = self._mel(windows)
             xa = encode(self.params, mel, cfg)
@@ -220,7 +230,7 @@ class WhisperEngine:
                 win_offset = seeks[i] / FRAMES_PER_SECOND
                 segs, advance = self._parse_window(gen, win_offset)
                 window_frames = min(
-                    WINDOW_FRAMES, content_frames[i] - seeks[i]
+                    self.window_frames, content_frames[i] - seeks[i]
                 )
                 if params.word_timestamps and gen:
                     from spittle_tpu.models.whisper.alignment import (
@@ -389,9 +399,10 @@ class WhisperEngine:
         )
 
     def _pad_window_batch(self, audios: List[np.ndarray]) -> np.ndarray:
-        out = np.zeros((len(audios), N_SAMPLES), np.float32)
+        n = self.window_samples
+        out = np.zeros((len(audios), n), np.float32)
         for i, a in enumerate(audios):
-            out[i, : min(len(a), N_SAMPLES)] = a[:N_SAMPLES]
+            out[i, : min(len(a), n)] = a[:n]
         return out
 
     def _parse_window(

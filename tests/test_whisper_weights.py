@@ -202,3 +202,29 @@ def test_hf_name_mapping():
     assert "decoder.ln.bias" in mapped
     assert "encoder.positional_embedding" in mapped
     assert "proj_out.weight" not in mapped  # tied weights dropped
+
+
+def test_engine_loads_ggml_end_to_end(tmp_path, tiny_cfg):
+    """WhisperEngine.load_model on a GGML file: embedded vocab + filters +
+    tensors drive a full transcribe call."""
+    import numpy as np
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    rng = np.random.default_rng(1)
+    tensors = {
+        name: (rng.standard_normal(shape) * 0.05).astype(np.float32)
+        for name, shape in openai_tensor_names(tiny_cfg).items()
+    }
+    path = str(tmp_path / "tiny-model.bin")
+    write_ggml(path, tiny_cfg, tensors)
+
+    eng = WhisperEngine()
+    eng.load_model(path)
+    assert eng.is_loaded
+    assert eng.cfg.n_audio_state == tiny_cfg.n_audio_state
+    assert eng.mel_filters is not None
+    audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    res = eng.transcribe_samples(audio, TranscribeParams(language="en"))
+    assert isinstance(res.text, str)
+    eng.unload_model()

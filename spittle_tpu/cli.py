@@ -42,6 +42,7 @@ def cmd_transcribe(args) -> int:
         translate=args.translate,
         initial_prompt=args.initial_prompt,
         beam_size=args.beam_size,
+        word_timestamps=args.words,
     )
     with tracer.span("transcribe"):
         if args.vad:
@@ -52,6 +53,9 @@ def cmd_transcribe(args) -> int:
     if args.timestamps:
         for seg in result.segments:
             print(f"[{seg.start:7.2f} -> {seg.end:7.2f}] {seg.text}")
+    if args.words:
+        for w in result.words:
+            print(f"  {w.start:7.2f} -> {w.end:7.2f}  {w.word}")
     if args.stats:
         print(json.dumps(tracer.stats(), indent=2), file=sys.stderr)
     return 0
@@ -112,6 +116,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--vad", action="store_true",
                    help="VAD-segment long audio before transcribing")
     t.add_argument("--timestamps", action="store_true")
+    t.add_argument("--words", action="store_true",
+                   help="word-level timestamps (cross-attention DTW)")
     t.add_argument("--stats", action="store_true")
     t.set_defaults(fn=cmd_transcribe)
 

@@ -144,7 +144,9 @@ def _process_logits(
     return logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "opts", "prefix_len"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "opts", "prefix_len", "sample")
+)
 def _greedy_loop(
     params,
     xa: jnp.ndarray,
@@ -152,7 +154,8 @@ def _greedy_loop(
     cfg: WhisperConfig,
     opts: DecodeOptions,
     prefix_len: int,
-    temperature: jnp.ndarray = None,  # traced scalar: one compile for all temps
+    temperature: jnp.ndarray = None,  # traced scalar (sampling rungs only)
+    sample: bool = False,  # static: keeps the PRNG out of the temp-0 program
 ):
     if temperature is None:
         temperature = jnp.asarray(opts.temperature, jnp.float32)
@@ -202,14 +205,17 @@ def _greedy_loop(
             pos=pos, sample_begin=prefix_len,
             last_tok=last, penult_tok=penult, ts_floor=s["ts_floor"],
         )
-        # Uniform sampling path: argmax at temperature 0, categorical above
-        # (single compiled program across the whole fallback ladder).
-        key, sub = jax.random.split(s["key"])
-        sampled = jax.random.categorical(
-            sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
-        ).astype(jnp.int32)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        next_tok = jnp.where(temperature > 0, sampled, greedy)
+        # Static split: the temperature-0 program has no PRNG (threefry in
+        # a while_loop is a compile-time hazard on TPU); the sampling
+        # program covers every temperature > 0 with a traced scalar.
+        if sample:
+            key, sub = jax.random.split(s["key"])
+            next_tok = jax.random.categorical(
+                sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+            ).astype(jnp.int32)
+        else:
+            key = s["key"]
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         lsm = jax.nn.log_softmax(logits, axis=-1)
         step_lp = jnp.take_along_axis(lsm, next_tok[:, None], 1)[:, 0]
 
@@ -292,6 +298,7 @@ def greedy_decode(
         params, xa, prefix, cfg, static_opts,
         prefix_len=len(prefix_list),
         temperature=jnp.asarray(opts.temperature, jnp.float32),
+        sample=opts.temperature > 0,
     )
     no_speech_prob = jax.nn.softmax(
         pre_logits[sot_pos].astype(jnp.float32), axis=-1

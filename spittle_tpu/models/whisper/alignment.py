@@ -184,8 +184,14 @@ def word_timestamps(
     toks = list(prefix) + [t for t in tokens if t < cfg.eot]
     if len(toks) <= len(prefix):
         return []
-    arr = jnp.asarray(toks, jnp.int32)[None]
+    # Pad to a length bucket so the teacher-forced pass compiles once per
+    # bucket, not per token count (causal attention: padding after the real
+    # tokens cannot affect their rows).
+    bucket = min(-(-len(toks) // 64) * 64, cfg.n_text_ctx)
+    padded = toks[:bucket] + [cfg.eot] * (bucket - len(toks))
+    arr = jnp.asarray(padded, jnp.int32)[None]
     attn = np.asarray(decoder_cross_attention(params, arr, xa, cfg))
+    attn = attn[:, :, :, : len(toks)]
     starts, ends = token_times(attn, n_frames, cfg)
     gen_start = len(prefix)
 

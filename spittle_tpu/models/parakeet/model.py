@@ -158,6 +158,7 @@ def _conv2d(x, w, b, stride, groups=1, padding=1):
 
 def _subsample(sub, mel: jnp.ndarray) -> jnp.ndarray:
     """mel [B, n_mels, T] -> [B, T//8, d_model] via three stride-2 convs."""
+    mel = mel.astype(sub["conv0_w"].dtype)
     x = mel[:, None, :, :].transpose(0, 1, 3, 2)  # [B, 1, T, n_mels]
     x = jax.nn.relu(_conv2d(x, sub["conv0_w"], sub["conv0_b"], 2))
     ch = x.shape[1]

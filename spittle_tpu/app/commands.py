@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
-from dataclasses import asdict
 from typing import Any, Dict, List, Optional
 
 from spittle_tpu.config.settings import (

@@ -211,7 +211,7 @@ def _rel_attention(x, pos_emb, blk, n_heads):
     k_t = k.transpose(0, 2, 1, 3)
     ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k_t,
                     preferred_element_type=jnp.float32)
-    bd = jnp.einsum("bhqd,phd->bhqp", q_v, p[0].transpose(0, 1, 2),
+    bd = jnp.einsum("bhqd,phd->bhqp", q_v, p[0],
                     preferred_element_type=jnp.float32)
     bd = _rel_shift(bd)
     scores = (ac + bd) / jnp.sqrt(dh).astype(jnp.float32)

@@ -29,6 +29,7 @@ from spittle_tpu.text.jargon import (
     build_initial_prompt,
     compute_active_dictionary,
 )
+from spittle_tpu.utils.tracing import span
 from .domain_selector import DomainContext, DomainSelectorManager, build_profile_map
 
 IDLE_POLL_SECONDS = 10.0
@@ -83,7 +84,8 @@ class TranscriptionManager:
         self._emit_state("loading", model_id)
         try:
             engine = self._engine_factory(engine_type)
-            engine.load_model(model_path)
+            with span("model.load", model_id=model_id, engine=engine_type):
+                engine.load_model(model_path)
             with self._engine_lock:
                 if self._engine is not None:
                     self._engine.unload_model()
@@ -162,11 +164,13 @@ class TranscriptionManager:
             if self._engine is None:
                 raise RuntimeError("no model loaded")
             params = self._build_params(settings)
-            result = self._engine.transcribe_samples(
-                np.asarray(samples, np.float32), params
-            )
+            with span("transcribe.engine", samples=len(samples)):
+                result = self._engine.transcribe_samples(
+                    np.asarray(samples, np.float32), params
+                )
         text = result.text
-        text = self._post_process_text(text, settings)
+        with span("transcribe.text_chain"):
+            text = self._post_process_text(text, settings)
         self._last_activity = time.monotonic()
         self.maybe_unload_immediately()
         return text

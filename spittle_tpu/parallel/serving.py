@@ -22,6 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from spittle_tpu.engine.base import TranscribeParams, TranscriptionResult
+from spittle_tpu.utils.tracing import span
 
 # Audio-length buckets (seconds): requests pad up to the bucket edge so the
 # engine sees a small, fixed set of shapes (compile-once, serve-forever).
@@ -152,6 +153,9 @@ class BatchingTranscriptionServer:
             for r in reqs
         ]
         self.batch_sizes.append(len(reqs))
+        queue_ms = max(
+            (time.monotonic() - r.enqueued_at) * 1000 for r in reqs
+        )
         try:
             if self.mesh is not None:
                 with self.mesh:
@@ -159,7 +163,11 @@ class BatchingTranscriptionServer:
                         padded, reqs[0].params
                     )
             else:
-                results = self.engine.transcribe_batch(padded, reqs[0].params)
+                with span("serving.batch", size=len(reqs),
+                          bucket=bucket_len, queue_ms=round(queue_ms, 1)):
+                    results = self.engine.transcribe_batch(
+                        padded, reqs[0].params
+                    )
         except Exception as e:
             for r in reqs:
                 if not r.future.done():

@@ -214,3 +214,24 @@ class TestSegmentStreaming:
         # final remainder also pasted; buffer ends with pastes only
         assert out.buffer.count("seg") >= 2
         services.shutdown()
+
+
+class TestBindingsExport:
+    def test_export_shapes(self):
+        import json as _json
+        from spittle_tpu.app.bindings_export import (
+            describe_commands, export_dts, export_json,
+        )
+
+        cmds = describe_commands()
+        names = {c["name"] for c in cmds}
+        assert "download_model" in names and "get_app_settings" in names
+        dm = next(c for c in cmds if c["name"] == "download_model")
+        assert dm["camelName"] == "downloadModel"
+        assert dm["params"][0]["name"] == "model_id"
+        assert dm["params"][0]["type"] == "string"
+        parsed = _json.loads(export_json())
+        assert len(parsed) >= 100  # the full surface
+        dts = export_dts()
+        assert "export interface SpittleCommands" in dts
+        assert "downloadModel(model_id: string)" in dts

@@ -35,13 +35,22 @@ class MoonshineEngine:
             self.params = init_params(self.cfg, jax.random.PRNGKey(0), self.dtype)
             self.table = SentencePieceTable.test_table(self.cfg.vocab_size)
             return
-        self.cfg = CONFIGS["moonshine-base"]
         st = os.path.join(model_path, "model.safetensors")
         if not os.path.exists(st):
             raise FileNotFoundError(f"{model_path}: expected model.safetensors")
         from safetensors.numpy import load_file
 
-        self.params = jax.tree.map(jnp.asarray, dict(load_file(st)))
+        from spittle_tpu.models.moonshine.weights import (
+            config_from_hf_tensors,
+            params_from_hf_tensors,
+        )
+
+        tensors = dict(load_file(st))
+        self.cfg = config_from_hf_tensors(tensors)
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, self.dtype),
+            params_from_hf_tensors(tensors, self.cfg),
+        )
         self.table = SentencePieceTable.load(model_path)
 
     def unload_model(self) -> None:

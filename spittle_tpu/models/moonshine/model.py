@@ -1,13 +1,21 @@
-"""Moonshine encoder-decoder in JAX.
+"""Moonshine encoder-decoder in JAX (architecture-verified vs HF).
 
 The reference's MoonshineEngine slot (transcribe-rs ONNX,
 `managers/transcription.rs:298-319`; catalog `moonshine-base`, 58 MB,
-en-only). Architecture per the public UsefulSensors design: a raw-waveform
-conv stem (no mel frontend — k=127/s=64 tanh, then two strided convs for a
-~384x reduction), rotary-embedding transformer encoder, and a decoder with
-rotary self-attention + cross-attention and tied output embedding.
-Variable-length audio needs no 30 s padding (Moonshine's headline
-property); batching pads to the longest item only.
+en-only). Architecture verified field-for-field against the torch
+implementation in transformers (tests/test_moonshine_torch_parity.py):
+
+- raw-waveform conv stem: conv(1->D, k127 s64, no bias) -> tanh ->
+  GroupNorm(1 group) -> conv(D->2D, k7 s3) gelu -> conv(2D->D, k3 s2)
+  gelu (~384x time reduction, no mel frontend, no fixed 30 s window);
+- pre-LN transformer layers with bias-free LayerNorms and bias-free
+  q/k/v/o projections; attention scaled by head_dim**-0.5;
+- partial interleaved rotary embeddings (rotary_dim =
+  head_dim * partial_rotary_factor, GPT-NeoX even/odd pairing) on
+  encoder and decoder self-attention; none on cross-attention;
+- decoder MLP is SwiGLU (fc1 -> [hidden | gate], silu(gate) * hidden ->
+  fc2); encoder MLP is plain GELU;
+- tied output embedding.
 
 TPU-first: stacked layers under lax.scan, static-shape KV cache greedy
 decode in one while_loop.
@@ -33,32 +41,51 @@ class MoonshineConfig:
     enc_layers: int = 8
     dec_layers: int = 8
     n_heads: int = 8
-    ff_mult: int = 4
+    intermediate: int = 1664  # 4x dim (base); tiny uses 1152
     vocab_size: int = 32768
     max_tokens: int = 224
     sot: int = 1
     eot: int = 2
+    rope_theta: float = 10000.0
+    partial_rotary_factor: float = 0.9
 
     @property
     def head_dim(self) -> int:
         return self.dim // self.n_heads
 
+    @property
+    def rotary_dim(self) -> int:
+        # HF default rope with partial factor; even dimension.
+        d = int(self.head_dim * self.partial_rotary_factor)
+        return d - (d % 2)
+
 
 CONFIGS = {
     "moonshine-tiny": MoonshineConfig("moonshine-tiny", dim=288, enc_layers=6,
-                                      dec_layers=6),
+                                      dec_layers=6, intermediate=1152),
     "moonshine-base": MoonshineConfig("moonshine-base"),
     "moonshine-test": MoonshineConfig("moonshine-test", dim=64, enc_layers=2,
-                                      dec_layers=2, n_heads=4, vocab_size=128,
+                                      dec_layers=2, n_heads=4,
+                                      intermediate=128, vocab_size=128,
                                       max_tokens=16),
 }
 
 
-def _norm(x, g):
+def _ln(x, g):
+    """LayerNorm without bias (nn.LayerNorm(..., bias=False))."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     return ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * g).astype(x.dtype)
+
+
+def _group_norm(x, g, b):
+    """GroupNorm(num_groups=1) over (C, T) per sample. x: [B, C, T]."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (out * g[None, :, None] + b[None, :, None]).astype(x.dtype)
 
 
 def _w(key, shape, scale, dtype):
@@ -68,24 +95,27 @@ def _w(key, shape, scale, dtype):
 def init_params(cfg: MoonshineConfig, key=None, dtype=jnp.float32) -> Params:
     if key is None:
         key = jax.random.PRNGKey(0)
-    ks = iter(jax.random.split(key, 32))
+    ks = iter(jax.random.split(key, 48))
     d = cfg.dim
-    ff = cfg.ff_mult * d
+    inter = cfg.intermediate
 
-    def attn_stack(L):
+    def attn(L):
         return {
-            "ln_g": jnp.ones((L, d), jnp.float32),
+            "ln1_g": jnp.ones((L, d), jnp.float32),
             "wq": _w(next(ks), (L, d, d), d**-0.5, dtype),
             "wk": _w(next(ks), (L, d, d), d**-0.5, dtype),
             "wv": _w(next(ks), (L, d, d), d**-0.5, dtype),
             "wo": _w(next(ks), (L, d, d), d**-0.5, dtype),
-            "ff_ln_g": jnp.ones((L, d), jnp.float32),
-            "ff_w1": _w(next(ks), (L, d, ff), d**-0.5, dtype),
-            "ff_b1": jnp.zeros((L, ff), dtype),
-            "ff_w2": _w(next(ks), (L, ff, d), ff**-0.5, dtype),
-            "ff_b2": jnp.zeros((L, d), dtype),
         }
 
+    enc_blocks = attn(cfg.enc_layers)
+    enc_blocks.update({
+        "ln2_g": jnp.ones((cfg.enc_layers, d), jnp.float32),
+        "fc1_w": _w(next(ks), (cfg.enc_layers, d, inter), d**-0.5, dtype),
+        "fc1_b": jnp.zeros((cfg.enc_layers, inter), dtype),
+        "fc2_w": _w(next(ks), (cfg.enc_layers, inter, d), inter**-0.5, dtype),
+        "fc2_b": jnp.zeros((cfg.enc_layers, d), dtype),
+    })
     enc = {
         "conv1_w": _w(next(ks), (d, 1, 127), 0.05, dtype),
         "conv2_w": _w(next(ks), (2 * d, d, 7), (7 * d) ** -0.5, dtype),
@@ -93,40 +123,59 @@ def init_params(cfg: MoonshineConfig, key=None, dtype=jnp.float32) -> Params:
         "conv3_w": _w(next(ks), (d, 2 * d, 3), (6 * d) ** -0.5, dtype),
         "conv3_b": jnp.zeros((d,), dtype),
         "gn_g": jnp.ones((d,), jnp.float32),
-        "blocks": attn_stack(cfg.enc_layers),
-        "ln_g": jnp.ones((d,), jnp.float32),
+        "gn_b": jnp.zeros((d,), jnp.float32),
+        "blocks": enc_blocks,
+        "lnf_g": jnp.ones((d,), jnp.float32),
     }
-    dec_blocks = attn_stack(cfg.dec_layers)
+    L = cfg.dec_layers
+    dec_blocks = attn(L)
     dec_blocks.update({
-        "x_ln_g": jnp.ones((cfg.dec_layers, d), jnp.float32),
-        "x_wq": _w(next(ks), (cfg.dec_layers, d, d), d**-0.5, dtype),
-        "x_wk": _w(next(ks), (cfg.dec_layers, d, d), d**-0.5, dtype),
-        "x_wv": _w(next(ks), (cfg.dec_layers, d, d), d**-0.5, dtype),
-        "x_wo": _w(next(ks), (cfg.dec_layers, d, d), d**-0.5, dtype),
+        "ln2_g": jnp.ones((L, d), jnp.float32),
+        "xwq": _w(next(ks), (L, d, d), d**-0.5, dtype),
+        "xwk": _w(next(ks), (L, d, d), d**-0.5, dtype),
+        "xwv": _w(next(ks), (L, d, d), d**-0.5, dtype),
+        "xwo": _w(next(ks), (L, d, d), d**-0.5, dtype),
+        "ln3_g": jnp.ones((L, d), jnp.float32),
+        "fc1_w": _w(next(ks), (L, d, 2 * inter), d**-0.5, dtype),
+        "fc1_b": jnp.zeros((L, 2 * inter), dtype),
+        "fc2_w": _w(next(ks), (L, inter, d), inter**-0.5, dtype),
+        "fc2_b": jnp.zeros((L, d), dtype),
     })
     dec = {
         "tok_emb": _w(next(ks), (cfg.vocab_size, d), 0.02, dtype),
         "blocks": dec_blocks,
-        "ln_g": jnp.ones((d,), jnp.float32),
+        "norm_g": jnp.ones((d,), jnp.float32),
     }
     return {"encoder": enc, "decoder": dec}
 
 
-# -- rotary ------------------------------------------------------------------
+# -- rotary (HF interleaved style, partial) ----------------------------------
 
 
-def _rope(x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
-    """Rotary embedding. x: [B, H, T, Dh]; positions: [T]."""
-    dh = x.shape[-1]
-    half = dh // 2
-    freqs = 10000.0 ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    angles = positions[:, None].astype(jnp.float32) * freqs[None, :]  # [T, half]
-    cos = jnp.cos(angles)[None, None]
-    sin = jnp.sin(angles)[None, None]
-    x1, x2 = x[..., :half], x[..., half:]
-    return jnp.concatenate(
-        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
-    ).astype(x.dtype)
+def _rope_cos_sin(positions: jnp.ndarray, cfg: MoonshineConfig):
+    """cos/sin [T, rotary_dim] with interleaved pairing."""
+    rd = cfg.rotary_dim
+    inv = cfg.rope_theta ** (-jnp.arange(0, rd, 2, dtype=jnp.float32) / rd)
+    freqs = positions.astype(jnp.float32)[:, None] * inv[None, :]  # [T, rd/2]
+    cos = jnp.repeat(jnp.cos(freqs), 2, axis=-1)  # interleaved
+    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)
+    return cos, sin
+
+
+def _rotate_half_interleaved(x):
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def _apply_rope(x, cos, sin, cfg):
+    """x: [B, H, T, Dh]; cos/sin [T, rotary_dim]."""
+    rd = cfg.rotary_dim
+    x_rot, x_pass = x[..., :rd], x[..., rd:]
+    c = cos[None, None]
+    s = sin[None, None]
+    x_emb = x_rot * c + _rotate_half_interleaved(x_rot) * s
+    return jnp.concatenate([x_emb, x_pass], axis=-1).astype(x.dtype)
 
 
 def _heads(x, n):
@@ -151,6 +200,17 @@ def _attn(q, k, v, causal=False):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _enc_mlp(x, blk):
+    h = jax.nn.gelu(x @ blk["fc1_w"] + blk["fc1_b"], approximate=False)
+    return h @ blk["fc2_w"] + blk["fc2_b"]
+
+
+def _dec_mlp(x, blk):
+    h = x @ blk["fc1_w"] + blk["fc1_b"]
+    hidden, gate = jnp.split(h, 2, axis=-1)
+    return (jax.nn.silu(gate) * hidden) @ blk["fc2_w"] + blk["fc2_b"]
+
+
 # -- encoder -----------------------------------------------------------------
 
 
@@ -170,31 +230,60 @@ def encode(params: Params, audio: jnp.ndarray, cfg: MoonshineConfig) -> jnp.ndar
     enc = params["encoder"]
     x = audio[:, None, :].astype(enc["conv1_w"].dtype)
     x = jnp.tanh(_conv1d(x, enc["conv1_w"], stride=64))
-    x = _norm(x.transpose(0, 2, 1), enc["gn_g"]).transpose(0, 2, 1)
+    x = _group_norm(x, enc["gn_g"], enc["gn_b"])
     x = jax.nn.gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], stride=3),
                     approximate=False)
     x = jax.nn.gelu(_conv1d(x, enc["conv3_w"], enc["conv3_b"], stride=2),
                     approximate=False)
     x = x.transpose(0, 2, 1)  # [B, T', D]
     t = x.shape[1]
-    pos = jnp.arange(t)
+    cos, sin = _rope_cos_sin(jnp.arange(t), cfg)
 
     def body(h, blk):
-        hn = _norm(h, blk["ln_g"])
-        q = _rope(_heads(hn @ blk["wq"], cfg.n_heads), pos)
-        k = _rope(_heads(hn @ blk["wk"], cfg.n_heads), pos)
+        hn = _ln(h, blk["ln1_g"])
+        q = _apply_rope(_heads(hn @ blk["wq"], cfg.n_heads), cos, sin, cfg)
+        k = _apply_rope(_heads(hn @ blk["wk"], cfg.n_heads), cos, sin, cfg)
         v = _heads(hn @ blk["wv"], cfg.n_heads)
         h = h + _merge(_attn(q, k, v)) @ blk["wo"]
-        hn = _norm(h, blk["ff_ln_g"])
-        h = h + jax.nn.gelu(hn @ blk["ff_w1"] + blk["ff_b1"],
-                            approximate=False) @ blk["ff_w2"] + blk["ff_b2"]
+        hn = _ln(h, blk["ln2_g"])
+        h = h + _enc_mlp(hn, blk)
         return h, None
 
     x, _ = jax.lax.scan(body, x, enc["blocks"])
-    return _norm(x, enc["ln_g"])
+    return _ln(x, enc["lnf_g"])
 
 
-# -- greedy decode -----------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decoder_forward(
+    params: Params, tokens: jnp.ndarray, xa: jnp.ndarray, cfg: MoonshineConfig
+) -> jnp.ndarray:
+    """Teacher-forced decoder -> logits [B, T, V] (tests/training)."""
+    dec = params["decoder"]
+    b, t = tokens.shape
+    x = dec["tok_emb"][tokens]
+    cos, sin = _rope_cos_sin(jnp.arange(t), cfg)
+
+    def body(h, blk):
+        hn = _ln(h, blk["ln1_g"])
+        q = _apply_rope(_heads(hn @ blk["wq"], cfg.n_heads), cos, sin, cfg)
+        k = _apply_rope(_heads(hn @ blk["wk"], cfg.n_heads), cos, sin, cfg)
+        v = _heads(hn @ blk["wv"], cfg.n_heads)
+        h = h + _merge(_attn(q, k, v, causal=True)) @ blk["wo"]
+        hn = _ln(h, blk["ln2_g"])
+        q = _heads(hn @ blk["xwq"], cfg.n_heads)
+        xk = _heads(xa @ blk["xwk"], cfg.n_heads)
+        xv = _heads(xa @ blk["xwv"], cfg.n_heads)
+        h = h + _merge(_attn(q, xk, xv)) @ blk["xwo"]
+        hn = _ln(h, blk["ln3_g"])
+        h = h + _dec_mlp(hn, blk)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, dec["blocks"])
+    x = _ln(x, dec["norm_g"])
+    return (x @ dec["tok_emb"].T.astype(x.dtype)).astype(jnp.float32)
+
+
+# -- greedy decode with KV cache ----------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
@@ -209,24 +298,26 @@ def greedy_decode(
     layers = cfg.dec_layers
 
     cache = jnp.zeros((layers, 2, b, heads, L, dh), xa.dtype)
+    cos_all, sin_all = _rope_cos_sin(jnp.arange(L), cfg)
 
-    # Precompute cross K/V per layer.
     def cross_body(_, blk):
-        k = _heads(xa @ blk["x_wk"], heads)
-        v = _heads(xa @ blk["x_wv"], heads)
+        k = _heads(xa @ blk["xwk"], heads)
+        v = _heads(xa @ blk["xwv"], heads)
         return None, (k, v)
 
     _, (xk, xv) = jax.lax.scan(cross_body, None, dec["blocks"])
 
     def step_token(tok, pos, cache):
         x = dec["tok_emb"][tok][:, None, :]  # [B, 1, D]
+        cos = jax.lax.dynamic_slice_in_dim(cos_all, pos, 1)
+        sin = jax.lax.dynamic_slice_in_dim(sin_all, pos, 1)
 
         def body(carry, inputs):
             h, = carry
             blk, cache_l, ck, cv = inputs
-            hn = _norm(h, blk["ln_g"])
-            q = _rope(_heads(hn @ blk["wq"], heads), jnp.asarray([pos]))
-            k_new = _rope(_heads(hn @ blk["wk"], heads), jnp.asarray([pos]))
+            hn = _ln(h, blk["ln1_g"])
+            q = _apply_rope(_heads(hn @ blk["wq"], heads), cos, sin, cfg)
+            k_new = _apply_rope(_heads(hn @ blk["wk"], heads), cos, sin, cfg)
             v_new = _heads(hn @ blk["wv"], heads)
             cache_l = jax.lax.dynamic_update_slice(
                 cache_l, jnp.stack([k_new, v_new]), (0, 0, 0, pos, 0)
@@ -239,17 +330,16 @@ def greedy_decode(
             probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
             h = h + _merge(jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)) @ blk["wo"]
 
-            hn = _norm(h, blk["x_ln_g"])
-            q = _heads(hn @ blk["x_wq"], heads)
-            h = h + _merge(_attn(q, ck, cv)) @ blk["x_wo"]
+            hn = _ln(h, blk["ln2_g"])
+            q = _heads(hn @ blk["xwq"], heads)
+            h = h + _merge(_attn(q, ck, cv)) @ blk["xwo"]
 
-            hn = _norm(h, blk["ff_ln_g"])
-            h = h + jax.nn.gelu(hn @ blk["ff_w1"] + blk["ff_b1"],
-                                approximate=False) @ blk["ff_w2"] + blk["ff_b2"]
+            hn = _ln(h, blk["ln3_g"])
+            h = h + _dec_mlp(hn, blk)
             return (h,), cache_l
 
         (x,), cache = jax.lax.scan(body, (x,), (dec["blocks"], cache, xk, xv))
-        h = _norm(x, dec["ln_g"])
+        h = _ln(x, dec["norm_g"])
         logits = (h[:, 0] @ dec["tok_emb"].T.astype(h.dtype)).astype(jnp.float32)
         return logits, cache
 

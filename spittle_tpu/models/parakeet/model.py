@@ -101,6 +101,8 @@ def init_params(cfg: ParakeetConfig, key=None, dtype=jnp.float32) -> Params:
         "conv_dw_b": jnp.zeros((L, d), dtype),
         "conv_bn_g": jnp.ones((L, d), jnp.float32),
         "conv_bn_b": jnp.zeros((L, d), jnp.float32),
+        "conv_bn_mean": jnp.zeros((L, d), jnp.float32),
+        "conv_bn_var": jnp.ones((L, d), jnp.float32),
         "conv_pw2_w": stack((d, d), d**-0.5),
         "conv_pw2_b": jnp.zeros((L, d), dtype),
         "ff2_ln_g": jnp.ones((L, d), jnp.float32),
@@ -133,8 +135,6 @@ def init_params(cfg: ParakeetConfig, key=None, dtype=jnp.float32) -> Params:
     return {
         "subsampling": sub,
         "blocks": blocks,
-        "enc_ln_g": jnp.ones((d,), jnp.float32),
-        "enc_ln_b": jnp.zeros((d,), jnp.float32),
         "decoder": decoder,
         "joint": joint,
     }
@@ -191,11 +191,20 @@ def _rel_pos_encoding(t: int, d: int) -> np.ndarray:
 
 
 def _rel_shift(x):
-    """[B, H, T, 2T-1] -> [B, H, T, T] Transformer-XL relative shift."""
-    b, h, t, _ = x.shape
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    x = x.reshape(b, h, 2 * t, t)
-    return x[:, :, 1 : t + 1]
+    """[B, H, T, 2T-1] -> [B, H, T, T] Transformer-XL relative shift.
+
+    out[q, k] = x[q, (T-1) + (k-q)]: with pos_emb ordered for relative
+    positions T-1 .. -(T-1), score(q, k) reads the embedding of distance
+    q-k. Semantics verified against the torch implementation
+    (tests/test_parakeet_torch_parity.py).
+    """
+    b, h, t, p = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B, H, T, P+1]
+    # Flatten, drop the first T elements (the padded "row 0" of the
+    # [P+1, T] view), reinterpret as [T, P]: each row shifts left by one.
+    x = x.reshape(b, h, t * (p + 1))[:, :, t:]
+    x = x.reshape(b, h, t, p)[..., :t]
+    return x
 
 
 def _rel_attention(x, pos_emb, blk, n_heads):
@@ -235,7 +244,11 @@ def _conv_module(x, blk):
         dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=d,
     ) + blk["conv_dw_b"][None, :, None]
     h = hc.transpose(0, 2, 1)
-    h = _norm(h, blk["conv_bn_g"], blk["conv_bn_b"])
+    # BatchNorm1d in eval mode: per-channel affine from running stats
+    # (the NeMo/torch conformer conv module uses BatchNorm, not LayerNorm).
+    scale = blk["conv_bn_g"] * jax.lax.rsqrt(blk["conv_bn_var"] + 1e-5)
+    h = (h.astype(jnp.float32) * scale
+         + (blk["conv_bn_b"] - blk["conv_bn_mean"] * scale)).astype(h.dtype)
     h = h * jax.nn.sigmoid(h)  # swish
     return h @ blk["conv_pw2_w"] + blk["conv_pw2_b"]
 
@@ -250,6 +263,8 @@ def _ff(x, ln_g, ln_b, w1, b1, w2, b2):
 def encode(params: Params, mel: jnp.ndarray, cfg: ParakeetConfig) -> jnp.ndarray:
     """mel [B, n_mels, T] -> encoder states [B, T//8, d_model]."""
     x = _subsample(params["subsampling"], mel)
+    # xscaling: FastConformer multiplies subsampled features by sqrt(d).
+    x = x * np.sqrt(cfg.d_model).astype(np.float32)
     t = x.shape[1]
     pos_emb = jnp.asarray(_rel_pos_encoding(t, cfg.d_model), x.dtype)
 
@@ -267,8 +282,10 @@ def encode(params: Params, mel: jnp.ndarray, cfg: ParakeetConfig) -> jnp.ndarray
         h = _norm(h, blk["final_ln_g"], blk["final_ln_b"])
         return h, None
 
+    # No encoder-level final norm: each block ends with its own norm_out
+    # (matches the torch FastConformer encoder).
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    return _norm(x, params["enc_ln_g"], params["enc_ln_b"])
+    return x
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,10 @@ def main():
         mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
         xa = encode(params, mel, cfg)
         cross_kv = precompute_cross_kv(params, xa, cfg)
-        cache = init_kv_cache(cfg, audio.shape[0], dtype=xa.dtype)
+        # Cache sized to the decode budget, as the production greedy loop
+        # does (decode.py): every step reads the whole static cache.
+        cache = init_kv_cache(cfg, audio.shape[0], dtype=xa.dtype,
+                              ctx=DECODE_TOKENS)
 
         def body(carry, pos):
             tokens, cache = carry

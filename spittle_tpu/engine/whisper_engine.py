@@ -51,11 +51,20 @@ FRAMES_PER_SECOND = 100
 class WhisperEngine:
     """TranscriptionEngine backed by the JAX Whisper stack."""
 
-    def __init__(self, dtype=jnp.float32, suppress_non_speech: bool = False):
+    def __init__(
+        self,
+        dtype=jnp.float32,
+        suppress_non_speech: bool = False,
+        quantize_decoder: bool = False,
+    ):
         """suppress_non_speech mirrors whisper.cpp's
-        suppress_non_speech_tokens (default false there too)."""
+        suppress_non_speech_tokens (default false there too).
+        quantize_decoder: weight-only int8 on the decoder blocks — halves
+        per-token HBM weight traffic (the whisper.cpp-q8 analog, served
+        TPU-native; see ops/quant.py)."""
         self.dtype = dtype
         self.suppress_non_speech = suppress_non_speech
+        self.quantize_decoder = quantize_decoder
         self.cfg: Optional[WhisperConfig] = None
         self.params = None
         self.tokenizer: Optional[WhisperTokenizer] = None
@@ -96,6 +105,10 @@ class WhisperEngine:
                     model_path if os.path.isdir(model_path)
                     else os.path.dirname(model_path),
                 )
+        if self.quantize_decoder:
+            from spittle_tpu.ops.quant import quantize_whisper_decoder
+
+            self.params = quantize_whisper_decoder(self.params)
         space = self.tokenizer.encode(" ")
         self._space_token = space[0] if space else None
 
@@ -144,6 +157,7 @@ class WhisperEngine:
             timestamps=timestamps,
             space_token=self._space_token,
             suppress_tokens=suppress,
+            quant_kv=self.quantize_decoder,
         )
 
     def transcribe_samples(

@@ -264,7 +264,8 @@ def encode(params: Params, mel: jnp.ndarray, cfg: ParakeetConfig) -> jnp.ndarray
     """mel [B, n_mels, T] -> encoder states [B, T//8, d_model]."""
     x = _subsample(params["subsampling"], mel)
     # xscaling: FastConformer multiplies subsampled features by sqrt(d).
-    x = x * np.sqrt(cfg.d_model).astype(np.float32)
+    # (Python float: weak type, keeps bf16 params in bf16.)
+    x = x * float(np.sqrt(cfg.d_model))
     t = x.shape[1]
     pos_emb = jnp.asarray(_rel_pos_encoding(t, cfg.d_model), x.dtype)
 

@@ -52,7 +52,12 @@ def _beam_loop(
 
     xa_k = _expand_beams(xa, k)
     cross_kv = precompute_cross_kv(params, xa_k, cfg)
-    cache = init_kv_cache(cfg, bk, dtype=xa.dtype)
+    if opts.quant_kv:
+        from spittle_tpu.ops.quant import quantize_kv
+
+        cross_kv = (quantize_kv(cross_kv[0]), quantize_kv(cross_kv[1]))
+    ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)
+    cache = init_kv_cache(cfg, bk, dtype=xa.dtype, ctx=ctx)
     prefix_k = _expand_beams(prefix, k)
 
     def pre_body(cache, t):

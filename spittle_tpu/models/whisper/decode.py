@@ -47,6 +47,9 @@ class DecodeOptions:
     max_tokens: int = 0  # 0 -> n_text_ctx
     temperature: float = 0.0  # 0 = argmax; >0 = categorical sampling
     seed: int = 0  # PRNG seed for temperature sampling
+    # int8 cross-attention K/V (per-position scales): halves the dominant
+    # HBM traffic of batched decode steps. See ops/quant.py.
+    quant_kv: bool = False
 
 
 def sot_sequence(
@@ -162,7 +165,14 @@ def _greedy_loop(
     b = xa.shape[0]
     max_len = opts.max_tokens or cfg.n_text_ctx
     cross_kv = precompute_cross_kv(params, xa, cfg)
-    cache = init_kv_cache(cfg, b, dtype=xa.dtype)
+    if opts.quant_kv:
+        from spittle_tpu.ops.quant import quantize_kv
+
+        cross_kv = (quantize_kv(cross_kv[0]), quantize_kv(cross_kv[1]))
+    # Cache sized to the decode budget (sublane-aligned): a short decode
+    # reads max_len-wide K/V per step instead of n_text_ctx-wide.
+    ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)
+    cache = init_kv_cache(cfg, b, dtype=xa.dtype, ctx=ctx)
     static_mask = jnp.asarray(_static_suppress_mask(cfg, opts))
 
     # Prefill over the prefix; capture logits at every prefix position.
@@ -318,7 +328,7 @@ def detect_language(params, xa: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     """Language probabilities [B, n_langs] from one [sot] prefill step."""
     b = xa.shape[0]
     cross_kv = precompute_cross_kv(params, xa, cfg)
-    cache = init_kv_cache(cfg, b, dtype=xa.dtype)
+    cache = init_kv_cache(cfg, b, dtype=xa.dtype, ctx=32)  # one step
     logits, _ = decode_step(
         params,
         jnp.full((b,), cfg.sot, jnp.int32),

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spittle_tpu.ops.attention import attention_reference, multihead_attention
+from spittle_tpu.ops.quant import is_quant, mm
 from .config import WhisperConfig
 
 Params = Dict[str, Any]
@@ -164,16 +165,16 @@ def init_params(
 def _attn_full(x, blk, n_head, causal):
     """Self-attention over a full sequence (encoder / teacher-forced)."""
     scale = (x.shape[-1] // n_head) ** -0.25
-    q = _split_heads(x @ blk["wq"] + blk["bq"], n_head) * scale
-    k = _split_heads(x @ blk["wk"], n_head) * scale
-    v = _split_heads(x @ blk["wv"] + blk["bv"], n_head)
+    q = _split_heads(mm(x, blk["wq"]) + blk["bq"], n_head) * scale
+    k = _split_heads(mm(x, blk["wk"]), n_head) * scale
+    v = _split_heads(mm(x, blk["wv"]) + blk["bv"], n_head)
     o = multihead_attention(q, k, v, causal=causal)
-    return _merge_heads(o) @ blk["wo"] + blk["bo"]
+    return mm(_merge_heads(o), blk["wo"]) + blk["bo"]
 
 
 def _mlp(x, blk):
-    h = jax.nn.gelu(x @ blk["fc1_w"] + blk["fc1_b"], approximate=False)
-    return h @ blk["fc2_w"] + blk["fc2_b"]
+    h = jax.nn.gelu(mm(x, blk["fc1_w"]) + blk["fc1_b"], approximate=False)
+    return mm(h, blk["fc2_w"]) + blk["fc2_b"]
 
 
 @functools.partial(jax.jit, static_argnames=("n_head",))
@@ -234,18 +235,21 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig):
     return ks, vs
 
 
-def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32):
-    """Static self-attention cache: [L, 2, B, H, n_text_ctx, Dh].
+def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
+                  ctx: int = 0):
+    """Static self-attention cache: [L, 2, B, H, ctx, Dh].
 
     Head-major layout so decode steps read K/V in their attention layout
-    with no per-step transposes."""
+    with no per-step transposes. ctx defaults to n_text_ctx; decode loops
+    with a smaller token budget pass it to cut per-step cache traffic
+    (every step reads the whole static cache)."""
     return jnp.zeros(
         (
             cfg.n_text_layer,
             2,
             batch,
             cfg.n_text_head,
-            cfg.n_text_ctx,
+            ctx or cfg.n_text_ctx,
             cfg.n_text_state // cfg.n_text_head,
         ),
         dtype,
@@ -262,9 +266,9 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head):
         blk, cache_l, ck, cv = inputs
         # self-attention with cache
         xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
-        q = _split_heads(xn @ blk["wq"] + blk["bq"], n_head) * scale
-        k_new = _split_heads(xn @ blk["wk"], n_head) * scale  # [B, H, 1, Dh]
-        v_new = _split_heads(xn @ blk["wv"] + blk["bv"], n_head)
+        q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
+        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B, H, 1, Dh]
+        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
         # cache layout [2, B, H, n_ctx, Dh]; write at pos (no transposes)
         cache_l = jax.lax.dynamic_update_slice(
             cache_l, jnp.stack([k_new, v_new]), (0, 0, 0, pos, 0)
@@ -278,19 +282,33 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head):
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
-        h = h + _merge_heads(o) @ blk["wo"] + blk["bo"]
+        h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
 
-        # cross-attention (precomputed K/V)
+        # cross-attention (precomputed K/V; optionally int8 — the scales
+        # factor out of both dots exactly, see ops/quant.py:quantize_kv)
         xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // n_head
-        cq = _split_heads(xn @ blk["cross_wq"] + blk["cross_bq"], n_head)
-        cscores = jnp.einsum(
-            "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
-            preferred_element_type=jnp.float32,
-        )
-        cprobs = jax.nn.softmax(cscores, axis=-1).astype(cv.dtype)
-        co = jnp.einsum("bhqk,bhkd->bhqd", cprobs, cv)
-        h = h + _merge_heads(co) @ blk["cross_wo"] + blk["cross_bo"]
+        cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
+        if is_quant(ck):
+            cscores = jnp.einsum(
+                "bhqd,bhkd->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
+                preferred_element_type=jnp.float32,
+            ) * ck["scale"][:, :, None, :]
+        else:
+            cscores = jnp.einsum(
+                "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
+                preferred_element_type=jnp.float32,
+            )
+        cprobs = jax.nn.softmax(cscores, axis=-1)
+        if is_quant(cv):
+            co = jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
+                cv["qw"].astype(cq.dtype),
+            )
+        else:
+            co = jnp.einsum("bhqk,bhkd->bhqd", cprobs.astype(cv.dtype), cv)
+        h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
 
         h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
         return (h,), cache_l
@@ -355,9 +373,9 @@ def decoder_forward(
         )
         xn = layer_norm(hcur, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // h
-        cq = _split_heads(xn @ blk["cross_wq"] + blk["cross_bq"], h) * dh**-0.25
+        cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], h) * dh**-0.25
         o = attention_reference(cq, ck * dh**-0.25, cv)
-        hcur = hcur + _merge_heads(o) @ blk["cross_wo"] + blk["cross_bo"]
+        hcur = hcur + mm(_merge_heads(o), blk["cross_wo"]) + blk["cross_bo"]
         hcur = hcur + _mlp(
             layer_norm(hcur, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk
         )

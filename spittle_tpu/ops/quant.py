@@ -1,0 +1,129 @@
+"""Weight-only int8 quantization for memory-bound decode.
+
+Autoregressive decode reads every decoder weight once per step, so it is
+HBM-bandwidth-bound on TPU; storing weights as int8 with per-output-channel
+scales halves the bytes (vs bf16) for <0.4% relative matmul error. The
+dequantize-convert sits adjacent to the dot so XLA fuses it into the
+matmul's operand read — no materialized bf16 copy.
+
+This is a TPU-native capability the reference gets from whisper.cpp's
+GGML quantized kernels (SURVEY.md §2.2: the catalog ships q4/q5/q8 GGML
+models; `models/whisper/weights.py` already dequantizes those at load).
+Here quantization is an engine-side serving option: load any checkpoint,
+quantize the decoder tree once, decode with ~half the weight traffic.
+
+Representation: a quantized weight is a dict {"qw": int8 [in, out],
+"scale": f32 [out]} — a pytree, so it flows through jit/scan/sharding
+like any other param. `mm` dispatches on type at trace time, so plain
+float trees trace to byte-identical programs as before.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Union
+
+import jax
+import jax.numpy as jnp
+
+QuantW = Dict[str, jnp.ndarray]
+WeightLike = Union[jnp.ndarray, QuantW]
+
+
+def is_quant(w: Any) -> bool:
+    return isinstance(w, dict) and "qw" in w and "scale" in w
+
+
+def quantize_weight(w: jnp.ndarray) -> QuantW:
+    """Symmetric per-output-channel int8: w ≈ qw * scale[None, :]."""
+    w32 = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=0)  # per out-channel (last axis)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    qw = jnp.clip(jnp.round(w32 / scale[None, :]), -127, 127).astype(jnp.int8)
+    return {"qw": qw, "scale": scale}
+
+
+def dequantize_weight(q: QuantW, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q["qw"].astype(jnp.float32) * q["scale"][None, :]).astype(dtype)
+
+
+def mm(x: jnp.ndarray, w: WeightLike) -> jnp.ndarray:
+    """x @ w for plain or quantized weights.
+
+    Quantized path: int8 -> x.dtype convert feeding straight into the
+    dot (fused by XLA), then a per-column rescale folded into the
+    epilogue. Scaling after the matmul keeps the MXU operands compact.
+    """
+    if not is_quant(w):
+        return x @ w
+    y = x @ w["qw"].astype(x.dtype)
+    return y * w["scale"].astype(x.dtype)
+
+
+def quantize_tree(tree: Any, keys: tuple = ()) -> Any:
+    """Quantize selected weight leaves of a param tree.
+
+    keys: leaf names to quantize (e.g. ("wq","wk","wv","wo","fc1_w",...)).
+    Matching leaves must be 2-D [in, out] or stacked 3-D [L, in, out]
+    (per-layer scales are computed independently via vmap).
+    """
+    kset = set(keys)
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for name, child in node.items():
+                if name in kset and hasattr(child, "ndim"):
+                    if child.ndim == 2:
+                        out[name] = quantize_weight(child)
+                    elif child.ndim == 3:
+                        out[name] = jax.vmap(quantize_weight)(child)
+                    else:
+                        out[name] = child
+                else:
+                    out[name] = walk(child)
+            return out
+        return node
+
+    return walk(tree)
+
+
+def quantize_kv(kv: jnp.ndarray) -> QuantW:
+    """Per-position symmetric int8 for attention K/V tensors.
+
+    kv: [..., T, Dh]; one scale per (..., T) row. The scale factors out
+    of both attention dots exactly: scores = (q @ qK^T) * scale[t] and
+    out = (probs * scale[t]) @ qV, so the int8 tensors feed the MXU
+    directly and only cheap [T]-shaped rescales remain.
+    """
+    kv32 = kv.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kv32), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(kv32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return {"qw": q, "scale": scale}
+
+
+def dequantize_kv(q: QuantW, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q["qw"].astype(jnp.float32) * q["scale"][..., None]).astype(dtype)
+
+
+# Decoder weight leaves worth quantizing for Whisper (everything the
+# per-token step reads except embeddings/norms/biases).
+WHISPER_DECODER_QUANT_KEYS = (
+    "wq", "wk", "wv", "wo",
+    "cross_wq", "cross_wo",
+    "fc1_w", "fc2_w",
+)
+
+
+def quantize_whisper_decoder(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the decoder block weights of a Whisper param tree.
+
+    Cross-attention K/V projections are excluded: they run once per
+    utterance (precompute_cross_kv), not per token, so quantizing them
+    saves nothing on the step and costs accuracy.
+    """
+    out = dict(params)
+    dec = dict(params["decoder"])
+    dec["blocks"] = quantize_tree(dec["blocks"], WHISPER_DECODER_QUANT_KEYS)
+    out["decoder"] = dec
+    return out

@@ -148,3 +148,111 @@ uint64_t ring_write_i16(RingBuffer* rb, const int16_t* src, uint64_t frames,
 }
 
 }  // extern "C"
+
+// -- streaming polyphase resampler ------------------------------------------
+//
+// Host-side counterpart of audio/resample.py's FrameResampler: the filter
+// tables (per-phase taps hp [L, K] and input offsets d [L]) are designed in
+// Python (same kaiser design the offline MXU path uses) and passed in, so
+// the native stream produces float32 outputs with identical taps. The C++
+// side keeps the cross-push state (input buffer, absolute base index, next
+// output index), making streamed output equal to offline resampling of the
+// concatenated input. Lives here so the dictation hot path (mic thread ->
+// 16 kHz frames) never enters the interpreter.
+
+#include <vector>
+
+namespace {
+
+struct Resampler {
+    int64_t L, M, K;
+    std::vector<int64_t> d;   // [L] per-phase input offsets
+    std::vector<float> hp;    // [L*K] per-phase taps
+    int64_t dmin;
+    std::vector<float> buf;   // input window (absolute index buf_base..)
+    int64_t buf_base;
+    int64_t received;         // total true input samples pushed
+    int64_t next_out;         // next output index to produce
+    bool finished;
+};
+
+int64_t ceil_div(int64_t a, int64_t b) { return (a + b - 1) / b; }
+
+// Emit every output whose K-wide window fits inside [.., total_in).
+int64_t drain(Resampler* r, int64_t total_in, float* out, int64_t cap,
+              int64_t limit) {
+    int64_t n = 0;
+    while (n < cap && (limit < 0 || r->next_out < limit)) {
+        int64_t j = r->next_out;
+        int64_t p = j % r->L;
+        int64_t start = (j / r->L) * r->M + r->d[p];
+        if (start + r->K > total_in) break;  // start is monotonic in j
+        const float* x = r->buf.data() + (start - r->buf_base);
+        const float* h = r->hp.data() + p * r->K;
+        float acc = 0.0f;
+        for (int64_t k = 0; k < r->K; ++k) acc += x[k] * h[k];
+        out[n++] = acc;
+        r->next_out = j + 1;
+    }
+    // Drop input no future window can reach.
+    int64_t min_start = (r->next_out / r->L) * r->M + r->dmin - r->buf_base;
+    if (min_start > 0) {
+        r->buf.erase(r->buf.begin(), r->buf.begin() + min_start);
+        r->buf_base += min_start;
+    }
+    return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+Resampler* resampler_create(int64_t L, int64_t M, int64_t K,
+                            const int64_t* d, const float* hp) {
+    auto* r = new (std::nothrow) Resampler();
+    if (!r) return nullptr;
+    r->L = L; r->M = M; r->K = K;
+    r->d.assign(d, d + L);
+    r->hp.assign(hp, hp + L * K);
+    r->dmin = r->d[0];
+    for (int64_t p = 1; p < L; ++p)
+        if (r->d[p] < r->dmin) r->dmin = r->d[p];
+    int64_t pad0 = r->dmin < 0 ? -r->dmin : 0;
+    r->buf.assign(pad0, 0.0f);  // virtual zeros before the stream start
+    r->buf_base = -pad0;
+    r->received = 0;
+    r->next_out = 0;
+    r->finished = false;
+    return r;
+}
+
+void resampler_destroy(Resampler* r) { delete r; }
+
+// Push n input samples; writes ready outputs into out (cap floats).
+// Returns outputs written. cap must be >= ceil((n + K*M)*L/M) to never
+// truncate (the Python wrapper sizes it conservatively).
+int64_t resampler_push(Resampler* r, const float* src, int64_t n,
+                       float* out, int64_t cap) {
+    if (r->finished) return -1;
+    r->buf.insert(r->buf.end(), src, src + n);
+    r->received += n;
+    return drain(r, r->received, out, cap, -1);
+}
+
+// Flush: zero-extend so every remaining window is computable; emit exactly
+// up to ceil(received*L/M) total outputs (offline-equivalent length).
+int64_t resampler_finish(Resampler* r, float* out, int64_t cap) {
+    if (r->finished) return -1;
+    r->finished = true;
+    int64_t out_len = ceil_div(r->received * r->L, r->M);
+    int64_t tail = r->K + r->M;
+    r->buf.insert(r->buf.end(), (size_t)tail, 0.0f);
+    return drain(r, r->received + tail, out, cap, out_len);
+}
+
+int64_t resampler_pending_out(const Resampler* r) {
+    // Upper bound of outputs the next finish() could emit.
+    return ceil_div(r->received * r->L, r->M) - r->next_out;
+}
+
+}  // extern "C"

@@ -21,7 +21,8 @@ from typing import Callable, List, Optional, Protocol
 
 import numpy as np
 
-from .resample import FrameResampler, FRAME_SAMPLES, TARGET_SAMPLE_RATE
+from .resample import FRAME_SAMPLES, TARGET_SAMPLE_RATE
+from spittle_tpu.native.resampler import make_frame_resampler
 from .vad.smoothed import VadFrame
 from .visualizer import AudioVisualizer
 
@@ -123,7 +124,7 @@ class AudioRecorder:
 
     def _run_consumer(self) -> None:
         visualizer = AudioVisualizer(sample_rate=self._source.sample_rate)
-        resampler = FrameResampler(self._source.sample_rate)
+        resampler = make_frame_resampler(self._source.sample_rate)
         recording = False
         processed: List[np.ndarray] = []
         segment_fill = 0
@@ -181,7 +182,7 @@ class AudioRecorder:
                 )
                 recording = False
                 processed.clear()
-                resampler = FrameResampler(self._source.sample_rate)
+                resampler = make_frame_resampler(self._source.sample_rate)
                 arg.put(out)
             elif cmd == "shutdown":
                 return

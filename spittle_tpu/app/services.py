@@ -14,7 +14,7 @@ import threading
 from typing import Callable, Dict, Optional
 
 from spittle_tpu.audio.recorder import AudioSource, QueueSource
-from spittle_tpu.audio.vad.silero import SileroVad, DEFAULT_MODEL_PATH
+from spittle_tpu.audio.vad.silero import SileroVad
 from spittle_tpu.audio.vad.smoothed import SmoothedVad
 from spittle_tpu.config.catalog import load_model_catalog
 from spittle_tpu.config.settings import AppSettings, SettingsStore

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import signal
 import threading
-from typing import Optional
 
 from .actions import ActionContext
 

@@ -23,7 +23,6 @@ import json
 import os
 import subprocess
 import sys
-from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
 from spittle_tpu.config.settings import AppSettings, SoundTheme

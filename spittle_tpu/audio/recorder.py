@@ -21,7 +21,7 @@ from typing import Callable, List, Optional, Protocol
 
 import numpy as np
 
-from .resample import FRAME_SAMPLES, TARGET_SAMPLE_RATE
+from .resample import TARGET_SAMPLE_RATE
 from spittle_tpu.native.resampler import make_frame_resampler
 from .vad.smoothed import VadFrame
 from .visualizer import AudioVisualizer

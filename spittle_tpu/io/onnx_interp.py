@@ -11,7 +11,7 @@ and spittle_tpu.models are the production engines.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

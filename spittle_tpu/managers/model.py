@@ -18,7 +18,7 @@ import threading
 import time
 import urllib.error
 import urllib.request
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 from spittle_tpu.config.catalog import ModelCatalog, ModelCatalogEntry, load_model_catalog

@@ -19,7 +19,7 @@ head (0..durations-1 frames to skip).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import json
 import os
 import re
 from functools import lru_cache
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 from .config import WhisperConfig
 

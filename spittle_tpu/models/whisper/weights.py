@@ -19,7 +19,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .config import CONFIGS, WhisperConfig
+from .config import WhisperConfig
 
 # ---------------------------------------------------------------------------
 # GGML dequantization (public whisper.cpp/ggml block formats)

@@ -10,7 +10,7 @@ encoder + teacher-forced decoder + cross-entropy + AdamW, jitted over a
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import numpy as np
 
 from .config import WhisperConfig
 from .decode import DecodeOptions, NEG_INF, _process_logits, _static_suppress_mask, sot_sequence
-from .model import decode_step, init_kv_cache, precompute_cross_kv
+from .model import decode_step, decoder_prefill, precompute_cross_kv
 
 
 def _expand_beams(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -57,14 +57,12 @@ def _beam_loop(
 
         cross_kv = (quantize_kv(cross_kv[0]), quantize_kv(cross_kv[1]))
     ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)
-    cache = init_kv_cache(cfg, bk, dtype=xa.dtype, ctx=ctx)
     prefix_k = _expand_beams(prefix, k)
 
-    def pre_body(cache, t):
-        logits, cache = decode_step(params, prefix_k[:, t], t, cache, cross_kv, cfg)
-        return cache, logits
-
-    cache, pre_logits = jax.lax.scan(pre_body, cache, jnp.arange(prefix_len))
+    # Single teacher-forced pass prefills all beams' caches (see
+    # decoder_prefill: token-by-token prefill re-reads weights per token).
+    all_logits, cache = decoder_prefill(params, prefix_k, cross_kv, cfg, ctx)
+    pre_logits = all_logits.transpose(1, 0, 2)  # [P, B*K, V]
 
     tokens = jnp.concatenate(
         [prefix_k, jnp.full((bk, max_len - prefix_len), cfg.eot, jnp.int32)],

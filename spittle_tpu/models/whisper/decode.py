@@ -27,6 +27,7 @@ import numpy as np
 from .config import WhisperConfig
 from .model import (
     decode_step,
+    decoder_prefill,
     init_kv_cache,
     precompute_cross_kv,
 )
@@ -172,17 +173,13 @@ def _greedy_loop(
     # Cache sized to the decode budget (sublane-aligned): a short decode
     # reads max_len-wide K/V per step instead of n_text_ctx-wide.
     ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)
-    cache = init_kv_cache(cfg, b, dtype=xa.dtype, ctx=ctx)
     static_mask = jnp.asarray(_static_suppress_mask(cfg, opts))
 
-    # Prefill over the prefix; capture logits at every prefix position.
-    def pre_body(cache, t):
-        logits, cache = decode_step(params, prefix[:, t], t, cache, cross_kv, cfg)
-        return cache, logits
-
-    cache, pre_logits = jax.lax.scan(
-        pre_body, cache, jnp.arange(prefix_len)
-    )  # pre_logits [P, B, V]
+    # One teacher-forced pass prefills the cache and yields per-position
+    # logits (token-by-token prefill would re-read all weights + cross-KV
+    # once per prompt token).
+    all_logits, cache = decoder_prefill(params, prefix, cross_kv, cfg, ctx)
+    pre_logits = all_logits.transpose(1, 0, 2)  # [P, B, V]
 
     tokens = jnp.concatenate(
         [prefix, jnp.full((b, max_len - prefix_len), cfg.eot, jnp.int32)], axis=1

@@ -347,6 +347,63 @@ def decode_step(
     return logits_from_hidden(params, x)[:, 0], new_cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "ctx"))
+def decoder_prefill(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, P] prefix tokens
+    cross_kv,  # (k, v) [L, B, H, 1500, Dh] — plain or quantized
+    cfg: WhisperConfig,
+    ctx: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced prefix pass that also fills the decode KV cache.
+
+    Replaces token-by-token prefill (which re-reads every decoder weight
+    and the whole cross-KV once PER TOKEN — ~100x waste for the 224-token
+    condition_on_previous_text prompts, whisper.cpp's prompt_past). One
+    causal pass computes all P positions, returns per-position logits
+    [B, P, V] and a [L, 2, B, H, ctx, Dh] cache holding positions 0..P-1
+    in exactly the layout decode_step expects (K pre-scaled by
+    head_dim**-0.25).
+    """
+    dec = params["decoder"]
+    b, p = tokens.shape
+    h = cfg.n_text_head
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][None, :p]
+    x = x.astype(dec["tok_emb"].dtype)
+    scale = (cfg.n_text_state // h) ** -0.25
+
+    def body(hcur, inputs):
+        blk, ck, cv = inputs
+        xn = layer_norm(hcur, blk["attn_ln_g"], blk["attn_ln_b"])
+        q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], h) * scale
+        k = _split_heads(mm(xn, blk["wk"]), h) * scale  # cached pre-scaled
+        v = _split_heads(mm(xn, blk["wv"]) + blk["bv"], h)
+        o = multihead_attention(q, k, v, causal=True)
+        hcur = hcur + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
+
+        xn = layer_norm(hcur, blk["cross_ln_g"], blk["cross_ln_b"])
+        dh = xn.shape[-1] // h
+        cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], h)
+        if is_quant(ck):
+            from spittle_tpu.ops.quant import dequantize_kv
+
+            ck = dequantize_kv(ck, cq.dtype)
+            cv = dequantize_kv(cv, cq.dtype)
+        o = attention_reference(cq * dh**-0.25, ck * dh**-0.25, cv)
+        hcur = hcur + mm(_merge_heads(o), blk["cross_wo"]) + blk["cross_bo"]
+        hcur = hcur + _mlp(
+            layer_norm(hcur, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk
+        )
+        return hcur, jnp.stack([k, v])  # [2, B, H, P, Dh] per layer
+
+    x, kv = jax.lax.scan(body, x, (dec["blocks"], cross_kv[0], cross_kv[1]))
+    cache = init_kv_cache(cfg, b, dtype=x.dtype, ctx=ctx)
+    cache = jax.lax.dynamic_update_slice(
+        cache, kv.astype(cache.dtype), (0, 0, 0, 0, 0, 0)
+    )
+    return logits_from_hidden(params, x), cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decoder_forward(
     params: Params,

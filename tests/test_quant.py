@@ -128,6 +128,29 @@ def test_whisper_greedy_quant_kv_matches_plain(tiny):
     )
 
 
+def test_whisper_beam_quant_kv_matches_plain(tiny):
+    import dataclasses
+
+    from spittle_tpu.models.whisper.beam import beam_decode
+
+    cfg, params = tiny
+    rng = np.random.default_rng(8)
+    mel = jnp.asarray(
+        rng.standard_normal((1, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(
+            np.float32
+        )
+    )
+    xa = encode(params, mel, cfg)
+    opts = DecodeOptions(timestamps=False, max_tokens=8)
+    ref = beam_decode(params, xa, cfg, opts, beam_size=2)
+    got = beam_decode(
+        params, xa, cfg, dataclasses.replace(opts, quant_kv=True), beam_size=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["tokens"]), np.asarray(got["tokens"])
+    )
+
+
 def test_whisper_greedy_decode_runs_quantized(tiny):
     cfg, params = tiny
     qparams = quantize_whisper_decoder(params)

@@ -73,6 +73,7 @@ class ParakeetEngine:
         self.cfg: Optional[ParakeetConfig] = None
         self.params = None
         self.table: Optional[SentencePieceTable] = None
+        self.mode = "tdt"  # or "ctc" (ParakeetForCTC checkpoints)
 
     def load_model(self, model_path: str) -> None:
         if model_path.startswith("random:"):
@@ -80,23 +81,39 @@ class ParakeetEngine:
             self.cfg = CONFIGS[name]
             self.params = init_params(self.cfg, jax.random.PRNGKey(0), self.dtype)
             self.table = SentencePieceTable.test_table(self.cfg.vocab_size)
+            self.mode = "tdt"
             return
-        # Directory checkpoints: weights in safetensors (converted from NeMo)
-        # + vocab table. int8 ONNX import is a planned follow-up; structure
-        # and tokenizer already load here.
-        name = "parakeet-tdt-0.6b-v3" if "v3" in model_path else "parakeet-tdt-0.6b-v2"
-        self.cfg = CONFIGS[name]
         st_path = os.path.join(model_path, "model.safetensors")
-        if os.path.exists(st_path):
-            from safetensors.numpy import load_file
-
-            raw = load_file(st_path)
-            self.params = jax.tree.map(jnp.asarray, dict(raw))
-        else:
+        if not os.path.exists(st_path):
             raise FileNotFoundError(
                 f"{model_path}: no supported Parakeet checkpoint found "
                 "(expected model.safetensors; ONNX int8 import pending)"
             )
+        from safetensors.numpy import load_file
+
+        raw = dict(load_file(st_path))
+        if "ctc_head.weight" in raw:
+            # HF ParakeetForCTC export: config inferred from shapes, CTC
+            # greedy decode (blank = last id, NeMo convention).
+            from spittle_tpu.models.parakeet.weights import (
+                config_from_hf_ctc_tensors,
+                params_from_hf_ctc_tensors,
+            )
+
+            self.cfg = config_from_hf_ctc_tensors(raw)
+            self.params = jax.tree.map(
+                lambda a: jnp.asarray(a, self.dtype)
+                if np.asarray(a).ndim >= 2 else jnp.asarray(a),
+                params_from_hf_ctc_tensors(raw, self.cfg),
+            )
+            self.mode = "ctc"
+        else:
+            # TDT tree saved in our stacked layout (converted from NeMo).
+            name = ("parakeet-tdt-0.6b-v3" if "v3" in model_path
+                    else "parakeet-tdt-0.6b-v2")
+            self.cfg = CONFIGS[name]
+            self.params = jax.tree.map(jnp.asarray, raw)
+            self.mode = "tdt"
         self.table = SentencePieceTable.load(model_path)
 
     def unload_model(self) -> None:
@@ -133,6 +150,25 @@ class ParakeetEngine:
             [min(len(a) // HOP // 8 + 1, enc.shape[1]) for a in audios],
             jnp.int32,
         )
+        if self.mode == "ctc":
+            from spittle_tpu.models.parakeet.decode import ctc_greedy_decode
+
+            id_lists = ctc_greedy_decode(
+                self.params, enc, frames_per_audio, blank=self.cfg.vocab_size
+            )
+            results = []
+            for i, ids in enumerate(id_lists):
+                text = self.table.decode(ids)
+                dur = len(audios[i]) / 16000.0
+                results.append(
+                    TranscriptionResult(
+                        text=text,
+                        segments=[Segment(0.0, dur, text)] if text else [],
+                        language=params.language,
+                    )
+                )
+            return results
+
         tokens, counts, frames = tdt_greedy_decode(
             self.params, enc, frames_per_audio, self.cfg
         )

@@ -97,3 +97,36 @@ def _initial_pred(params, batch, cfg, dtype):
     blank_tok = jnp.full((batch,), cfg.blank_id, jnp.int32)
     pred, state = pred_step(params, blank_tok, state, cfg)
     return pred, state
+
+
+# ---------------------------------------------------------------------------
+# CTC decoding (ParakeetForCTC checkpoints: encoder + Conv1d(d, vocab, 1))
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def ctc_logits(params, enc: jnp.ndarray) -> jnp.ndarray:
+    """Encoder states [B, T, D] -> CTC logits [B, T, vocab+blank]."""
+    return (enc @ params["ctc_w"] + params["ctc_b"]).astype(jnp.float32)
+
+
+def ctc_greedy_decode(params, enc: jnp.ndarray, lens, blank: int):
+    """Greedy CTC: per-frame argmax -> collapse repeats -> drop blanks.
+
+    Returns a list of id lists (variable-length collapse stays on host;
+    the argmax over [B, T, V] runs on device)."""
+    import numpy as np
+
+    ids = np.asarray(jnp.argmax(ctc_logits(params, enc), axis=-1))
+    lens = np.asarray(lens)
+    out = []
+    for b in range(ids.shape[0]):
+        seq = []
+        prev = -1
+        for t in range(int(lens[b])):
+            tok = int(ids[b, t])
+            if tok != prev and tok != blank:
+                seq.append(tok)
+            prev = tok
+        out.append(seq)
+    return out

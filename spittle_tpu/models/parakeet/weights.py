@@ -31,6 +31,46 @@ def _stack(t: Mapping[str, np.ndarray], fmt: str, n: int,
     return np.stack(arrs)
 
 
+def config_from_hf_ctc_tensors(tensors: Mapping[str, np.ndarray]) -> ParakeetConfig:
+    """Infer a ParakeetConfig from a ParakeetForCTC state_dict's shapes.
+
+    Every dimension is recoverable: n_heads from bias_u's shape, n_mels
+    from the subsampling linear's input width, conv kernel from the
+    depthwise conv. vocab_size excludes the blank (NeMo convention:
+    blank = last CTC id)."""
+    t = tensors
+    d = int(np.asarray(t["encoder.layers.0.self_attn.q_proj.weight"]).shape[0])
+    n_heads = int(np.asarray(t["encoder.layers.0.self_attn.bias_u"]).shape[0])
+    ff = int(np.asarray(
+        t["encoder.layers.0.feed_forward1.linear1.weight"]).shape[0])
+    ch = int(np.asarray(t["encoder.subsampling.layers.0.weight"]).shape[0])
+    lin_in = int(np.asarray(t["encoder.subsampling.linear.weight"]).shape[1])
+    n_mels = lin_in // ch * 8
+    kernel = int(np.asarray(
+        t["encoder.layers.0.conv.depthwise_conv.weight"]).shape[-1])
+    n_layers = sum(
+        1 for k in t
+        if k.startswith("encoder.layers.") and k.endswith(".norm_out.weight")
+    )
+    vocab_with_blank = int(np.asarray(t["ctc_head.weight"]).shape[0])
+    return ParakeetConfig(
+        name="parakeet-ctc", n_mels=n_mels, d_model=d, n_layers=n_layers,
+        n_heads=n_heads, ff_mult=max(ff // d, 1), conv_kernel=kernel,
+        subsampling_channels=ch, vocab_size=vocab_with_blank - 1,
+    )
+
+
+def params_from_hf_ctc_tensors(
+    tensors: Mapping[str, np.ndarray], cfg: ParakeetConfig
+) -> Params:
+    """ParakeetForCTC state_dict -> {subsampling, blocks, ctc_w, ctc_b}."""
+    tree = encoder_params_from_hf_tensors(tensors, cfg, prefix="encoder.")
+    # ctc_head is Conv1d(d, vocab, k=1): weight [vocab, d, 1] -> [d, vocab].
+    tree["ctc_w"] = np.squeeze(np.asarray(tensors["ctc_head.weight"]), -1).T
+    tree["ctc_b"] = np.asarray(tensors["ctc_head.bias"])
+    return tree
+
+
 def encoder_params_from_hf_tensors(
     tensors: Mapping[str, np.ndarray],
     cfg: ParakeetConfig,

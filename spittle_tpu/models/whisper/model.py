@@ -347,6 +347,90 @@ def decode_step(
     return logits_from_hidden(params, x)[:, 0], new_cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_block(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, K] tokens occupying positions pos..pos+K-1
+    pos: jnp.ndarray,  # scalar int32: position of tokens[:, 0]
+    kv_cache: jnp.ndarray,
+    cross_kv,
+    cfg: WhisperConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K-position decode: logits [B, K, V] + cache written at pos..pos+K-1.
+
+    The speculative-verification primitive: one bandwidth-bound pass over
+    the decoder weights scores K draft tokens at once (decode_step is the
+    K=1 special case). Attention masks causally relative to pos, so stale
+    cache entries beyond the accepted point are never read and get
+    overwritten by later blocks.
+    """
+    dec = params["decoder"]
+    b, kk = tokens.shape
+    n_head = cfg.n_text_head
+    scale = (cfg.n_text_state // n_head) ** -0.25
+    n_ctx = kv_cache.shape[4]
+
+    x = dec["tok_emb"][tokens]
+    x = (x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, kk)[None]).astype(
+        dec["tok_emb"].dtype
+    )
+
+    def body(carry, inputs):
+        (h,) = carry
+        blk, cache_l, ck, cv = inputs
+        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
+        q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
+        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,K,Dh]
+        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
+        cache_l = jax.lax.dynamic_update_slice(
+            cache_l, jnp.stack([k_new, v_new]), (0, 0, 0, pos, 0)
+        )
+        k_all, v_all = cache_l[0], cache_l[1]
+        # row j (position pos+j) may attend to cache cols <= pos+j
+        mask = (
+            jnp.arange(n_ctx)[None, :] <= pos + jnp.arange(kk)[:, None]
+        )[None, None]
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_all, preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+        h = h + mm(_merge_heads(
+            jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)), blk["wo"]
+        ) + blk["bo"]
+
+        xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
+        dh = xn.shape[-1] // n_head
+        cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
+        if is_quant(ck):
+            cscores = jnp.einsum(
+                "bhqd,bhkd->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
+                preferred_element_type=jnp.float32,
+            ) * ck["scale"][:, :, None, :]
+        else:
+            cscores = jnp.einsum(
+                "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
+                preferred_element_type=jnp.float32,
+            )
+        cprobs = jax.nn.softmax(cscores, axis=-1)
+        if is_quant(cv):
+            co = jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
+                cv["qw"].astype(cq.dtype),
+            )
+        else:
+            co = jnp.einsum("bhqk,bhkd->bhqd", cprobs.astype(cv.dtype), cv)
+        h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
+        h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
+        return (h,), cache_l
+
+    (x,), new_cache = jax.lax.scan(
+        body, (x,), (dec["blocks"], kv_cache, cross_kv[0], cross_kv[1])
+    )
+    return logits_from_hidden(params, x), new_cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "ctx"))
 def decoder_prefill(
     params: Params,

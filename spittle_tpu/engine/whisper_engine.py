@@ -65,6 +65,8 @@ class WhisperEngine:
         self.dtype = dtype
         self.suppress_non_speech = suppress_non_speech
         self.quantize_decoder = quantize_decoder
+        self.draft_cfg: Optional[WhisperConfig] = None
+        self.draft_params = None
         self.cfg: Optional[WhisperConfig] = None
         self.params = None
         self.tokenizer: Optional[WhisperTokenizer] = None
@@ -112,11 +114,51 @@ class WhisperEngine:
         space = self.tokenizer.encode(" ")
         self._space_token = space[0] if space else None
 
+    def load_draft_model(self, model_path: str) -> None:
+        """Load a small draft Whisper for speculative decoding.
+
+        The draft must share the main model's token table and audio
+        context (e.g. distil variants of the same family). Greedy
+        temperature-0 decodes then verify K draft tokens per main-model
+        pass (models/whisper/speculative.py) and still produce exactly
+        the main model's transcript.
+        """
+        assert self.is_loaded, "load the main model before the draft"
+        if model_path.startswith("random:"):
+            draft_cfg = CONFIGS[model_path.split(":", 1)[1]]
+            draft_params = init_params(
+                draft_cfg, jax.random.PRNGKey(1), self.dtype
+            )
+        else:
+            from spittle_tpu.models.whisper.weights import load_params
+
+            draft_cfg, draft_params, _ = load_params(
+                model_path,
+                dtype=np.dtype(self.dtype)
+                if self.dtype != jnp.bfloat16 else np.float32,
+            )
+            if self.dtype == jnp.bfloat16:
+                draft_params = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 and a.ndim >= 2 else a,
+                    draft_params,
+                )
+        for attr in ("n_vocab", "sot", "eot", "timestamp_begin",
+                     "lang_begin", "n_audio_ctx"):
+            if getattr(self.cfg, attr) != getattr(draft_cfg, attr):
+                raise ValueError(
+                    f"draft incompatible with main model on {attr}"
+                )
+        self.draft_cfg = draft_cfg
+        self.draft_params = draft_params
+
     def unload_model(self) -> None:
         self.cfg = None
         self.params = None
         self.tokenizer = None
         self.mel_filters = None
+        self.draft_cfg = None
+        self.draft_params = None
 
     @property
     def is_loaded(self) -> bool:
@@ -213,6 +255,12 @@ class WhisperEngine:
                 windows[bi, : len(chunk)] = chunk
             mel = self._mel(windows)
             xa = encode(self.params, mel, cfg)
+            draft_xa = None
+            if self.draft_params is not None:
+                draft_mel = log_mel_spectrogram(
+                    jnp.asarray(windows), n_mels=self.draft_cfg.n_mels
+                )
+                draft_xa = encode(self.draft_params, draft_mel, self.draft_cfg)
 
             lt = None
             if cfg.multilingual:
@@ -229,7 +277,7 @@ class WhisperEngine:
                     )
             opts = self._decode_options(params)
             out = self._decode_with_fallback(
-                xa, opts, params, lt, prompt_tokens
+                xa, opts, params, lt, prompt_tokens, draft_xa=draft_xa
             )
             tokens = np.asarray(out["tokens"])
             sb = out["sample_begin"]
@@ -306,7 +354,8 @@ class WhisperEngine:
         raw = text.encode("utf-8")
         return len(raw) / len(zlib.compress(raw))
 
-    def _decode_once(self, xa, opts, params, lt, prompt_tokens):
+    def _decode_once(self, xa, opts, params, lt, prompt_tokens,
+                     draft_xa=None):
         if params.beam_size > 1 and opts.temperature == 0.0:
             from spittle_tpu.models.whisper.beam import beam_decode
 
@@ -314,12 +363,23 @@ class WhisperEngine:
                 self.params, xa, self.cfg, opts, beam_size=params.beam_size,
                 lang_tokens=lt, prompt_tokens=prompt_tokens,
             )
+        if draft_xa is not None and opts.temperature == 0.0:
+            from spittle_tpu.models.whisper.speculative import (
+                speculative_greedy_decode,
+            )
+
+            return speculative_greedy_decode(
+                self.params, self.draft_params, xa, draft_xa,
+                self.cfg, self.draft_cfg, opts,
+                lang_tokens=lt, prompt_tokens=prompt_tokens,
+            )
         return greedy_decode(
             self.params, xa, self.cfg, opts,
             lang_tokens=lt, prompt_tokens=prompt_tokens,
         )
 
-    def _decode_with_fallback(self, xa, opts, params, lt, prompt_tokens):
+    def _decode_with_fallback(self, xa, opts, params, lt, prompt_tokens,
+                              draft_xa=None):
         """Per-item retry ladder: a window whose decode looks degenerate
         (compression ratio > 2.4 or avg logprob < -1.0) re-decodes at the
         next temperature; accepted items keep their first good result."""
@@ -330,12 +390,16 @@ class WhisperEngine:
         pending = list(range(n))
         for temp in self.FALLBACK_TEMPERATURES:
             t_opts = _dc.replace(opts, temperature=temp)
+            sub = len(pending) != n
             out = self._decode_once(
-                xa[np.asarray(pending)] if len(pending) != n else xa,
+                xa[np.asarray(pending)] if sub else xa,
                 t_opts, params,
-                (lt[np.asarray(pending)] if lt is not None and len(pending) != n
-                 else lt),
+                (lt[np.asarray(pending)] if lt is not None and sub else lt),
                 prompt_tokens,
+                draft_xa=(
+                    draft_xa[np.asarray(pending)]
+                    if draft_xa is not None and sub else draft_xa
+                ),
             )
             tokens = np.asarray(out["tokens"])
             avg_lp = np.asarray(out["avg_logprob"])

@@ -99,3 +99,38 @@ def test_word_timestamps_through_engine(engine):
     assert isinstance(res.words, list)
     for w in res.words:
         assert w.end >= w.start >= 0
+
+
+def test_speculative_draft_matches_plain(engine):
+    """With a draft model loaded, transcripts are identical to plain
+    greedy decoding (speculative decoding is exact)."""
+    CONFIGS["unit-test-draft"] = WhisperConfig(
+        name="unit-test-draft", n_mels=80, n_audio_ctx=1500,
+        n_audio_state=64, n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+        n_text_ctx=48, n_text_state=64, n_text_head=4, n_text_layer=1,
+    )
+    audio = make_audio(3.0, seed=5)
+    plain = engine.transcribe_samples(audio, TranscribeParams(language="en"))
+    engine.load_draft_model("random:unit-test-draft")
+    try:
+        spec = engine.transcribe_samples(
+            audio, TranscribeParams(language="en")
+        )
+    finally:
+        engine.draft_params = None
+        engine.draft_cfg = None
+    assert spec.text == plain.text
+    assert [(s.start, s.end, s.text) for s in spec.segments] == [
+        (s.start, s.end, s.text) for s in plain.segments
+    ]
+
+
+def test_draft_layout_mismatch_rejected(engine):
+    CONFIGS["unit-test-badvocab"] = WhisperConfig(
+        name="unit-test-badvocab", n_mels=80, n_audio_ctx=1500,
+        n_audio_state=64, n_audio_head=4, n_audio_layer=1, n_vocab=51864,
+        n_text_ctx=48, n_text_state=64, n_text_head=4, n_text_layer=1,
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        engine.load_draft_model("random:unit-test-badvocab")
+    assert engine.draft_params is None

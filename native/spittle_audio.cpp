@@ -255,4 +255,32 @@ int64_t resampler_pending_out(const Resampler* r) {
     return ceil_div(r->received * r->L, r->M) - r->next_out;
 }
 
+// -- text similarity hot path ------------------------------------------------
+//
+// The reference's fuzzy custom-word correction runs strsim::levenshtein in
+// Rust (audio_toolkit/text.rs); this is the same O(n*m) single-row DP over
+// Unicode codepoints, called from text/filters.py for every (n-gram,
+// custom-word) pair. Inputs are UTF-32 arrays prepared by the Python side.
+
+int64_t levenshtein_u32(const uint32_t* a, int64_t n,
+                        const uint32_t* b, int64_t m) {
+    if (n == 0) return m;
+    if (m == 0) return n;
+    std::vector<int64_t> prev(m + 1), cur(m + 1);
+    for (int64_t j = 0; j <= m; ++j) prev[j] = j;
+    for (int64_t i = 1; i <= n; ++i) {
+        cur[0] = i;
+        const uint32_t ca = a[i - 1];
+        for (int64_t j = 1; j <= m; ++j) {
+            int64_t del = prev[j] + 1;
+            int64_t ins = cur[j - 1] + 1;
+            int64_t sub = prev[j - 1] + (ca != b[j - 1] ? 1 : 0);
+            int64_t best = del < ins ? del : ins;
+            cur[j] = best < sub ? best : sub;
+        }
+        std::swap(prev, cur);
+    }
+    return prev[m];
+}
+
 }  // extern "C"

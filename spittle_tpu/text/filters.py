@@ -18,14 +18,36 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 # ---------------------------------------------------------------------------
 
 
-def levenshtein(a: str, b: str) -> int:
-    """Unicode-codepoint Levenshtein distance (semantics of strsim::levenshtein)."""
-    if a == b:
-        return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
+_native_lev = None  # resolved lazily; False = unavailable
+
+
+def _resolve_native_lev():
+    """C++ fast path (native/spittle_audio.cpp: levenshtein_u32); the
+    reference runs this loop natively too (Rust strsim)."""
+    global _native_lev
+    if _native_lev is None:
+        try:
+            import ctypes
+
+            from spittle_tpu.native.ringbuffer import load_native
+
+            lib = load_native()
+            if lib is None:
+                _native_lev = False
+            else:
+                fn = lib.levenshtein_u32
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ]
+                _native_lev = fn
+        except Exception:
+            _native_lev = False
+    return _native_lev
+
+
+def _levenshtein_py(a: str, b: str) -> int:
     # One-row DP.
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, start=1):
@@ -38,6 +60,27 @@ def levenshtein(a: str, b: str) -> int:
             )
         prev = cur
     return prev[-1]
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unicode-codepoint Levenshtein distance (semantics of strsim::levenshtein)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    fn = _resolve_native_lev()
+    if fn:
+        import ctypes
+
+        ab = a.encode("utf-32-le")
+        bb = b.encode("utf-32-le")
+        return fn(
+            ctypes.cast(ab, ctypes.POINTER(ctypes.c_uint32)), len(a),
+            ctypes.cast(bb, ctypes.POINTER(ctypes.c_uint32)), len(b),
+        )
+    return _levenshtein_py(a, b)
 
 
 _SOUNDEX_CODES = {

@@ -117,3 +117,25 @@ def test_ringbuffer_source_with_recorder():
     src.close()
     assert len(out) >= 4800
     np.testing.assert_allclose(out[:4800], audio, atol=1e-6)
+
+
+def test_native_levenshtein_matches_python():
+    import random
+    import string
+
+    from spittle_tpu.text.filters import (
+        _levenshtein_py,
+        _resolve_native_lev,
+        levenshtein,
+    )
+
+    if not _resolve_native_lev():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = random.Random(0)
+    alphabet = string.ascii_lowercase + "äöüßé日本語 "
+    for _ in range(200):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        assert levenshtein(a, b) == _levenshtein_py(a, b), (a, b)

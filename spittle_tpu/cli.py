@@ -90,6 +90,36 @@ def cmd_rolling(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Batching HTTP transcription server (parallel/serving.py front)."""
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+    from spittle_tpu.parallel.http_server import TranscriptionHTTPServer
+    from spittle_tpu.parallel.serving import BatchingTranscriptionServer
+
+    engine = WhisperEngine()
+    engine.load_model(args.model)
+    if args.draft_model:
+        engine.load_draft_model(args.draft_model)
+    server = BatchingTranscriptionServer(
+        engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    http = TranscriptionHTTPServer(server, host=args.host, port=args.port)
+    http.start()
+    print(f"serving on http://{http.address[0]}:{http.address[1]} "
+          f"(model={args.model}, max_batch={args.max_batch})")
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        http.stop()
+        server.shutdown()
+    return 0
+
+
 def cmd_catalog(args) -> int:
     from spittle_tpu.config.catalog import load_model_catalog
 
@@ -132,6 +162,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("catalog", help="list the model catalog")
     c.set_defaults(fn=cmd_catalog)
+
+    s = sub.add_parser("serve", help="batching HTTP transcription server")
+    s.add_argument("--model", default="random:tiny.en")
+    s.add_argument("--draft-model", default=None,
+                   help="small same-vocab model for speculative decoding")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8090)
+    s.add_argument("--max-batch", type=int, default=32)
+    s.add_argument("--max-wait-ms", type=float, default=10.0)
+    s.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -30,6 +30,11 @@ class TranscribeParams:
     # the previous window's text (applied on the single-utterance path;
     # batched rounds keep the shared initial prompt only).
     condition_on_previous_text: bool = True
+    # TPU fast path for long audio: decode ALL 30 s windows of every item
+    # in one batch (fixed-stride chunking, no timestamp-guided seek or
+    # prompt carry). Requires condition_on_previous_text=False; one
+    # device program replaces the sequential seek loop.
+    parallel_windows: bool = False
 
 
 @dataclasses.dataclass

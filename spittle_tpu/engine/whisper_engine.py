@@ -234,6 +234,15 @@ class WhisperEngine:
 
         n = len(batch)
         audios = [np.asarray(a, np.float32) for a in batch]
+        if params.parallel_windows:
+            if params.condition_on_previous_text:
+                raise ValueError(
+                    "parallel_windows requires condition_on_previous_text="
+                    "False (windows decode independently)"
+                )
+            return self._transcribe_parallel_windows(
+                audios, params, base_prompt
+            )
         seeks = [0] * n  # in mel frames
         content_frames = [max(1, len(a) // HOP_LENGTH) for a in audios]
         seg_tokens: List[List[int]] = [[] for _ in range(n)]
@@ -338,6 +347,106 @@ class WhisperEngine:
                 )
             )
         return results
+
+    def _transcribe_parallel_windows(
+        self, audios, params: TranscribeParams, base_prompt
+    ) -> List[TranscriptionResult]:
+        """Long-form fast path: every 30 s window of every item decodes in
+        ONE batched device program (fixed-stride chunking).
+
+        Trades whisper.cpp's timestamp-guided seek + prompt carry for a
+        single compile-once batch — the right shape for TPU serving when
+        windows are independent (condition_on_previous_text=False).
+        """
+        cfg = self.cfg
+        tok = self.tokenizer
+        n = len(audios)
+        content_frames = [max(1, len(a) // HOP_LENGTH) for a in audios]
+        # (item, seek) for every fixed-stride window.
+        plan = [
+            (i, seek)
+            for i in range(n)
+            for seek in range(0, content_frames[i], self.window_frames)
+        ]
+        windows = np.zeros((len(plan), self.window_samples), np.float32)
+        for wi, (i, seek) in enumerate(plan):
+            start = seek * HOP_LENGTH
+            chunk = audios[i][start : start + self.window_samples]
+            windows[wi, : len(chunk)] = chunk
+        mel = self._mel(windows)
+        xa = encode(self.params, mel, cfg)
+        draft_xa = None
+        if self.draft_params is not None:
+            draft_mel = log_mel_spectrogram(
+                jnp.asarray(windows), n_mels=self.draft_cfg.n_mels
+            )
+            draft_xa = encode(self.draft_params, draft_mel, self.draft_cfg)
+
+        languages: List[Optional[str]] = [params.language] * n
+        lt = None
+        if cfg.multilingual:
+            if params.language is None:
+                # Detect on each item's FIRST window; share across windows.
+                first = [next(w for w, (j, s) in enumerate(plan) if j == i)
+                         for i in range(n)]
+                probs = np.asarray(
+                    detect_language(self.params, xa[np.asarray(first)], cfg)
+                )
+                det = probs.argmax(-1)
+                per_item = [int(cfg.lang_begin + det[i]) for i in range(n)]
+                languages = [tok.lang_code(t) for t in per_item]
+                lt = jnp.asarray(
+                    [per_item[i] for i, _ in plan], jnp.int32
+                )
+
+        opts = self._decode_options(params)
+        out = self._decode_with_fallback(
+            xa, opts, params, lt, base_prompt, draft_xa=draft_xa
+        )
+        tokens = np.asarray(out["tokens"])
+        sb = out["sample_begin"]
+
+        seg_tokens: List[List[int]] = [[] for _ in range(n)]
+        segments: List[List[Segment]] = [[] for _ in range(n)]
+        words: List[list] = [[] for _ in range(n)]
+        for wi, (i, seek) in enumerate(plan):
+            gen = []
+            for t in tokens[wi, sb:]:
+                if t == cfg.eot:
+                    break
+                gen.append(int(t))
+            win_offset = seek / FRAMES_PER_SECOND
+            segs, _ = self._parse_window(gen, win_offset)
+            if params.word_timestamps and gen:
+                from spittle_tpu.models.whisper.alignment import (
+                    word_timestamps as _wt,
+                )
+                from .base import Word
+
+                window_frames = min(
+                    self.window_frames, content_frames[i] - seek
+                )
+                timings = _wt(
+                    self.params, gen, xa[wi : wi + 1],
+                    n_frames=window_frames // 2, cfg=cfg, tokenizer=tok,
+                    prefix=tuple(int(t) for t in tokens[wi, :sb]),
+                )
+                words[i].extend(
+                    Word(w.word, w.start + win_offset, w.end + win_offset)
+                    for w in timings
+                )
+            segments[i].extend(segs)
+            seg_tokens[i].extend(gen)
+
+        return [
+            TranscriptionResult(
+                text=tok.decode(seg_tokens[i]).strip(),
+                segments=segments[i],
+                language=languages[i],
+                words=words[i],
+            )
+            for i in range(n)
+        ]
 
     # Quality-gated temperature ladder (whisper.cpp fallback semantics:
     # retry at increasing temperature when the decode is degenerate).

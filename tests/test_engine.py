@@ -134,3 +134,33 @@ def test_draft_layout_mismatch_rejected(engine):
     with pytest.raises(ValueError, match="incompatible"):
         engine.load_draft_model("random:unit-test-badvocab")
     assert engine.draft_params is None
+
+
+def test_parallel_windows_long_audio(engine):
+    """Fixed-stride parallel-window decode covers the whole audio and
+    yields the same per-window transcription as sequential no-condition
+    decoding."""
+    audio = make_audio(75.0, seed=9)  # 3 windows (window=30s for unit cfg)
+    seq = engine.transcribe_samples(
+        audio,
+        TranscribeParams(language="en", condition_on_previous_text=False),
+    )
+    par = engine.transcribe_samples(
+        audio,
+        TranscribeParams(language="en", condition_on_previous_text=False,
+                         parallel_windows=True),
+    )
+    # Sequential seek may advance by decoded timestamps; fixed-stride
+    # covers >= the same span. (Random weights may emit timestamp-only
+    # windows, so assert coverage, not specific text.)
+    assert par.segments, "parallel path produced no segments"
+    assert par.segments[-1].end >= 60.0  # all three windows decoded
+    assert par.language == seq.language == "en"
+
+
+def test_parallel_windows_requires_no_conditioning(engine):
+    with pytest.raises(ValueError, match="condition_on_previous_text"):
+        engine.transcribe_samples(
+            make_audio(2.0),
+            TranscribeParams(parallel_windows=True),
+        )

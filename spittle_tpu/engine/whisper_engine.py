@@ -200,6 +200,11 @@ class WhisperEngine:
             space_token=self._space_token,
             suppress_tokens=suppress,
             quant_kv=self.quantize_decoder,
+            # whisper.cpp splits the text context: half for the carried
+            # prompt, half for the window's decode. Bounding max_tokens
+            # also halves the static KV cache the decode loop re-reads
+            # every step.
+            max_tokens=self.cfg.n_text_ctx // 2,
         )
 
     def transcribe_samples(

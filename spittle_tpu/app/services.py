@@ -30,11 +30,32 @@ from spittle_tpu.managers.transcription import TranscriptionManager
 def default_engine_factory(engine_type: str):
     """Map catalog engine_type to an engine instance (LoadedEngine dispatch,
     transcription.rs:29-34): whisper / parakeet / moonshine / sense_voice,
-    all backed by the JAX model stacks."""
+    all backed by the JAX model stacks.
+
+    TPU-serving extras are env-gated (they have no reference-settings
+    counterpart): SPITTLE_QUANTIZE_DECODER=1 turns on int8 decoder
+    weights + cross-KV; SPITTLE_DRAFT_MODEL=<path> loads a speculative
+    draft after the main model.
+    """
+    import os
+
     if engine_type == "whisper":
         from spittle_tpu.engine.whisper_engine import WhisperEngine
 
-        return WhisperEngine()
+        engine = WhisperEngine(
+            quantize_decoder=os.environ.get(
+                "SPITTLE_QUANTIZE_DECODER", "0") == "1",
+        )
+        draft = os.environ.get("SPITTLE_DRAFT_MODEL")
+        if draft:
+            _load = engine.load_model
+
+            def load_with_draft(path, _load=_load, _draft=draft):
+                _load(path)
+                engine.load_draft_model(_draft)
+
+            engine.load_model = load_with_draft  # type: ignore[method-assign]
+        return engine
     if engine_type == "parakeet":
         from spittle_tpu.engine.parakeet_engine import ParakeetEngine
 

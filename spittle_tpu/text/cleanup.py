@@ -62,8 +62,37 @@ def restore_protected_spans(text: str, spans: List[Tuple[str, str]]) -> str:
     return text
 
 
+def validate_cleanup(
+    original: str, cleaned: str, spans: List[Tuple[str, str]]
+) -> bool:
+    """Sanity gate on provider output (cleanup.rs validate_cleanup):
+    non-empty, within a 3x length band of the input, and every protected
+    placeholder replaced."""
+    if not cleaned or not cleaned.strip():
+        return False
+    lo, lc = len(original), len(cleaned)
+    if lc * 3 < lo or lc > lo * 3:
+        return False
+    for placeholder, _ in spans:
+        if placeholder in cleaned:
+            return False
+    return True
+
+
+_SENTENCE_END = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_sentences(text: str) -> List[str]:
+    """Split on sentence-final punctuation (cleanup.rs sentence batching:
+    long inputs clean one sentence at a time)."""
+    parts = [p.strip() for p in _SENTENCE_END.split(text)]
+    return [p for p in parts if p]
+
+
 class CleanupManager:
     """Masking + provider orchestration; falls back to the input text."""
+
+    split_sentences = staticmethod(split_sentences)
 
     def __init__(self, seq2seq: Optional[Callable[[str], str]] = None):
         self._seq2seq = seq2seq
@@ -87,7 +116,6 @@ class CleanupManager:
         if not result or not result.strip():
             return text
         restored = restore_protected_spans(result.strip(), spans)
-        for placeholder, _ in spans:
-            if placeholder in restored:
-                return text  # placeholder leaked: keep the original
+        if not validate_cleanup(text, restored, spans):
+            return text  # degenerate output or leaked placeholder
         return restored

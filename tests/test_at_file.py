@@ -204,3 +204,214 @@ class TestWalkAndSnippets:
         assert not is_git_repository(str(sub))
         (tmp_path / ".git").mkdir()
         assert is_git_repository(str(sub))
+
+
+# ---------------------------------------------------------------------------
+# Behavior parity for the remainder of the reference's 62-test suite
+# (at_file_expansion.rs tests; assertions re-derived, not copied).
+# ---------------------------------------------------------------------------
+
+
+def test_parse_at_start_of_text():
+    tokens = parse_at_tokens("@auth.ts is important")
+    assert [t.token for t in tokens] == ["auth.ts"]
+
+
+def test_parse_at_end_of_text():
+    tokens = parse_at_tokens("see @auth.ts")
+    assert [t.token for t in tokens] == ["auth.ts"]
+
+
+def test_parse_with_comma():
+    tokens = parse_at_tokens("open @auth.ts, then continue")
+    assert [t.token for t in tokens] == ["auth.ts"]
+
+
+def test_parse_duplicate_same_token():
+    tokens = parse_at_tokens("@auth.ts and @auth.ts again")
+    assert [t.token for t in tokens] == ["auth.ts", "auth.ts"]
+
+
+def test_parse_special_chars_in_name():
+    tokens = parse_at_tokens("Check @auth-config.ts and @utils_helpers.ts")
+    assert [t.token for t in tokens] == ["auth-config.ts", "utils_helpers.ts"]
+
+
+def test_parse_quoted_with_spaces():
+    tokens = parse_at_tokens('Look at @"my auth file.ts"')
+    assert [t.token for t in tokens] == ["my auth file.ts"]
+
+
+def test_parse_quoted_with_path():
+    tokens = parse_at_tokens('Open @"src/my utils/helper.ts" now')
+    assert [t.token for t in tokens] == ["src/my utils/helper.ts"]
+
+
+def test_parse_no_false_positives():
+    for case in ["hello@world.com", "test@test.org", "user@domain.co.uk",
+                 "a@b", "@", "@ ", '@""']:
+        assert parse_at_tokens(case) == [], case
+
+
+def test_parse_spoken_include_and_file_aliases():
+    assert [t.token for t in parse_at_tokens("please at file auth dot ts")] \
+        == ["auth.ts"]
+    assert [t.token for t in
+            parse_at_tokens("include file config dot json here")] \
+        == ["config.json"]
+
+
+def test_parse_spoken_split_extension_tsx():
+    tokens = parse_at_tokens("at file widget dot tsx")
+    assert [t.token for t in tokens] == ["widget.tsx"]
+
+
+def test_resolve_case_insensitive_fuzzy(tmp_path):
+    f = tmp_path / "Auth.ts"
+    f.write_text("test")
+    entries = [str(f)]
+    assert resolve_token("Auth.ts", str(tmp_path), entries) == str(f)
+    assert resolve_token("auth.ts", str(tmp_path), entries) == str(f)
+
+
+def test_exact_match_preferred_over_fuzzy(tmp_path):
+    exact = tmp_path / "auth.ts"
+    exact.write_text("exact")
+    close = tmp_path / "auth2.ts"
+    close.write_text("close")
+    entries = [str(close), str(exact)]
+    assert resolve_token("auth.ts", str(tmp_path), entries) == str(exact)
+
+
+def test_fuzzy_resolve_case_styles(tmp_path):
+    for fname, spoken in [
+        ("auth_helpers.ts", "auth helpers.ts"),     # snake_case
+        ("authHelpers.ts", "auth helpers.ts"),      # camelCase
+        ("auth-helpers.ts", "auth helpers.ts"),     # kebab-case
+        ("AuthHelpers.ts", "auth helpers.ts"),      # PascalCase
+    ]:
+        f = tmp_path / fname
+        f.write_text("x")
+        assert resolve_token(spoken, str(tmp_path), [str(f)]) == str(f), fname
+        f.unlink()
+
+
+def test_fuzzy_resolve_without_extension(tmp_path):
+    f = tmp_path / "dockerfile"
+    f.write_text("FROM scratch")
+    assert resolve_token("dockerfile", str(tmp_path), [str(f)]) == str(f)
+
+
+def test_fuzzy_extension_mismatch_no_match(tmp_path):
+    f = tmp_path / "auth_helpers.rs"
+    f.write_text("x")
+    assert resolve_token("auth helpers.ts", str(tmp_path), [str(f)]) is None
+
+
+def test_fuzzy_minor_extension_typo(tmp_path):
+    f = tmp_path / "cargo.toml"
+    f.write_text('name = "demo"')
+    assert resolve_token("cargo.tomal", str(tmp_path), [str(f)]) == str(f)
+
+
+def test_fuzzy_filename_typo(tmp_path):
+    f = tmp_path / "transcription.rs"
+    f.write_text("x")
+    assert resolve_token("transcripton.rs", str(tmp_path), [str(f)]) == str(f)
+
+
+def test_fuzzy_path_segment_typo(tmp_path):
+    sub = tmp_path / "managers"
+    sub.mkdir()
+    f = sub / "audio.rs"
+    f.write_text("x")
+    assert resolve_token("managrs/audio.rs", str(tmp_path), [str(f)]) == str(f)
+
+
+def test_resolve_basename_vs_path_precedence(tmp_path):
+    deep = tmp_path / "src" / "auth.ts"
+    deep.parent.mkdir()
+    deep.write_text("deep")
+    entries = [str(deep)]
+    # A bare basename resolves even though the file lives in a subdir.
+    assert resolve_token("auth.ts", str(tmp_path), entries) == str(deep)
+    # A relative path with the dir resolves to the same file.
+    assert resolve_token("src/auth.ts", str(tmp_path), entries) == str(deep)
+
+
+def test_extract_snippet_line_cap(tmp_path):
+    f = tmp_path / "bigfile.rs"
+    f.write_text("".join(f"line {i}\n" for i in range(300)))
+    snip = extract_snippet(str(f), str(tmp_path))
+    assert snip is not None
+    assert "line 0" in snip
+    assert "line 199" in snip
+    assert "line 250" not in snip  # capped at MAX_LINES=200
+
+
+def test_extract_snippet_char_cap(tmp_path):
+    f = tmp_path / "wide.txt"
+    f.write_text("x" * 30_000 + "\nEND\n")
+    snip = extract_snippet(str(f), str(tmp_path))
+    assert snip is not None
+    assert "END" not in snip  # truncated by MAX_CHARS before line 2
+
+
+def test_extract_snippet_utf8(tmp_path):
+    f = tmp_path / "unicode.rs"
+    f.write_text("// Unicode test: 你好世界 \U0001F680 Ñoño\nfn main() {}",
+                 encoding="utf-8")
+    snip = extract_snippet(str(f), str(tmp_path))
+    assert snip is not None
+    assert "你好世界" in snip
+    assert "\U0001F680" in snip
+
+
+def test_walk_respects_max_depth(tmp_path):
+    p = tmp_path
+    for i in range(15):
+        p = p / f"level{i}"
+        p.mkdir()
+    (p / "deep.txt").write_text("deep")
+    entries = walk_workspace(str(tmp_path))
+    assert not any(e.count("level") > 10 for e in entries)
+
+
+def test_walk_multiple_skip_dirs(tmp_path):
+    for skip in ("node_modules", "target", ".git"):
+        d = tmp_path / skip
+        d.mkdir()
+        (d / "hidden.txt").write_text("x")
+    (tmp_path / "visible.txt").write_text("x")
+    entries = walk_workspace(str(tmp_path))
+    assert any(e.endswith("visible.txt") for e in entries)
+    assert not any("hidden.txt" in e for e in entries)
+
+
+def test_expand_empty_text(tmp_path):
+    assert expand_at_refs("", str(tmp_path)) == ""
+
+
+def test_expand_only_token(tmp_path):
+    f = tmp_path / "auth.ts"
+    f.write_text("content")
+    out = expand_at_refs("@auth.ts", str(tmp_path))
+    assert str(f) in out
+
+
+def test_expand_multiple_tokens_mixed(tmp_path):
+    f = tmp_path / "real.ts"
+    f.write_text("content")
+    out = expand_at_refs("see @real.ts and @missing.xyz", str(tmp_path))
+    assert str(f) in out
+    assert "@missing.xyz" in out  # unresolved token untouched
+
+
+def test_expand_preserves_order(tmp_path):
+    f1 = tmp_path / "first.ts"
+    f2 = tmp_path / "second.ts"
+    f1.write_text("first content")
+    f2.write_text("second content")
+    out = expand_at_refs("See @first.ts then @second.ts", str(tmp_path))
+    assert out.find(str(f1)) != -1 and out.find(str(f2)) != -1
+    assert out.find(str(f1)) < out.find(str(f2))

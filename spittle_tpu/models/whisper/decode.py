@@ -180,6 +180,12 @@ def _greedy_loop(
     # once per prompt token).
     all_logits, cache = decoder_prefill(params, prefix, cross_kv, cfg, ctx)
     pre_logits = all_logits.transpose(1, 0, 2)  # [P, B, V]
+    if not opts.quant_kv:
+        from spittle_tpu.ops.attention import pad_cross_kv
+
+        # Tile-align cross K/V so decode steps hit the Pallas kernel;
+        # decode_step masks with cfg.n_audio_ctx.
+        cross_kv = pad_cross_kv(cross_kv)
 
     tokens = jnp.concatenate(
         [prefix, jnp.full((b, max_len - prefix_len), cfg.eot, jnp.int32)], axis=1
@@ -324,7 +330,9 @@ def greedy_decode(
 def detect_language(params, xa: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     """Language probabilities [B, n_langs] from one [sot] prefill step."""
     b = xa.shape[0]
-    cross_kv = precompute_cross_kv(params, xa, cfg)
+    from spittle_tpu.ops.attention import pad_cross_kv
+
+    cross_kv = pad_cross_kv(precompute_cross_kv(params, xa, cfg))
     cache = init_kv_cache(cfg, b, dtype=xa.dtype, ctx=32)  # one step
     logits, _ = decode_step(
         params,

@@ -36,7 +36,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spittle_tpu.ops.attention import attention_reference, multihead_attention
+from spittle_tpu.ops.attention import (
+    attention_reference,
+    decode_cross_attention,
+    multihead_attention,
+    use_decode_cross_kernel,
+)
 from spittle_tpu.ops.quant import is_quant, mm
 from .config import WhisperConfig
 
@@ -256,8 +261,12 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
     )
 
 
-def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head):
-    """One token through all decoder layers. x: [B, 1, D]."""
+def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
+                         cross_kv_len: int = 0):
+    """One token through all decoder layers. x: [B, 1, D].
+
+    cross_kv_len: real cross-attention length when K/V were padded to a
+    tile multiple for the Pallas decode kernel (0 = unpadded)."""
     scale = (x.shape[-1] // n_head) ** -0.25
     n_ctx = kv_cache.shape[4]
 
@@ -294,19 +303,27 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head):
                 "bhqd,bhkd->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
                 preferred_element_type=jnp.float32,
             ) * ck["scale"][:, :, None, :]
-        else:
-            cscores = jnp.einsum(
-                "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
-                preferred_element_type=jnp.float32,
-            )
-        cprobs = jax.nn.softmax(cscores, axis=-1)
-        if is_quant(cv):
+            cprobs = jax.nn.softmax(cscores, axis=-1)
             co = jnp.einsum(
                 "bhqk,bhkd->bhqd",
                 (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
                 cv["qw"].astype(cq.dtype),
             )
+        elif use_decode_cross_kernel(cq, ck):
+            co = decode_cross_attention(
+                cq * (dh**-0.5), ck, cv,
+                kv_len=cross_kv_len or ck.shape[-2],
+            )
         else:
+            kvl = cross_kv_len or ck.shape[-2]
+            cscores = jnp.einsum(
+                "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
+                preferred_element_type=jnp.float32,
+            )
+            if kvl < ck.shape[-2]:  # padded K/V on the XLA fallback path
+                cmask = (jnp.arange(ck.shape[-2]) < kvl)[None, None, None, :]
+                cscores = jnp.where(cmask, cscores, -1e30)
+            cprobs = jax.nn.softmax(cscores, axis=-1)
             co = jnp.einsum("bhqk,bhkd->bhqd", cprobs.astype(cv.dtype), cv)
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
 
@@ -342,7 +359,7 @@ def decode_step(
     )
     x, new_cache = _decoder_step_blocks(
         dec["blocks"], x, kv_cache, cross_kv[0], cross_kv[1], pos,
-        cfg.n_text_head,
+        cfg.n_text_head, cross_kv_len=cfg.n_audio_ctx,
     )
     return logits_from_hidden(params, x)[:, 0], new_cache
 
@@ -402,24 +419,29 @@ def decode_block(
         xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // n_head
         cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
+        kvl = cfg.n_audio_ctx
         if is_quant(ck):
             cscores = jnp.einsum(
                 "bhqd,bhkd->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
                 preferred_element_type=jnp.float32,
             ) * ck["scale"][:, :, None, :]
-        else:
-            cscores = jnp.einsum(
-                "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
-                preferred_element_type=jnp.float32,
-            )
-        cprobs = jax.nn.softmax(cscores, axis=-1)
-        if is_quant(cv):
+            cprobs = jax.nn.softmax(cscores, axis=-1)
             co = jnp.einsum(
                 "bhqk,bhkd->bhqd",
                 (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
                 cv["qw"].astype(cq.dtype),
             )
+        elif use_decode_cross_kernel(cq, ck):
+            co = decode_cross_attention(cq * (dh**-0.5), ck, cv, kv_len=kvl)
         else:
+            cscores = jnp.einsum(
+                "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
+                preferred_element_type=jnp.float32,
+            )
+            if kvl < ck.shape[-2]:
+                cmask = (jnp.arange(ck.shape[-2]) < kvl)[None, None, None, :]
+                cscores = jnp.where(cmask, cscores, -1e30)
+            cprobs = jax.nn.softmax(cscores, axis=-1)
             co = jnp.einsum("bhqk,bhkd->bhqd", cprobs.astype(cv.dtype), cv)
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
         h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)

@@ -72,6 +72,10 @@ def _speculative_loop(
     pre_logits, cache = decoder_prefill(params, prefix, cross_kv, cfg, ctx)
     _, d_cache = decoder_prefill(draft_params, prefix, d_cross_kv,
                                  draft_cfg, ctx)
+    from spittle_tpu.ops.attention import pad_cross_kv
+
+    cross_kv = pad_cross_kv(cross_kv)
+    d_cross_kv = pad_cross_kv(d_cross_kv)
 
     tokens = jnp.concatenate(
         [prefix, jnp.full((b, buf_len - prefix_len), cfg.eot, jnp.int32)],

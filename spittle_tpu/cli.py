@@ -37,12 +37,18 @@ def cmd_transcribe(args) -> int:
     engine = WhisperEngine()
     with tracer.span("model_load"):
         engine.load_model(args.model)
+        if args.draft_model:
+            engine.load_draft_model(args.draft_model)
     params = TranscribeParams(
         language=args.language,
         translate=args.translate,
         initial_prompt=args.initial_prompt,
         beam_size=args.beam_size,
         word_timestamps=args.words,
+        condition_on_previous_text=not (
+            args.no_condition or args.parallel_windows
+        ),
+        parallel_windows=args.parallel_windows,
     )
     with tracer.span("transcribe"):
         if args.vad:
@@ -149,6 +155,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--words", action="store_true",
                    help="word-level timestamps (cross-attention DTW)")
     t.add_argument("--stats", action="store_true")
+    t.add_argument("--draft-model", default=None,
+                   help="small same-vocab model for speculative decoding")
+    t.add_argument("--no-condition", action="store_true",
+                   help="disable condition_on_previous_text prompt carry")
+    t.add_argument("--parallel-windows", action="store_true",
+                   help="decode all 30s windows in one batch "
+                        "(implies --no-condition)")
     t.set_defaults(fn=cmd_transcribe)
 
     v = sub.add_parser("vad", help="show speech segments of a WAV file")

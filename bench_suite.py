@@ -87,11 +87,17 @@ def guard(fn):
 
 
 def main():
+    import sys
+
     guard(_config1)
     guard(_config2)
     guard(_config3)
     guard(_config4)
     guard(_config5)
+    if "--extended" in sys.argv:
+        guard(_config6)
+        guard(_config7)
+        guard(_config8)
 
 
 def _config1():
@@ -176,6 +182,79 @@ def _config5():
         32 * 30.0, dt,
         extra={"p50_latency_ms": round(dt * 1000, 1)},
     )
+
+
+
+
+# -- extended configs (bench_suite.py --extended) ----------------------------
+
+
+def _config6():
+    # 6. dictation-realistic single 5 s utterance -> text p50 (turbo).
+    from spittle_tpu.audio.mel import log_mel_spectrogram
+    from spittle_tpu.models.whisper.config import CONFIGS
+    from spittle_tpu.models.whisper.decode import DecodeOptions, greedy_decode
+    from spittle_tpu.models.whisper.model import encode, init_params
+
+    cfg = CONFIGS["large-v3-turbo"]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    audio = np.zeros((1, 480000), np.float32)
+    audio[0, :80000] = rng.standard_normal(80000)
+    audio = jnp.asarray(audio)
+    opts = DecodeOptions(timestamps=True, max_tokens=24)
+
+    def run():
+        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+        xa = encode(params, mel, cfg)
+        out = greedy_decode(params, xa, cfg, opts)
+        np.asarray(out["tokens"])
+
+    dt = timed(run, n=10)
+    report("whisper-large-v3-turbo single 5s utterance (end-of-speech->text)",
+           5.0, dt, extra={"p50_latency_ms": round(dt * 1000, 1)})
+
+
+def _config7():
+    # 7. long-form 10-minute file, parallel windows (engine end-to-end).
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    eng = WhisperEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:tiny.en")
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(16000 * 600)).astype(np.float32)
+    p = TranscribeParams(condition_on_previous_text=False,
+                         parallel_windows=True)
+    dt = timed(lambda: eng.transcribe_samples(audio, p), n=3)
+    report("whisper-tiny.en 10-min file, parallel windows", 600.0, dt)
+
+
+def _config8():
+    # 8. prompt-conditioned batch (condition_on_previous_text analog):
+    # 200-token carried prompt, 256-token budget, batch 16.
+    from spittle_tpu.audio.mel import log_mel_spectrogram
+    from spittle_tpu.models.whisper.config import CONFIGS
+    from spittle_tpu.models.whisper.decode import DecodeOptions, greedy_decode
+    from spittle_tpu.models.whisper.model import encode, init_params
+
+    cfg = CONFIGS["large-v3-turbo"]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((16, 480000)), jnp.float32)
+    mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+    xa = encode(params, mel, cfg)
+    np.asarray(xa)
+    prompt = tuple(int(t) for t in rng.integers(100, 20000, 200))
+    opts = DecodeOptions(timestamps=True, max_tokens=256)
+
+    def run():
+        out = greedy_decode(params, xa, cfg, opts, prompt_tokens=prompt)
+        np.asarray(out["tokens"])
+
+    dt = timed(run, n=5)
+    report("whisper-large-v3-turbo batch 16, 200-token prompt prefill",
+           480.0, dt, extra={"p50_latency_ms": round(dt * 1000, 1)})
 
 
 if __name__ == "__main__":

@@ -2,9 +2,11 @@
 
 Autoregressive decode reads every decoder weight once per step, so it is
 HBM-bandwidth-bound on TPU; storing weights as int8 with per-output-channel
-scales halves the bytes (vs bf16) for <0.4% relative matmul error. The
-dequantize-convert sits adjacent to the dot so XLA fuses it into the
-matmul's operand read — no materialized bf16 copy.
+scales halves the bytes (vs bf16) for <0.4% relative matmul error.
+Measured caveat (docs/PERFORMANCE.md): on the current chip XLA does NOT
+fuse the int8->bf16 convert into the dot's operand read, so the paths
+here are memory savers (half-size weights/KV at rest), not speedups —
+they ship opt-in, never as defaults.
 
 This is a TPU-native capability the reference gets from whisper.cpp's
 GGML quantized kernels (SURVEY.md §2.2: the catalog ships q4/q5/q8 GGML

@@ -50,8 +50,11 @@ def _beam_loop(
     max_len = opts.max_tokens or cfg.n_text_ctx
     static_mask = jnp.asarray(_static_suppress_mask(cfg, opts))
 
-    xa_k = _expand_beams(xa, k)
-    cross_kv = precompute_cross_kv(params, xa_k, cfg)
+    # Cross K/V computed ONCE per item and shared by its beams: the
+    # cross-attention core folds beams into the query axis, so K/V stream
+    # from HBM once per item per step instead of once per beam
+    # (model.py:_cross_attention).
+    cross_kv = precompute_cross_kv(params, xa, cfg)
     if opts.quant_kv:
         from spittle_tpu.ops.quant import quantize_kv
 

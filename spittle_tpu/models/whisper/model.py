@@ -261,6 +261,59 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
     )
 
 
+def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
+    """Cross-attention core shared by decode/verify/prefill paths.
+
+    cq: [Bq, H, q, Dh]; ck/cv: [Bc, H, T, Dh] (or int8 quant dicts) with
+    Bq % Bc == 0. Beam search shares one K/V across an item's beams, so
+    beams fold into the query axis (cross attention has no per-query
+    masking) and K/V stream from HBM once per ITEM instead of once per
+    beam. kv_len: real length when K/V are tile-padded (0 = full).
+    """
+    bq, h, qlen, d = cq.shape
+    bc = (ck["qw"] if is_quant(ck) else ck).shape[0]
+    beams = bq // bc
+    if beams > 1:
+        cq = (
+            cq.reshape(bc, beams, h, qlen, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(bc, h, beams * qlen, d)
+        )
+    if is_quant(ck):
+        cscores = jnp.einsum(
+            "bhqd,bhkd->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
+            preferred_element_type=jnp.float32,
+        ) * ck["scale"][:, :, None, :]
+        cprobs = jax.nn.softmax(cscores, axis=-1)
+        co = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
+            cv["qw"].astype(cq.dtype),
+        )
+    elif use_decode_cross_kernel(cq, ck):
+        co = decode_cross_attention(
+            cq * (dh**-0.5), ck, cv, kv_len=kv_len or ck.shape[-2]
+        )
+    else:
+        kvl = kv_len or ck.shape[-2]
+        cscores = jnp.einsum(
+            "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
+            preferred_element_type=jnp.float32,
+        )
+        if kvl < ck.shape[-2]:  # padded K/V on the XLA fallback path
+            cmask = (jnp.arange(ck.shape[-2]) < kvl)[None, None, None, :]
+            cscores = jnp.where(cmask, cscores, -1e30)
+        cprobs = jax.nn.softmax(cscores, axis=-1)
+        co = jnp.einsum("bhqk,bhkd->bhqd", cprobs.astype(cv.dtype), cv)
+    if beams > 1:
+        co = (
+            co.reshape(bc, h, beams, qlen, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(bq, h, qlen, d)
+        )
+    return co
+
+
 def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
                          cross_kv_len: int = 0):
     """One token through all decoder layers. x: [B, 1, D].
@@ -293,38 +346,11 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
         h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
 
-        # cross-attention (precomputed K/V; optionally int8 — the scales
-        # factor out of both dots exactly, see ops/quant.py:quantize_kv)
+        # cross-attention (precomputed K/V; optionally int8/beam-shared)
         xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // n_head
         cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
-        if is_quant(ck):
-            cscores = jnp.einsum(
-                "bhqd,bhkd->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
-                preferred_element_type=jnp.float32,
-            ) * ck["scale"][:, :, None, :]
-            cprobs = jax.nn.softmax(cscores, axis=-1)
-            co = jnp.einsum(
-                "bhqk,bhkd->bhqd",
-                (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
-                cv["qw"].astype(cq.dtype),
-            )
-        elif use_decode_cross_kernel(cq, ck):
-            co = decode_cross_attention(
-                cq * (dh**-0.5), ck, cv,
-                kv_len=cross_kv_len or ck.shape[-2],
-            )
-        else:
-            kvl = cross_kv_len or ck.shape[-2]
-            cscores = jnp.einsum(
-                "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
-                preferred_element_type=jnp.float32,
-            )
-            if kvl < ck.shape[-2]:  # padded K/V on the XLA fallback path
-                cmask = (jnp.arange(ck.shape[-2]) < kvl)[None, None, None, :]
-                cscores = jnp.where(cmask, cscores, -1e30)
-            cprobs = jax.nn.softmax(cscores, axis=-1)
-            co = jnp.einsum("bhqk,bhkd->bhqd", cprobs.astype(cv.dtype), cv)
+        co = _cross_attention(cq, ck, cv, dh, kv_len=cross_kv_len)
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
 
         h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
@@ -419,30 +445,7 @@ def decode_block(
         xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // n_head
         cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
-        kvl = cfg.n_audio_ctx
-        if is_quant(ck):
-            cscores = jnp.einsum(
-                "bhqd,bhkd->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
-                preferred_element_type=jnp.float32,
-            ) * ck["scale"][:, :, None, :]
-            cprobs = jax.nn.softmax(cscores, axis=-1)
-            co = jnp.einsum(
-                "bhqk,bhkd->bhqd",
-                (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
-                cv["qw"].astype(cq.dtype),
-            )
-        elif use_decode_cross_kernel(cq, ck):
-            co = decode_cross_attention(cq * (dh**-0.5), ck, cv, kv_len=kvl)
-        else:
-            cscores = jnp.einsum(
-                "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
-                preferred_element_type=jnp.float32,
-            )
-            if kvl < ck.shape[-2]:
-                cmask = (jnp.arange(ck.shape[-2]) < kvl)[None, None, None, :]
-                cscores = jnp.where(cmask, cscores, -1e30)
-            cprobs = jax.nn.softmax(cscores, axis=-1)
-            co = jnp.einsum("bhqk,bhkd->bhqd", cprobs.astype(cv.dtype), cv)
+        co = _cross_attention(cq, ck, cv, dh, kv_len=cfg.n_audio_ctx)
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
         h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
         return (h,), cache_l
@@ -490,12 +493,7 @@ def decoder_prefill(
         xn = layer_norm(hcur, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // h
         cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], h)
-        if is_quant(ck):
-            from spittle_tpu.ops.quant import dequantize_kv
-
-            ck = dequantize_kv(ck, cq.dtype)
-            cv = dequantize_kv(cv, cq.dtype)
-        o = attention_reference(cq * dh**-0.25, ck * dh**-0.25, cv)
+        o = _cross_attention(cq, ck, cv, dh)
         hcur = hcur + mm(_merge_heads(o), blk["cross_wo"]) + blk["cross_bo"]
         hcur = hcur + _mlp(
             layer_norm(hcur, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk

@@ -174,7 +174,7 @@ def _speculative_loop(
         # m_all[j]: greedy token for position pos+j+1 given block[:, :j+1].
 
         # Per-row acceptance: drafts block[:, j] (j>=1) match m_all[j-1]?
-        acc = jnp.ones((b,), jnp.int32) * 0
+        acc = jnp.zeros((b,), jnp.int32)
         if kk > 1:
             match = (block[:, 1:].T == m_all[: kk - 1]).astype(jnp.int32)
             acc = jnp.sum(jnp.cumprod(match, axis=0), axis=0)  # [B] 0..K-1

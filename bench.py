@@ -3,7 +3,9 @@
 Measures the production serving shape — batch of 30 s windows through the
 large-v3-turbo encoder plus a fixed 32-token greedy decode with static KV
 cache — and reports RTFx (seconds of audio transcribed per wall second per
-chip). The reference publishes no quantitative numbers (BASELINE.md); the
+chip). Batch 48 sits at the throughput knee of the batch sweep
+(16: 928x, 24: 942x, 48: 1031x, 96: 1057x but 2.7 s batch latency);
+~1.4 s to clear a full batch keeps end-of-speech latency serving-grade. The reference publishes no quantitative numbers (BASELINE.md); the
 north-star target is >=500x RTFx on a v5e chip, so vs_baseline is
 value / 500.
 
@@ -28,7 +30,7 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 16
+BATCH = 48
 DECODE_TOKENS = 32
 WINDOW_SECONDS = 30.0
 

@@ -28,13 +28,24 @@ def cross_entropy_loss(
     mask: jnp.ndarray,  # [B, T] 1.0 where the label counts
     cfg: WhisperConfig,
     seq_sharding=None,  # NamedSharding for encoder activations (sp)
+    remat: bool = False,
 ) -> jnp.ndarray:
-    xa = encode(params, mel, cfg)
+    enc_fn = encode
+    dec_fn = decoder_forward
+    if remat:
+        # Rematerialization: save only the encoder/decoder boundary
+        # activations; the backward pass recomputes the forwards. Trades
+        # ~1 extra forward of FLOPs for activation memory that no longer
+        # scales with depth — the standard TPU recipe for fitting larger
+        # batches/models (HBM is the constraint, MXU FLOPs are cheap).
+        enc_fn = jax.checkpoint(encode, static_argnums=(2,))
+        dec_fn = jax.checkpoint(decoder_forward, static_argnums=(3,))
+    xa = enc_fn(params, mel, cfg)
     if seq_sharding is not None:
         # Sequence parallelism: encoder output sharded along time; GSPMD
         # inserts the gathers the decoder's cross-attention needs.
         xa = jax.lax.with_sharding_constraint(xa, seq_sharding)
-    logits = decoder_forward(params, tokens, xa, cfg)  # [B, T, V]
+    logits = dec_fn(params, tokens, xa, cfg)  # [B, T, V]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -44,6 +55,7 @@ def make_train_step(
     cfg: WhisperConfig,
     learning_rate: float = 1e-5,
     sequence_parallel_mesh=None,
+    remat: bool = False,
 ):
     """Returns (init_opt_state, train_step).
 
@@ -70,7 +82,7 @@ def make_train_step(
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(cross_entropy_loss)(
             params, batch["mel"], batch["tokens"], batch["targets"],
-            batch["mask"], cfg, seq_sharding,
+            batch["mask"], cfg, seq_sharding, remat,
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -170,3 +170,51 @@ class TestHttpFront:
         assert conn.getresponse().status == 404
         http_srv.stop()
         srv.shutdown()
+
+
+def test_server_with_real_whisper_engine_concurrent():
+    """End-to-end: concurrent sessions through the batching server into
+    the real (random-weight) Whisper engine; every future resolves with a
+    result and requests actually coalesce."""
+    import threading
+
+    import numpy as np
+
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+    from spittle_tpu.models.whisper.config import CONFIGS, WhisperConfig
+
+    CONFIGS.setdefault(
+        "serving-test",
+        WhisperConfig(
+            name="serving-test", n_mels=80, n_audio_ctx=1500,
+            n_audio_state=64, n_audio_head=4, n_audio_layer=1,
+            n_vocab=51865, n_text_ctx=32, n_text_state=64, n_text_head=4,
+            n_text_layer=1,
+        ),
+    )
+    engine = WhisperEngine()
+    engine.load_model("random:serving-test")
+    server = BatchingTranscriptionServer(engine, max_batch=8,
+                                         max_wait_ms=50.0)
+    try:
+        rng = np.random.default_rng(0)
+        futures = []
+        start = threading.Barrier(6)
+
+        def submit(i):
+            start.wait()
+            samples = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+            futures.append(server.submit(samples))
+
+        threads = [threading.Thread(target=submit, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        results = [f.result(timeout=600) for f in futures]
+        assert len(results) == 6
+        assert all(hasattr(r, "text") for r in results)
+        assert max(server.batch_sizes) >= 2  # coalescing happened
+    finally:
+        server.shutdown()

@@ -67,6 +67,9 @@ class WhisperEngine:
         self.quantize_decoder = quantize_decoder
         self.draft_cfg: Optional[WhisperConfig] = None
         self.draft_params = None
+        # Model-specific DTW heads (alignment_heads.json sidecar); None ->
+        # upper-half fallback.
+        self.alignment_heads = None
         self.cfg: Optional[WhisperConfig] = None
         self.params = None
         self.tokenizer: Optional[WhisperTokenizer] = None
@@ -107,6 +110,12 @@ class WhisperEngine:
                     model_path if os.path.isdir(model_path)
                     else os.path.dirname(model_path),
                 )
+        if not model_path.startswith("random:"):
+            from spittle_tpu.models.whisper.alignment import (
+                load_alignment_heads,
+            )
+
+            self.alignment_heads = load_alignment_heads(model_path)
         if self.quantize_decoder:
             from spittle_tpu.ops.quant import quantize_whisper_decoder
 
@@ -319,6 +328,7 @@ class WhisperEngine:
                         n_frames=window_frames // 2,  # encoder positions
                         cfg=cfg, tokenizer=tok,
                         prefix=tuple(int(t) for t in tokens[bi, :sb]),
+                        heads=self.alignment_heads,
                     )
                     words[i].extend(
                         Word(w.word, w.start + win_offset, w.end + win_offset)
@@ -435,6 +445,7 @@ class WhisperEngine:
                     self.params, gen, xa[wi : wi + 1],
                     n_frames=window_frames // 2, cfg=cfg, tokenizer=tok,
                     prefix=tuple(int(t) for t in tokens[wi, :sb]),
+                    heads=self.alignment_heads,
                 )
                 words[i].extend(
                     Word(w.word, w.start + win_offset, w.end + win_offset)

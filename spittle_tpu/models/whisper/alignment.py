@@ -139,6 +139,28 @@ def alignment_heads(cfg: WhisperConfig) -> List[Tuple[int, int]]:
     ]
 
 
+def load_alignment_heads(model_path: str) -> Optional[List[Tuple[int, int]]]:
+    """Model-specific DTW heads from an `alignment_heads.json` sidecar.
+
+    OpenAI publishes per-checkpoint alignment-head sets (word-timestamp
+    quality is noticeably better with them than with the upper-half
+    fallback). Users drop `[[layer, head], ...]` next to the weights
+    (file or directory path accepted); absent sidecar -> None -> fallback.
+    """
+    import json
+    import os
+
+    base = model_path if os.path.isdir(model_path) else os.path.dirname(
+        model_path
+    )
+    path = os.path.join(base, "alignment_heads.json")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    return [(int(l), int(h)) for l, h in data]
+
+
 def token_times(
     attn: np.ndarray,  # [L, 1, H, T, 1500] for one item
     n_frames: int,
@@ -175,6 +197,7 @@ def word_timestamps(
     cfg: WhisperConfig,
     tokenizer,
     prefix: Sequence[int] = (),
+    heads: Optional[Sequence[Tuple[int, int]]] = None,
 ) -> List[WordTiming]:
     """Word-level timings for one decoded window.
 
@@ -192,7 +215,7 @@ def word_timestamps(
     arr = jnp.asarray(padded, jnp.int32)[None]
     attn = np.asarray(decoder_cross_attention(params, arr, xa, cfg))
     attn = attn[:, :, :, : len(toks)]
-    starts, ends = token_times(attn, n_frames, cfg)
+    starts, ends = token_times(attn, n_frames, cfg, heads=heads)
     gen_start = len(prefix)
 
     words: List[WordTiming] = []

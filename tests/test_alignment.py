@@ -138,3 +138,18 @@ class TestCleanup:
         mgr = CleanupManager(lambda p: "⟦P0⟧ kept")
         out = mgr.cleanup("keep `this` text")
         assert out == "`this` kept"
+
+
+def test_load_alignment_heads_sidecar(tmp_path):
+    import json
+
+    from spittle_tpu.text.cleanup import mask_protected_spans  # noqa: F401
+    from spittle_tpu.models.whisper.alignment import load_alignment_heads
+
+    assert load_alignment_heads(str(tmp_path)) is None
+    (tmp_path / "alignment_heads.json").write_text(
+        json.dumps([[2, 4], [3, 1]])
+    )
+    assert load_alignment_heads(str(tmp_path)) == [(2, 4), (3, 1)]
+    # File-path form resolves the containing directory.
+    assert load_alignment_heads(str(tmp_path / "model.bin")) == [(2, 4), (3, 1)]

@@ -143,7 +143,6 @@ class TestCleanup:
 def test_load_alignment_heads_sidecar(tmp_path):
     import json
 
-    from spittle_tpu.text.cleanup import mask_protected_spans  # noqa: F401
     from spittle_tpu.models.whisper.alignment import load_alignment_heads
 
     assert load_alignment_heads(str(tmp_path)) is None

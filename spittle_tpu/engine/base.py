@@ -35,6 +35,10 @@ class TranscribeParams:
     # prompt carry). Requires condition_on_previous_text=False; one
     # device program replaces the sequential seek loop.
     parallel_windows: bool = False
+    # Overlap between parallel windows (seconds). Windows overlap by this
+    # much and each keeps only segments whose midpoint falls in its core
+    # region (overlap-stitch), so words at window boundaries aren't cut.
+    parallel_overlap_s: float = 0.0
 
 
 @dataclasses.dataclass

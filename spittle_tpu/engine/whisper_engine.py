@@ -48,6 +48,17 @@ WINDOW_FRAMES = 3000  # mel frames per 30 s window (standard Whisper)
 FRAMES_PER_SECOND = 100
 
 
+
+def select_core_segments(segments, seek_s, window_s, overlap_s,
+                         is_first, is_last):
+    """Overlap-stitch: keep items whose midpoint lies in this window's
+    core region (absolute seconds). Core regions of consecutive windows
+    partition the timeline, so nothing duplicates or drops."""
+    lo = seek_s if is_first else seek_s + overlap_s / 2
+    hi = seek_s + window_s if is_last else seek_s + window_s - overlap_s / 2
+    return [x for x in segments if lo <= (x.start + x.end) / 2 < hi]
+
+
 class WhisperEngine:
     """TranscriptionEngine backed by the JAX Whisper stack."""
 
@@ -377,11 +388,18 @@ class WhisperEngine:
         tok = self.tokenizer
         n = len(audios)
         content_frames = [max(1, len(a) // HOP_LENGTH) for a in audios]
-        # (item, seek) for every fixed-stride window.
+        # (item, seek) for every window. With overlap-stitch, windows
+        # advance by (window - overlap) and each keeps only segments whose
+        # midpoint falls in its core region, so boundary words aren't cut.
+        overlap = min(
+            int(params.parallel_overlap_s * FRAMES_PER_SECOND),
+            self.window_frames // 2,
+        )
+        stride = max(self.window_frames - overlap, 1)
         plan = [
             (i, seek)
             for i in range(n)
-            for seek in range(0, content_frames[i], self.window_frames)
+            for seek in range(0, content_frames[i], stride)
         ]
         windows = np.zeros((len(plan), self.window_samples), np.float32)
         for wi, (i, seek) in enumerate(plan):
@@ -432,6 +450,14 @@ class WhisperEngine:
                 gen.append(int(t))
             win_offset = seek / FRAMES_PER_SECOND
             segs, _ = self._parse_window(gen, win_offset)
+            if overlap:
+                is_first = seek == 0
+                is_last = seek + stride >= content_frames[i]
+                segs = select_core_segments(
+                    segs, win_offset,
+                    self.window_frames / FRAMES_PER_SECOND,
+                    overlap / FRAMES_PER_SECOND, is_first, is_last,
+                )
             if params.word_timestamps and gen:
                 from spittle_tpu.models.whisper.alignment import (
                     word_timestamps as _wt,
@@ -447,10 +473,17 @@ class WhisperEngine:
                     prefix=tuple(int(t) for t in tokens[wi, :sb]),
                     heads=self.alignment_heads,
                 )
-                words[i].extend(
+                shifted = [
                     Word(w.word, w.start + win_offset, w.end + win_offset)
                     for w in timings
-                )
+                ]
+                if overlap:
+                    shifted = select_core_segments(
+                        shifted, win_offset,
+                        self.window_frames / FRAMES_PER_SECOND,
+                        overlap / FRAMES_PER_SECOND, is_first, is_last,
+                    )
+                words[i].extend(shifted)
             segments[i].extend(segs)
             seg_tokens[i].extend(gen)
 

@@ -164,3 +164,44 @@ def test_parallel_windows_requires_no_conditioning(engine):
             make_audio(2.0),
             TranscribeParams(parallel_windows=True),
         )
+
+
+def test_select_core_segments_partition():
+    from spittle_tpu.engine.base import Segment
+    from spittle_tpu.engine.whisper_engine import select_core_segments
+
+    window, overlap = 30.0, 4.0
+    stride = window - overlap
+    # Segments scattered across 70 s; every segment must be kept by
+    # exactly one window's core region.
+    segs = [Segment(s, s + 1.0, f"s{i}")
+            for i, s in enumerate(np.arange(0.0, 69.0, 0.7))]
+    seeks = [0.0, stride, 2 * stride]
+    kept = []
+    for wi, seek in enumerate(seeks):
+        in_window = [s for s in segs
+                     if s.start >= seek - 1 and s.end <= seek + window + 1]
+        kept.extend(
+            select_core_segments(
+                in_window, seek, window, overlap,
+                is_first=(wi == 0), is_last=(wi == len(seeks) - 1),
+            )
+        )
+    names = [s.text for s in kept]
+    assert len(names) == len(set(names)), "duplicated segment across windows"
+    # Every segment fully inside the covered span is kept by some window.
+    covered = [s for s in segs if s.end <= seeks[-1] + window]
+    assert set(names) >= {s.text for s in covered}
+
+
+def test_parallel_windows_with_overlap(engine):
+    audio = make_audio(70.0, seed=11)
+    par = engine.transcribe_samples(
+        audio,
+        TranscribeParams(language="en", condition_on_previous_text=False,
+                         parallel_windows=True, parallel_overlap_s=4.0),
+    )
+    assert par.segments
+    # Core regions must not duplicate: segment midpoints strictly increase.
+    mids = [(s.start + s.end) / 2 for s in par.segments]
+    assert mids == sorted(mids)

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for invariant-heavy components:
+diff roundtrips, rolling rewrites, Levenshtein metric laws, CTC collapse,
+and resampler length accounting."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+    max_size=60,
+)
+SMALL_TEXT = st.text(
+    alphabet=st.sampled_from("abcdefg äöü 日本"), max_size=24
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(TEXT, TEXT)
+def test_text_diff_roundtrip(a, b):
+    from spittle_tpu.text.diff import apply_text_diff, compute_text_diff
+
+    d = compute_text_diff(a, b)
+    if d is None:
+        assert a == b
+    else:
+        assert apply_text_diff(a, d) == b
+
+
+@settings(max_examples=80, deadline=None)
+@given(TEXT, TEXT)
+def test_rolling_rewrite_roundtrip(prev, new):
+    from spittle_tpu.app.rolling_session import compute_rolling_rewrite
+
+    delete, insert = compute_rolling_rewrite(prev, new)
+    assert 0 <= delete <= len(prev)
+    assert prev[: len(prev) - delete] + insert == new
+
+
+@settings(max_examples=60, deadline=None)
+@given(SMALL_TEXT, SMALL_TEXT, SMALL_TEXT)
+def test_levenshtein_metric_laws(a, b, c):
+    from spittle_tpu.text.filters import levenshtein
+
+    ab = levenshtein(a, b)
+    assert ab == levenshtein(b, a)  # symmetry
+    assert (ab == 0) == (a == b)  # identity of indiscernibles
+    assert ab <= levenshtein(a, c) + levenshtein(c, b)  # triangle
+    assert ab <= max(len(a), len(b))  # upper bound
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), max_size=12),
+    st.data(),
+)
+def test_ctc_collapse_inverts_expansion(seq, data):
+    """Expanding a sequence with repeats and blanks then greedy-collapsing
+    recovers it (no adjacent duplicates in the source by construction)."""
+    import jax.numpy as jnp
+
+    from spittle_tpu.models.parakeet.decode import ctc_greedy_decode
+
+    blank = 10
+    dedup = [t for i, t in enumerate(seq) if i == 0 or t != seq[i - 1]]
+    frames = []
+    for t in dedup:
+        frames.extend([t] * data.draw(st.integers(1, 3)))
+        frames.extend([blank] * data.draw(st.integers(1, 2)))
+    if not frames:
+        frames = [blank]
+    logits = np.full((1, len(frames), blank + 1), -5.0, np.float32)
+    for i, t in enumerate(frames):
+        logits[0, i, t] = 5.0
+    fake = {"ctc_w": jnp.eye(blank + 1, dtype=jnp.float32),
+            "ctc_b": jnp.zeros(blank + 1, jnp.float32)}
+    out = ctc_greedy_decode(fake, jnp.asarray(logits),
+                            np.asarray([len(frames)]), blank=blank)
+    assert out == [dedup]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.sampled_from([8000, 22050, 44100, 48000]),
+    st.integers(min_value=100, max_value=4000),
+)
+def test_resampled_length_matches_output(in_hz, n):
+    from spittle_tpu.audio.resample import resample, resampled_length
+
+    x = np.zeros(n, np.float32)
+    out = np.asarray(resample(x, in_hz, 16000))
+    assert len(out) == resampled_length(n, in_hz, 16000)
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXT)
+def test_normalize_hypothesis_idempotent(text):
+    from spittle_tpu.text.rolling import normalize_hypothesis
+
+    once = normalize_hypothesis(text)
+    assert normalize_hypothesis(once) == once

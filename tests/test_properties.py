@@ -98,3 +98,34 @@ def test_normalize_hypothesis_idempotent(text):
 
     once = normalize_hypothesis(text)
     assert normalize_hypothesis(once) == once
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=40))
+def test_mask_protected_spans_roundtrip(text):
+    from spittle_tpu.text.cleanup import (
+        mask_protected_spans,
+        restore_protected_spans,
+    )
+
+    masked, spans = mask_protected_spans(text)
+    assert restore_protected_spans(masked, spans) == text
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=30))
+def test_tokenizer_byte_bpe_roundtrip(text):
+    from spittle_tpu.models.whisper.config import WhisperConfig
+    from spittle_tpu.models.whisper.tokenizer import (
+        WhisperTokenizer,
+        make_test_vocab,
+    )
+
+    cfg = WhisperConfig(
+        name="prop", n_mels=80, n_audio_ctx=60, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=1, n_vocab=51865, n_text_ctx=16,
+        n_text_state=64, n_text_head=4, n_text_layer=1,
+    )
+    tok = WhisperTokenizer(cfg, make_test_vocab())
+    assert tok.decode(tok.encode(text)) == text

@@ -74,13 +74,68 @@ def export_json() -> str:
     return json.dumps(describe_commands(), indent=2)
 
 
+def _py_type_to_ts(tp: Any) -> str:
+    import typing
+
+    origin = typing.get_origin(tp)
+    if origin in (list, typing.List):
+        (inner,) = typing.get_args(tp) or (Any,)
+        return f"{_py_type_to_ts(inner)}[]"
+    if origin in (dict, typing.Dict):
+        args = typing.get_args(tp)
+        v = _py_type_to_ts(args[1]) if len(args) == 2 else "unknown"
+        return f"Record<string, {v}>"
+    if origin is typing.Union:
+        parts = [
+            _py_type_to_ts(a) for a in typing.get_args(tp)
+            if a is not type(None)
+        ]
+        if len(parts) < len(typing.get_args(tp)):
+            parts.append("null")
+        return " | ".join(dict.fromkeys(parts))
+    name = getattr(tp, "__name__", str(tp))
+    import enum as _enum
+
+    if isinstance(tp, type) and issubclass(tp, _enum.Enum):
+        return " | ".join(json.dumps(m.value) for m in tp)
+    import dataclasses as _dc
+
+    if _dc.is_dataclass(tp):
+        return name
+    return _TS_TYPES.get(name, _TS_TYPES.get(str(tp), name))
+
+
+def describe_types() -> List[str]:
+    """TS interfaces for the shared types the reference's bindings.ts
+    carries (AppSettings, the catalog model entry, HistoryEntry,
+    ShortcutBinding)."""
+    import dataclasses as _dc
+    import typing
+
+    from spittle_tpu.config.catalog import ModelCatalogEntry
+    from spittle_tpu.config.settings import AppSettings, ShortcutBinding
+    from spittle_tpu.managers.history import HistoryEntry
+
+    out = []
+    for cls in (ShortcutBinding, ModelCatalogEntry, HistoryEntry,
+                AppSettings):
+        hints = typing.get_type_hints(cls)
+        lines = [f"export interface {cls.__name__} {{"]
+        for f in _dc.fields(cls):
+            lines.append(f"  {f.name}: {_py_type_to_ts(hints[f.name])};")
+        lines.append("}")
+        out.append("\n".join(lines))
+    return out
+
+
 def export_dts() -> str:
     """TypeScript declaration of the command surface."""
     lines = [
         "// Auto-generated from spittle_tpu.app.commands (bindings export).",
         "// Counterpart of the reference's tauri-specta src/bindings.ts.",
-        "export interface SpittleCommands {",
     ]
+    lines.extend(describe_types())
+    lines.append("export interface SpittleCommands {")
     for cmd in describe_commands():
         params = ", ".join(
             f"{p['name']}{'?' if p['optional'] else ''}: {p['type']}"

@@ -32,9 +32,13 @@ LANGUAGES = (
 ).split()
 LANGUAGES_V3 = LANGUAGES + ["yue"]
 
-# GPT-2 pre-tokenization pattern.
+# GPT-2 pre-tokenization pattern. The "other" class is [^\s\p{L}\p{N}],
+# which INCLUDES underscore (it is neither letter nor number); a plain
+# [^\s\w] would exclude it since \w covers '_' — that silently dropped
+# underscores from encoded text (caught by the hypothesis roundtrip).
 _PAT = re.compile(
-    r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+""",
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"""
+    r"""|\s+(?!\S)|\s+""",
     re.UNICODE,
 )
 

@@ -162,6 +162,10 @@ class ActionContext:
         self.output = output
         self._hooks_factory = hooks_factory
         self.streaming_session: Optional[StreamingSession] = None
+        # Suspended bindings don't route actions (shortcut/mod.rs:214-238);
+        # an attached ShortcutRegistry also unregisters the OS hotkey.
+        self.suspended: set = set()
+        self.registry = None  # Optional[ShortcutRegistry], shell-attached
         # Route recorder segment emissions into the active session.
         services.audio._on_segment = self._on_segment
         services.audio._segment_size = (
@@ -207,7 +211,7 @@ class ActionContext:
     ) -> None:
         settings = self.services.get_settings()
         action = self.action_map.get(binding_id)
-        if action is None:
+        if action is None or binding_id in self.suspended:
             return
 
         if binding_id == "cancel":

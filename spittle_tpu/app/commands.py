@@ -58,11 +58,17 @@ class Commands:
         self.services.write_settings(s)
 
     def suspend_binding(self, binding_id: str) -> None:
-        self._suspended = getattr(self, "_suspended", set())
-        self._suspended.add(binding_id)
+        """Stop routing a binding's actions and unregister its OS hotkey
+        until resumed (shortcut/mod.rs:214-238 — the UI suspends the
+        binding it is re-recording)."""
+        self.actions.suspended.add(binding_id)
+        if self.actions.registry is not None:
+            self.actions.registry.suspend_binding(binding_id)
 
     def resume_binding(self, binding_id: str) -> None:
-        getattr(self, "_suspended", set()).discard(binding_id)
+        self.actions.suspended.discard(binding_id)
+        if self.actions.registry is not None:
+            self.actions.registry.resume_binding(binding_id)
 
     # -- simple settings mutations ---------------------------------------
 

@@ -88,6 +88,7 @@ class AppServices:
         vad_factory: Optional[Callable[[], object]] = None,
         events: Optional[EventBus] = None,
         use_mock_engine: bool = False,
+        catalog=None,
     ):
         os.makedirs(data_dir, exist_ok=True)
         self.data_dir = data_dir
@@ -109,7 +110,7 @@ class AppServices:
         )
         self.models = ModelManager(
             models_dir=os.path.join(data_dir, "models"),
-            catalog=load_model_catalog(),
+            catalog=catalog or load_model_catalog(),
             events=self.events,
             selected_model_getter=lambda: self.get_settings().selected_model,
             selected_model_setter=self._set_selected_model,

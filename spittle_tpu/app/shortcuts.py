@@ -93,6 +93,7 @@ class ShortcutRegistry:
         self.implementation = implementation
         self._persist = persist_implementation or (lambda impl: None)
         self._bindings: Dict[str, str] = {}
+        self._suspended: Dict[str, str] = {}  # binding_id -> hotkey to restore
         self._capture_active = False
         self._lock = threading.Lock()
 
@@ -122,6 +123,7 @@ class ShortcutRegistry:
             if old and old != hotkey:
                 self.backend.unregister(old)
             self._bindings[binding_id] = hotkey
+            self._suspended.pop(binding_id, None)  # re-register clears suspend
             return True
 
     def unregister_binding(self, binding_id: str) -> bool:
@@ -130,6 +132,29 @@ class ShortcutRegistry:
             if hotkey is None:
                 return False
             return self.backend.unregister(hotkey)
+
+    def suspend_binding(self, binding_id: str) -> bool:
+        """Temporarily unregister the OS hotkey but remember it
+        (shortcut/mod.rs:214-238 — used while the UI records a new
+        hotkey so the old one doesn't fire)."""
+        with self._lock:
+            hotkey = self._bindings.get(binding_id)
+            if hotkey is None or binding_id in self._suspended:
+                return False
+            self._suspended[binding_id] = hotkey
+            self.backend.unregister(hotkey)
+            return True
+
+    def resume_binding(self, binding_id: str) -> bool:
+        with self._lock:
+            hotkey = self._suspended.pop(binding_id, None)
+        if hotkey is None:
+            return False
+        return self.register_binding(binding_id, hotkey)
+
+    def is_suspended(self, binding_id: str) -> bool:
+        with self._lock:
+            return binding_id in self._suspended
 
     def register_cancel(self, hotkey: str = "escape") -> bool:
         """Dynamic cancel hotkey while recording (tauri_impl.rs)."""

@@ -48,6 +48,21 @@ WINDOW_FRAMES = 3000  # mel frames per 30 s window (standard Whisper)
 FRAMES_PER_SECOND = 100
 
 
+def _cast_params_bf16(params):
+    """Cast matmul weights to bf16; layernorm gains/biases stay float32
+    (model.py computes layernorm in float32 — the stacked [L, D] ln leaves
+    would otherwise be caught by an ndim test)."""
+    def cast(path, a):
+        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if key.endswith(("ln_g", "ln_b")):
+            return a
+        if a.dtype == jnp.float32 and a.ndim >= 2:
+            return a.astype(jnp.bfloat16)
+        return a
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 
 def select_core_segments(segments, seek_s, window_s, overlap_s,
                          is_first, is_last):
@@ -105,11 +120,7 @@ class WhisperEngine:
                 else np.float32
             )
             if self.dtype == jnp.bfloat16:
-                self.params = jax.tree.map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if a.dtype == jnp.float32 and a.ndim >= 2 else a,
-                    self.params,
-                )
+                self.params = _cast_params_bf16(self.params)
             if "mel_filters" in extras:
                 self.mel_filters = jnp.asarray(extras["mel_filters"])
             if "vocab" in extras:
@@ -158,11 +169,7 @@ class WhisperEngine:
                 if self.dtype != jnp.bfloat16 else np.float32,
             )
             if self.dtype == jnp.bfloat16:
-                draft_params = jax.tree.map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if a.dtype == jnp.float32 and a.ndim >= 2 else a,
-                    draft_params,
-                )
+                draft_params = _cast_params_bf16(draft_params)
         for attr in ("n_vocab", "sot", "eot", "timestamp_begin",
                      "lang_begin", "n_audio_ctx"):
             if getattr(self.cfg, attr) != getattr(draft_cfg, attr):
@@ -324,9 +331,22 @@ class WhisperEngine:
                         break
                     gen.append(int(t))
                 win_offset = seeks[i] / FRAMES_PER_SECOND
-                segs, advance = self._parse_window(gen, win_offset)
                 window_frames = min(
                     self.window_frames, content_frames[i] - seeks[i]
+                )
+                # whisper.cpp/OpenAI no-speech skip: a window that looks like
+                # silence (high no_speech_prob) with a weak decode is dropped
+                # and the seek advances the full window.
+                if (
+                    float(out["no_speech_prob"][bi])
+                    > self.NO_SPEECH_THRESHOLD
+                    and float(out["avg_logprob"][bi]) < self.LOGPROB_THRESHOLD
+                ):
+                    seeks[i] += window_frames
+                    continue
+                segs, gen, advance = self._parse_window(
+                    gen, win_offset,
+                    window_sec=window_frames / FRAMES_PER_SECOND,
                 )
                 if params.word_timestamps and gen:
                     from spittle_tpu.models.whisper.alignment import (
@@ -449,7 +469,20 @@ class WhisperEngine:
                     break
                 gen.append(int(t))
             win_offset = seek / FRAMES_PER_SECOND
-            segs, _ = self._parse_window(gen, win_offset)
+            window_frames = min(self.window_frames, content_frames[i] - seek)
+            if (
+                float(out["no_speech_prob"][wi]) > self.NO_SPEECH_THRESHOLD
+                and float(out["avg_logprob"][wi]) < self.LOGPROB_THRESHOLD
+            ):
+                continue  # silence window (whisper.cpp no-speech skip)
+            # keep_tail: fixed-stride windows never re-decode the tail, so
+            # trailing tokens after the last timestamp pair stay (overlap
+            # stitching dedupes them against the next window's core).
+            segs, gen, _ = self._parse_window(
+                gen, win_offset,
+                window_sec=window_frames / FRAMES_PER_SECOND,
+                keep_tail=True,
+            )
             if overlap:
                 is_first = seek == 0
                 is_last = seek + stride >= content_frames[i]
@@ -464,9 +497,6 @@ class WhisperEngine:
                 )
                 from .base import Word
 
-                window_frames = min(
-                    self.window_frames, content_frames[i] - seek
-                )
                 timings = _wt(
                     self.params, gen, xa[wi : wi + 1],
                     n_frames=window_frames // 2, cfg=cfg, tokenizer=tok,
@@ -487,9 +517,17 @@ class WhisperEngine:
             segments[i].extend(segs)
             seg_tokens[i].extend(gen)
 
+        # With overlap-stitching, windows re-decode shared audio: raw token
+        # concatenation would duplicate the overlap text, so the transcript
+        # is the stitched segments' text (like OpenAI's segment-joined text).
+        def item_text(i: int) -> str:
+            if overlap:
+                return "".join(s.text for s in segments[i]).strip()
+            return tok.decode(seg_tokens[i]).strip()
+
         return [
             TranscriptionResult(
-                text=tok.decode(seg_tokens[i]).strip(),
+                text=item_text(i),
                 segments=segments[i],
                 language=languages[i],
                 words=words[i],
@@ -502,6 +540,7 @@ class WhisperEngine:
     FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     COMPRESSION_RATIO_THRESHOLD = 2.4
     LOGPROB_THRESHOLD = -1.0
+    NO_SPEECH_THRESHOLD = 0.6
 
     @staticmethod
     def _compression_ratio(text: str) -> float:
@@ -561,12 +600,13 @@ class WhisperEngine:
             )
             tokens = np.asarray(out["tokens"])
             avg_lp = np.asarray(out["avg_logprob"])
+            ns_prob = np.asarray(out["no_speech_prob"])
             sb = out["sample_begin"]
             if best is None:
                 best = {
                     "tokens": tokens.copy(),
                     "avg_logprob": avg_lp.copy(),
-                    "no_speech_prob": np.asarray(out["no_speech_prob"]).copy(),
+                    "no_speech_prob": ns_prob.copy(),
                     "sample_begin": sb,
                 }
             still = []
@@ -579,6 +619,7 @@ class WhisperEngine:
                 )
                 best["tokens"][item] = tokens[bi]
                 best["avg_logprob"][item] = avg_lp[bi]
+                best["no_speech_prob"][item] = ns_prob[bi]
                 if not ok:
                     still.append(item)
             pending = still
@@ -642,48 +683,88 @@ class WhisperEngine:
         return out
 
     def _parse_window(
-        self, gen_tokens: List[int], offset_sec: float
-    ) -> Tuple[List[Segment], int]:
-        """Split decoded tokens at timestamp pairs into segments.
+        self,
+        gen_tokens: List[int],
+        offset_sec: float,
+        window_sec: float = 30.0,
+        keep_tail: bool = False,
+    ) -> Tuple[List[Segment], List[int], int]:
+        """Split decoded tokens at consecutive-timestamp pairs into segments
+        (whisper.cpp result_len / OpenAI transcribe-loop semantics).
 
-        Returns (segments, seek advance in mel frames; 0 = full window).
+        When a window contains at least one consecutive-timestamp pair and
+        does NOT end with a single trailing timestamp, tokens after the last
+        pair are DROPPED (the next window re-decodes that audio from the
+        pair's end timestamp) — emitting them would duplicate phrases when
+        the sequential seek re-transcribes the tail.
+
+        Returns (segments, kept tokens, seek advance in mel frames;
+        0 = advance the full window). keep_tail=True retains trailing
+        tokens after the last pair as an open segment (fixed-stride
+        parallel windows, where no re-decode of the tail happens).
         """
         cfg = self.cfg
         tok = self.tokenizer
         ts_begin = cfg.timestamp_begin
+        is_ts = [t >= ts_begin for t in gen_tokens]
+        consecutive = [
+            k + 1
+            for k in range(len(gen_tokens) - 1)
+            if is_ts[k] and is_ts[k + 1]
+        ]
+        single_ts_ending = (
+            len(gen_tokens) >= 2 and not is_ts[-2] and is_ts[-1]
+        )
         segs: List[Segment] = []
-        cur_text: List[int] = []
-        cur_start: Optional[float] = None
-        last_ts_time = None
-        for t in gen_tokens:
-            if t >= ts_begin:
-                t_sec = (t - ts_begin) * 0.02
-                last_ts_time = t_sec
-                if cur_start is None:
-                    cur_start = t_sec
-                else:
-                    segs.append(
-                        Segment(
-                            start=offset_sec + cur_start,
-                            end=offset_sec + t_sec,
-                            text=tok.decode(cur_text),
-                        )
-                    )
-                    cur_start = None
-                    cur_text = []
-            else:
-                if cur_start is None:
-                    cur_start = 0.0
-                cur_text.append(t)
-        if cur_text:
+
+        def emit(sl: List[int]) -> None:
+            if not sl:
+                return
+            start_t = (sl[0] - ts_begin) * 0.02 if sl[0] >= ts_begin else 0.0
+            end_t = (
+                (sl[-1] - ts_begin) * 0.02
+                if sl[-1] >= ts_begin
+                else window_sec
+            )
+            end_t = max(end_t, start_t)  # open tail may out-run window_sec
             segs.append(
                 Segment(
-                    start=offset_sec + (cur_start or 0.0),
-                    end=offset_sec + (last_ts_time or 30.0),
-                    text=tok.decode(cur_text),
+                    start=offset_sec + start_t,
+                    end=offset_sec + end_t,
+                    text=tok.decode([t for t in sl if t < ts_begin]),
                 )
             )
-        advance = 0
-        if last_ts_time is not None and last_ts_time > 0:
-            advance = int(last_ts_time * FRAMES_PER_SECOND)
-        return segs, advance
+
+        if consecutive:
+            slices = list(consecutive)
+            if single_ts_ending or (keep_tail and consecutive[-1] < len(gen_tokens)):
+                slices.append(len(gen_tokens))
+            last = 0
+            for cur in slices:
+                emit(gen_tokens[last:cur])
+                last = cur
+            kept = list(gen_tokens[:last])
+            if single_ts_ending or keep_tail:
+                advance = 0  # full window
+            else:
+                last_ts_pos = gen_tokens[last - 1] - ts_begin
+                advance = int(last_ts_pos * 0.02 * FRAMES_PER_SECOND)
+        else:
+            # No consecutive pair: the whole window is one segment and the
+            # seek advances the full window (OpenAI else-branch).
+            ts = [t for t in gen_tokens if t >= ts_begin]
+            end = window_sec
+            if ts and ts[-1] != ts_begin:
+                end = (ts[-1] - ts_begin) * 0.02
+            text_toks = [t for t in gen_tokens if t < ts_begin]
+            if text_toks:
+                segs.append(
+                    Segment(
+                        start=offset_sec,
+                        end=offset_sec + end,
+                        text=tok.decode(text_toks),
+                    )
+                )
+            kept = list(gen_tokens)
+            advance = 0
+        return segs, kept, advance

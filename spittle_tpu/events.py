@@ -33,7 +33,23 @@ class EventBus:
     def __init__(self):
         self._lock = threading.Lock()
         self._subs: Dict[str, List[Callable[[Any], None]]] = defaultdict(list)
+        self._all: List[Callable[[str, Any], None]] = []
         self._log: List[tuple] = []
+
+    def listen_all(
+        self, handler: Callable[[str, Any], None]
+    ) -> Callable[[], None]:
+        """Subscribe to every event (the RPC event-stream forwarder — the
+        analog of the Tauri webview receiving all app.emit events)."""
+        with self._lock:
+            self._all.append(handler)
+
+        def unlisten():
+            with self._lock:
+                if handler in self._all:
+                    self._all.remove(handler)
+
+        return unlisten
 
     def listen(self, event: str, handler: Callable[[Any], None]) -> Callable[[], None]:
         with self._lock:
@@ -49,6 +65,7 @@ class EventBus:
     def emit(self, event: str, payload: Any = None) -> None:
         with self._lock:
             handlers = list(self._subs[event])
+            all_handlers = list(self._all)
             self._log.append((event, payload))
             if len(self._log) > 1000:
                 del self._log[:500]
@@ -57,6 +74,11 @@ class EventBus:
                 h(payload)
             except Exception:
                 pass  # subscriber errors never break the emitter
+        for h in all_handlers:
+            try:
+                h(event, payload)
+            except Exception:
+                pass
 
     def recent(self, event: str | None = None) -> List[tuple]:
         with self._lock:

@@ -146,7 +146,12 @@ def _beam_loop(
         newly = ~finished
         length = length + newly.astype(jnp.int32)
         is_ts = new_tok >= cfg.timestamp_begin
-        ts_floor = jnp.where(is_ts & newly, new_tok, ts_floor)
+        # Closing timestamp of a pair -> floor strictly greater (ts + 1);
+        # opening timestamp -> equal allowed (see decode.py rationale).
+        last_sel = last[flat_src]
+        last_is_ts = last_sel >= cfg.timestamp_begin
+        new_floor = jnp.where(last_is_ts, new_tok + 1, new_tok)
+        ts_floor = jnp.where(is_ts & newly, new_floor, ts_floor)
         finished = finished | (new_tok == cfg.eot)
 
         cur_logits, cache = decode_step(

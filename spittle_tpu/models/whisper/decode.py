@@ -241,7 +241,13 @@ def _greedy_loop(
             s["tokens"], next_tok[:, None], (0, pos)
         )
         is_ts = next_tok >= cfg.timestamp_begin
-        ts_floor = jnp.where(is_ts & newly, next_tok, s["ts_floor"])
+        # OpenAI ApplyTimestampRules floor: a timestamp OPENING a pair may
+        # be matched exactly by its close (floor = ts); once a pair CLOSES,
+        # later timestamps must be strictly greater (floor = ts + 1) — the
+        # guard against zero-length segments.
+        last_is_ts = last >= cfg.timestamp_begin
+        new_floor = jnp.where(last_is_ts, next_tok + 1, next_tok)
+        ts_floor = jnp.where(is_ts & newly, new_floor, s["ts_floor"])
         finished = s["finished"] | (next_tok == cfg.eot)
 
         cur_logits, cache = decode_step(

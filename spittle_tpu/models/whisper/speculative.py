@@ -136,7 +136,9 @@ def _speculative_loop(
                 draft_params, tok, pos + j, d_cache, d_cross_kv, draft_cfg
             )
             is_ts = tok >= cfg.timestamp_begin
-            ts_d = jnp.where(is_ts & ~s["finished"], tok, ts_d)
+            # Pair-close -> strictly-greater floor (mirrors decode.py).
+            new_floor = jnp.where(penult >= cfg.timestamp_begin, tok + 1, tok)
+            ts_d = jnp.where(is_ts & ~s["finished"], new_floor, ts_d)
             pl = proc(d_logits.astype(jnp.float32), pos + j + 1, tok,
                       penult, ts_d)
             nxt = jnp.argmax(pl, axis=-1).astype(jnp.int32)
@@ -162,7 +164,8 @@ def _speculative_loop(
             last, penult, ts_floor = carry
             tok_j = block[:, j]
             is_ts = tok_j >= cfg.timestamp_begin
-            ts_floor = jnp.where(is_ts & ~s["finished"], tok_j, ts_floor)
+            new_floor = jnp.where(last >= cfg.timestamp_begin, tok_j + 1, tok_j)
+            ts_floor = jnp.where(is_ts & ~s["finished"], new_floor, ts_floor)
             pl = proc(logits_blk[:, j], pos + j + 1, tok_j, last, ts_floor)
             m = jnp.argmax(pl, axis=-1).astype(jnp.int32)
             lp = jax.nn.log_softmax(pl, axis=-1)
@@ -197,7 +200,11 @@ def _speculative_loop(
             sum_lp = sum_lp + jnp.where(newly, lp_j, 0.0)
             length = length + newly.astype(jnp.int32)
             is_ts = tok_j >= cfg.timestamp_begin
-            ts_floor = jnp.where(is_ts & newly, tok_j, ts_floor)
+            prev_j = jnp.where(j == 0, last0, block[:, jnp.maximum(j - 1, 0)])
+            new_floor = jnp.where(
+                prev_j >= cfg.timestamp_begin, tok_j + 1, tok_j
+            )
+            ts_floor = jnp.where(is_ts & newly, new_floor, ts_floor)
             finished = finished | (emitted & (tok_j == cfg.eot))
             return (finished, ts_floor, length, sum_lp), None
 

@@ -131,11 +131,18 @@ class BatchingTranscriptionServer:
         self, batch: List[_Request]
     ) -> List[Tuple[int, List[_Request]]]:
         groups = {}
+        max_bucket = int(self.buckets[-1] * SAMPLE_RATE)
         for req in batch:
-            key = (
-                bucket_for(len(req.samples), self.buckets),
-                req.params,
-            )
+            if len(req.samples) > max_bucket:
+                # Over-bucket audio must NOT be truncated to the last bucket:
+                # it routes through an unpadded long-form engine call (the
+                # engine's seek loop handles arbitrary lengths).
+                key = (None, req.params)
+            else:
+                key = (
+                    bucket_for(len(req.samples), self.buckets),
+                    req.params,
+                )
             groups.setdefault(key, []).append(req)
         return [(k[0], reqs) for k, reqs in groups.items()]
 
@@ -144,14 +151,28 @@ class BatchingTranscriptionServer:
             batch = self._collect()
             if not batch:
                 continue
-            for bucket_len, reqs in self._group_by_bucket(batch):
+            groups = self._group_by_bucket(batch)
+            # Shortest-bucket-first: a 1 s utterance grouped with a
+            # long-form request must not wait behind it (head-of-line).
+            groups.sort(key=lambda g: g[0] if g[0] is not None else 1 << 60)
+            for bucket_len, reqs in groups:
                 self._run_group(bucket_len, reqs)
 
-    def _run_group(self, bucket_len: int, reqs: List[_Request]) -> None:
-        padded = [
-            np.pad(r.samples[:bucket_len], (0, max(0, bucket_len - len(r.samples))))
-            for r in reqs
-        ]
+    def _run_group(
+        self, bucket_len: Optional[int], reqs: List[_Request]
+    ) -> None:
+        if bucket_len is None:
+            # Long-form group: ragged, unpadded — the engine's windowed
+            # seek loop covers the full audio (no silent truncation).
+            padded = [r.samples for r in reqs]
+        else:
+            padded = [
+                np.pad(
+                    r.samples[:bucket_len],
+                    (0, max(0, bucket_len - len(r.samples))),
+                )
+                for r in reqs
+            ]
         self.batch_sizes.append(len(reqs))
         queue_ms = max(
             (time.monotonic() - r.enqueued_at) * 1000 for r in reqs

@@ -218,3 +218,30 @@ def test_server_with_real_whisper_engine_concurrent():
         assert max(server.batch_sizes) >= 2  # coalescing happened
     finally:
         server.shutdown()
+
+
+def test_over_bucket_audio_not_truncated():
+    """Audio longer than the largest bucket routes through an unpadded
+    long-form call instead of being silently sliced to 30 s (the engine's
+    windowed seek loop handles arbitrary lengths)."""
+    eng = RecordingEngine()
+    srv = BatchingTranscriptionServer(eng, max_wait_ms=5)
+    n = 16000 * 45  # 45 s > 30 s max bucket
+    res = srv.transcribe(np.ones(n, np.float32))
+    assert res.text == f"len={n}"  # full audio reached the engine
+    srv.shutdown()
+
+
+def test_short_bucket_dispatches_before_long():
+    """Shortest-bucket-first ordering: a 1 s request grouped with long-form
+    audio in the same collect round must run first (head-of-line)."""
+    eng = RecordingEngine(delay=0.01)
+    srv = BatchingTranscriptionServer(eng, max_wait_ms=80)
+    f_long = srv.submit(np.ones(16000 * 45, np.float32))
+    f_short = srv.submit(np.ones(8000, np.float32))
+    f_long.result(timeout=10)
+    f_short.result(timeout=10)
+    # first dispatched engine batch is the padded 1 s bucket
+    assert eng.batches[0] == [16000]
+    assert eng.batches[1] == [16000 * 45]
+    srv.shutdown()

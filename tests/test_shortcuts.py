@@ -93,3 +93,45 @@ def test_key_capture_streams_events_and_swallows_actions():
     reg.stop_key_capture()
     backends[KeyboardImplementation.HANDY_KEYS].fire("ctrl+space", True)
     assert events  # routing restored
+
+
+def test_suspend_resume_binding():
+    """Suspend unregisters the OS hotkey but remembers it; resume
+    re-registers (shortcut/mod.rs:214-238)."""
+    from spittle_tpu.config.settings import KeyboardImplementation
+
+    fired = []
+    backend = InMemoryBackend()
+    reg = ShortcutRegistry(
+        backends={KeyboardImplementation.TAURI: backend},
+        handler=lambda b, h, p: fired.append((b, h, p)),
+    )
+    assert reg.register_binding("transcribe", "ctrl+space")
+    assert reg.suspend_binding("transcribe") is True
+    assert reg.is_suspended("transcribe")
+    assert "ctrl+space" not in backend.registered  # OS hook removed
+    backend.fire("ctrl+space", True)
+    assert fired == []
+    # double-suspend is a no-op
+    assert reg.suspend_binding("transcribe") is False
+    assert reg.resume_binding("transcribe") is True
+    assert not reg.is_suspended("transcribe")
+    backend.fire("ctrl+space", True)
+    assert fired == [("transcribe", "ctrl+space", True)]
+    # resume without suspend is a no-op
+    assert reg.resume_binding("transcribe") is False
+
+
+def test_register_clears_suspension():
+    from spittle_tpu.config.settings import KeyboardImplementation
+
+    backend = InMemoryBackend()
+    reg = ShortcutRegistry(
+        backends={KeyboardImplementation.TAURI: backend},
+        handler=lambda *a: None,
+    )
+    reg.register_binding("transcribe", "ctrl+space")
+    reg.suspend_binding("transcribe")
+    reg.register_binding("transcribe", "alt+space")  # user picked a new key
+    assert not reg.is_suspended("transcribe")
+    assert "alt+space" in backend.registered

@@ -122,7 +122,7 @@ class AppServices:
             history_limit_getter=lambda: self.get_settings().history_limit,
         )
         self.audio = AudioRecordingManager(
-            source_factory=source_factory or (lambda: QueueSource()),
+            source_factory=source_factory or self._default_source_factory(),
             vad_factory=vad_factory,
             events=self.events,
             always_on=self._settings.always_on_microphone,
@@ -131,6 +131,22 @@ class AppServices:
         # Toggle-mode state shared by shortcut handling (lib.rs ManagedToggleState)
         self.toggle_state: Dict[str, bool] = {}
         self.toggle_lock = threading.Lock()
+
+    def _default_source_factory(self):
+        """Real microphone when a capture tool exists, else a QueueSource
+        (headless/CI). Device follows the selected-microphone setting,
+        honoring the clamshell override like audio.rs:231-256."""
+        from spittle_tpu.shell.mic import probe_capture_tools
+
+        if not probe_capture_tools():
+            return lambda: QueueSource()
+        from spittle_tpu.shell.mic import make_mic_source_factory
+
+        def device():
+            s = self.get_settings()
+            return s.clamshell_microphone or s.selected_microphone
+
+        return make_mic_source_factory(device_getter=device)
 
     # -- settings --------------------------------------------------------
 

@@ -20,6 +20,29 @@ import sys
 import time
 
 
+def _capture_from_mic(seconds: float, device=None, tool=None):
+    """Record from the real microphone through the production chain:
+    subprocess capture -> native ring -> recorder (resample + VAD)."""
+    import time as _time
+
+    import numpy as np
+
+    from spittle_tpu.audio.recorder import AudioRecorder
+    from spittle_tpu.shell.mic import MicSource
+
+    src = MicSource(device=device, tool=tool)
+    rec = AudioRecorder(src)
+    rec.open()
+    rec.start()
+    print(f"recording {seconds:.1f}s from the microphone "
+          f"({src.tool_name})...", file=sys.stderr)
+    _time.sleep(seconds)
+    audio = rec.stop()
+    rec.close()
+    src.close()
+    return np.asarray(audio, np.float32)
+
+
 def cmd_transcribe(args) -> int:
     import numpy as np
 
@@ -30,7 +53,20 @@ def cmd_transcribe(args) -> int:
     from spittle_tpu.utils.tracing import get_tracer
 
     tracer = get_tracer()
-    audio, rate = load_wav_file(args.audio)
+    if args.mic:
+        from spittle_tpu.shell.mic import CaptureUnavailableError
+
+        try:
+            audio = _capture_from_mic(args.seconds, device=args.device)
+        except CaptureUnavailableError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        rate = 16000
+    else:
+        if not args.audio:
+            print("error: provide a WAV path or --mic", file=sys.stderr)
+            return 2
+        audio, rate = load_wav_file(args.audio)
     if rate != 16000:
         audio = np.asarray(resample(audio, rate, 16000))
 
@@ -64,6 +100,28 @@ def cmd_transcribe(args) -> int:
             print(f"  {w.start:7.2f} -> {w.end:7.2f}  {w.word}")
     if args.stats:
         print(json.dumps(tracer.stats(), indent=2), file=sys.stderr)
+    return 0
+
+
+def cmd_record(args) -> int:
+    """Record from the real microphone to a WAV file (the dev harness the
+    reference ships as audio_toolkit/bin/cli.rs)."""
+    from spittle_tpu.audio.wav import save_wav_file
+    from spittle_tpu.shell.mic import CaptureUnavailableError, probe_capture_tools
+
+    if args.probe:
+        tools = probe_capture_tools()
+        print("available capture tools:", ", ".join(tools) or "(none)")
+        return 0 if tools else 1
+    try:
+        audio = _capture_from_mic(
+            args.seconds, device=args.device, tool=args.tool
+        )
+    except CaptureUnavailableError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    save_wav_file(args.out, audio)
+    print(f"wrote {len(audio) / 16000:.2f}s to {args.out}")
     return 0
 
 
@@ -141,8 +199,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="spittle-tpu")
     sub = p.add_subparsers(dest="command", required=True)
 
-    t = sub.add_parser("transcribe", help="transcribe a WAV file")
-    t.add_argument("audio")
+    t = sub.add_parser("transcribe",
+                       help="transcribe a WAV file or live microphone")
+    t.add_argument("audio", nargs="?", default=None)
+    t.add_argument("--mic", action="store_true",
+                   help="record from the microphone instead of a file")
+    t.add_argument("--seconds", type=float, default=5.0,
+                   help="mic capture duration (with --mic)")
+    t.add_argument("--device", default=None,
+                   help="capture device name (with --mic)")
     t.add_argument("--model", default="random:tiny.en",
                    help="GGML file, safetensors dir, or random:<config>")
     t.add_argument("--language", default=None)
@@ -163,6 +228,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode all 30s windows in one batch "
                         "(implies --no-condition)")
     t.set_defaults(fn=cmd_transcribe)
+
+    rec = sub.add_parser("record", help="record the microphone to a WAV")
+    rec.add_argument("--seconds", type=float, default=5.0)
+    rec.add_argument("--out", default="recording.wav")
+    rec.add_argument("--device", default=None)
+    rec.add_argument("--tool", default=None,
+                     help="force a capture tool (parec/arecord/...)")
+    rec.add_argument("--probe", action="store_true",
+                     help="list available capture tools and exit")
+    rec.set_defaults(fn=cmd_record)
 
     v = sub.add_parser("vad", help="show speech segments of a WAV file")
     v.add_argument("audio")

@@ -39,6 +39,14 @@ class TranscribeParams:
     # much and each keeps only segments whose midpoint falls in its core
     # region (overlap-stitch), so words at window boundaries aren't cut.
     parallel_overlap_s: float = 0.0
+    # Per-window decode budget (whisper.cpp n_max_text_ctx analog).
+    # None -> n_text_ctx // 2. Smaller budgets shrink the static KV cache
+    # the decode loop re-reads each step.
+    max_tokens: Optional[int] = None
+    # Temperature-fallback ladder override (whisper.cpp temperature +
+    # temperature_inc). None -> the engine default (0.0, 0.2, ..., 1.0);
+    # (0.0,) disables retries.
+    temperatures: Optional[tuple] = None
 
 
 @dataclasses.dataclass

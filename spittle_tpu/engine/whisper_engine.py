@@ -231,7 +231,7 @@ class WhisperEngine:
             # prompt, half for the window's decode. Bounding max_tokens
             # also halves the static KV cache the decode loop re-reads
             # every step.
-            max_tokens=self.cfg.n_text_ctx // 2,
+            max_tokens=params.max_tokens or self.cfg.n_text_ctx // 2,
         )
 
     def transcribe_samples(
@@ -585,7 +585,8 @@ class WhisperEngine:
         n = xa.shape[0]
         best = None
         pending = list(range(n))
-        for temp in self.FALLBACK_TEMPERATURES:
+        ladder = params.temperatures or self.FALLBACK_TEMPERATURES
+        for temp in ladder:
             t_opts = _dc.replace(opts, temperature=temp)
             sub = len(pending) != n
             out = self._decode_once(

@@ -83,11 +83,30 @@ class ParakeetEngine:
             self.table = SentencePieceTable.test_table(self.cfg.vocab_size)
             self.mode = "tdt"
             return
+        if model_path.endswith(".nemo"):
+            # NVIDIA .nemo tar: the canonical parakeet-tdt artifact
+            # (transcription.rs:278-296 serves its int8 ONNX export).
+            from spittle_tpu.models.parakeet.nemo import load_nemo
+
+            self.cfg, tree, pieces = load_nemo(model_path)
+            self.params = jax.tree.map(
+                lambda a: jnp.asarray(a, self.dtype)
+                if np.asarray(a).ndim >= 2 else jnp.asarray(a),
+                tree,
+            )
+            self.mode = "tdt"
+            if pieces:
+                self.table = SentencePieceTable(pieces)
+            else:
+                self.table = SentencePieceTable.load(
+                    os.path.dirname(model_path) or "."
+                )
+            return
         st_path = os.path.join(model_path, "model.safetensors")
         if not os.path.exists(st_path):
             raise FileNotFoundError(
                 f"{model_path}: no supported Parakeet checkpoint found "
-                "(expected model.safetensors; ONNX int8 import pending)"
+                "(expected model.safetensors or a .nemo archive)"
             )
         from safetensors.numpy import load_file
 

@@ -40,14 +40,59 @@ class SenseVoiceEngine:
             self.params = init_params(self.cfg, jax.random.PRNGKey(0), self.dtype)
             self.table = SentencePieceTable.test_table(self.cfg.vocab_size)
             return
-        self.cfg = CONFIGS["sense-voice-small"]
-        st = os.path.join(model_path, "model.safetensors")
-        if not os.path.exists(st):
-            raise FileNotFoundError(f"{model_path}: expected model.safetensors")
-        from safetensors.numpy import load_file
+        # FunASR SenseVoiceSmall release layout: model.pt (torch) or
+        # model.safetensors with FunASR names, am.mvn CMVN stats, and a
+        # SentencePiece .bpe.model. Config is inferred from tensor shapes.
+        from spittle_tpu.models.sensevoice.weights import (
+            config_from_funasr_tensors,
+            params_from_funasr_tensors,
+        )
 
-        self.params = jax.tree.map(jnp.asarray, dict(load_file(st)))
-        self.table = SentencePieceTable.load(model_path)
+        tensors = self._read_checkpoint(model_path)
+        self.cfg = config_from_funasr_tensors(tensors)
+        tree = params_from_funasr_tensors(tensors, self.cfg)
+        mvn_path = os.path.join(model_path, "am.mvn")
+        if os.path.exists(mvn_path):
+            from spittle_tpu.models.sensevoice.model import parse_kaldi_cmvn
+
+            cmvn = parse_kaldi_cmvn(mvn_path)
+            if cmvn:
+                tree.update(cmvn)
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, self.dtype)
+            if np.asarray(a).ndim >= 2 else jnp.asarray(a),
+            tree,
+        )
+        self.table = self._load_table(model_path)
+
+    @staticmethod
+    def _read_checkpoint(model_path: str):
+        st = os.path.join(model_path, "model.safetensors")
+        if os.path.exists(st):
+            from safetensors.numpy import load_file
+
+            return dict(load_file(st))
+        pt = os.path.join(model_path, "model.pt")
+        if os.path.exists(pt):
+            import torch
+
+            state = torch.load(pt, map_location="cpu", weights_only=True)
+            return {k: v.numpy() for k, v in state.items()}
+        raise FileNotFoundError(
+            f"{model_path}: expected model.safetensors or model.pt"
+        )
+
+    @staticmethod
+    def _load_table(model_path: str) -> SentencePieceTable:
+        for name in sorted(os.listdir(model_path)):
+            if name.endswith(".bpe.model") or name == "tokenizer.model":
+                from spittle_tpu.models.parakeet.nemo import (
+                    sentencepiece_pieces,
+                )
+
+                with open(os.path.join(model_path, name), "rb") as f:
+                    return SentencePieceTable(sentencepiece_pieces(f.read()))
+        return SentencePieceTable.load(model_path)
 
     def unload_model(self) -> None:
         self.cfg = self.params = self.table = None

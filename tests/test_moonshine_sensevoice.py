@@ -107,8 +107,9 @@ class TestSenseVoice:
         cfg = SV_CONFIGS["sense-voice-test"]
         auto = prompt_ids_for(cfg, "auto", True)
         zh = prompt_ids_for(cfg, "zh", False)
-        assert auto[0] == 0 and zh[0] == 1
-        assert auto[3] != zh[3]  # itn flag changes the textnorm prompt
+        # FunASR lid_dict ids: auto=0, zh=3; withitn=14 / woitn=15
+        assert auto[0] == 0 and zh[0] == 3
+        assert auto[3] == 14 and zh[3] == 15
 
     def test_engine(self):
         eng = SenseVoiceEngine()

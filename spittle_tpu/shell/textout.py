@@ -162,11 +162,16 @@ class SystemTextOutput:
         runner=_default_runner,
         reader=_default_reader,
         which=shutil.which,
+        ax_backend=None,
     ):
+        """ax_backend: optional macOS AX selection backend
+        (shell/macos_ax.py); None resolves the platform default — a real
+        ApplicationServices binding on macOS, nothing elsewhere."""
         self._settings = settings_provider
         self._run = runner
         self._read = reader
         self._which = which
+        self._ax_backend = ax_backend
 
     # -- primitives ------------------------------------------------------
 
@@ -223,14 +228,27 @@ class SystemTextOutput:
         self.paste_raw(text)
 
     def apply_text_diff(self, suffix_chars: int, delete_chars: int, insert: str) -> None:
-        """ArrowLeft x suffix, Backspace x delete, type insert, ArrowRight
-        back (clipboard.rs:690 keyboard path)."""
-        for _ in range(suffix_chars):
-            self._press("Left")
-        for _ in range(delete_chars):
-            self._press("BackSpace")
+        """Minimal diff apply (clipboard.rs:690-790): macOS AX selects the
+        replace range so one type replaces it; otherwise ArrowLeft x
+        suffix + Backspace x delete. Then type insert, ArrowRight back."""
+        if self._settings().paste_method is PasteMethod.NONE:
+            return  # clipboard.rs:697-700
+
+        from .macos_ax import try_select_replace_range_before_cursor
+
+        used_ax = try_select_replace_range_before_cursor(
+            delete_chars, suffix_chars, backend=self._ax_backend
+        )
+        if not used_ax:
+            for _ in range(suffix_chars):
+                self._press("Left")
+            for _ in range(delete_chars):
+                self._press("BackSpace")
         if insert:
             self._type_text(insert)
+        elif delete_chars > 0 and used_ax:
+            # AX selected the range; empty replacement clears it.
+            self._press("BackSpace")
         for _ in range(suffix_chars):
             self._press("Right")
 

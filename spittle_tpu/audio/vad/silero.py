@@ -30,16 +30,72 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_MODEL_PATH = (
-    "/root/reference/src-tauri/resources/models/silero_vad_v4.onnx"
+import os
+
+# Bundled weights (the reference bundles the same network as an ONNX
+# resource, `src-tauri/resources/models/silero_vad_v4.onnx`; here the
+# extracted tensors ship as package data so the VAD works standalone).
+BUNDLED_NPZ = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "config", "data", "models", "silero_vad_v4.npz",
 )
+DEFAULT_MODEL_PATH = BUNDLED_NPZ
 
 FRAME_SAMPLES_16K = 480  # 30 ms (reference silero.rs:9-11)
 LSTM_HIDDEN = 64
 STATE_SHAPE = (2, 2)  # (h/c, layers) leading dims; full: [2, 2, B, 64]
 
 
-def load_silero_params(path: str = DEFAULT_MODEL_PATH, branch: str = "16k") -> Dict:
+def load_silero_params(path: Optional[str] = None, branch: str = "16k") -> Dict:
+    """Silero v4 weights: bundled .npz by default, or an .onnx path."""
+    if path is None:
+        path = BUNDLED_NPZ
+    if path.endswith(".npz"):
+        return _params_from_npz(path)
+    return _params_from_onnx(path, branch)
+
+
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, f"{prefix}{k}."))
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            out.update(_flatten_tree(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _params_from_npz(path: str) -> Dict:
+    flat = dict(np.load(path))
+    params: Dict = {"blocks": [], "between": [], "lstm": []}
+    for key in sorted(flat):
+        parts = key.split(".")
+        node = params
+        for i, part in enumerate(parts[:-1]):
+            if part.isdigit():
+                idx = int(part)
+                while len(node) <= idx:
+                    node.append({})
+                node = node[idx]
+            else:
+                nxt = parts[i + 1]
+                default: object = [] if nxt.isdigit() else {}
+                if isinstance(node, dict):
+                    node = node.setdefault(part, default)
+        node[parts[-1]] = flat[key]
+    return jax.tree.map(jnp.asarray, params)
+
+
+def save_silero_npz(params: Dict, path: str) -> None:
+    """Serialize an extracted param tree as the bundled .npz format."""
+    host = jax.tree.map(np.asarray, params)
+    np.savez(path, **_flatten_tree(host))
+
+
+def _params_from_onnx(path: str, branch: str = "16k") -> Dict:
     """Extract the conv/LSTM weights for one sample-rate branch."""
     from spittle_tpu.io.onnx_proto import load_onnx
 

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from spittle_tpu.audio.vad.silero import (
-    DEFAULT_MODEL_PATH,
+    BUNDLED_NPZ,
     SileroVad,
     init_state,
     load_silero_params,
@@ -16,10 +16,20 @@ from spittle_tpu.audio.vad.smoothed import SmoothedVad, VadFrame, smooth_probs
 from spittle_tpu.io.onnx_interp import OnnxInterpreter
 from spittle_tpu.io.onnx_proto import load_onnx
 
+# Original ONNX graph: only needed for the interpreter-oracle parity tests;
+# production loads the bundled npz.
+REFERENCE_ONNX = (
+    "/root/reference/src-tauri/resources/models/silero_vad_v4.onnx"
+)
+
 
 @pytest.fixture(scope="module")
 def oracle():
-    return OnnxInterpreter(load_onnx(DEFAULT_MODEL_PATH))
+    import os
+
+    if not os.path.exists(REFERENCE_ONNX):
+        pytest.skip("reference silero ONNX not mounted")
+    return OnnxInterpreter(load_onnx(REFERENCE_ONNX))
 
 
 @pytest.fixture(scope="module")
@@ -188,3 +198,31 @@ class TestSmoothedVad:
                     for fid in samples[-n:]:
                         kept[int(fid)] = True
             np.testing.assert_array_equal(mask[b], kept)
+
+
+def test_bundled_npz_is_default_and_standalone():
+    """The production VAD loads from the package-bundled npz — no
+    dependence on the reference mount (VERDICT r1 item 7)."""
+    import os
+
+    assert os.path.exists(BUNDLED_NPZ)
+    p = load_silero_params()  # default = bundled npz
+    audio = np.random.default_rng(0).standard_normal((1, 480)).astype(np.float32)
+    prob, _ = silero_forward(p, audio, init_state(1))
+    assert 0.0 <= float(prob[0]) <= 1.0
+
+
+def test_npz_matches_onnx_extraction():
+    import os
+
+    if not os.path.exists(REFERENCE_ONNX):
+        pytest.skip("reference silero ONNX not mounted")
+    import jax
+
+    a = load_silero_params(REFERENCE_ONNX)
+    b = load_silero_params()  # bundled npz
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -98,6 +98,7 @@ def main():
         guard(_config6)
         guard(_config7)
         guard(_config8)
+        guard(_config9)
 
 
 def _config1():
@@ -255,6 +256,70 @@ def _config8():
     dt = timed(run, n=5)
     report("whisper-large-v3-turbo batch 16, 200-token prompt prefill",
            480.0, dt, extra={"p50_latency_ms": round(dt * 1000, 1)})
+
+
+def _config9():
+    # 9. Serving under load: Poisson arrivals through the batching server
+    # into the real engine — p50/p99 end-of-speech->text INCLUDING
+    # queueing (VERDICT r1: config-5 measured batch latency only).
+    import threading
+    import time as _t
+
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+    from spittle_tpu.parallel.serving import BatchingTranscriptionServer
+
+    eng = WhisperEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:large-v3-turbo")
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        max_tokens=24, temperatures=(0.0,),
+    )
+    rng = np.random.default_rng(0)
+    utt = rng.standard_normal(16000 * 5).astype(np.float32)  # 5 s utterances
+
+    srv = BatchingTranscriptionServer(eng, max_batch=32, max_wait_ms=20.0)
+    # warm every bucket shape the load will hit
+    srv.transcribe(utt, p)
+
+    rate_hz = float(os.environ.get("BENCH_LOAD_RATE", "8.0"))
+    duration_s = float(os.environ.get("BENCH_LOAD_SECONDS", "20.0"))
+    lat_ms: list = []
+    lock = threading.Lock()
+
+    def session(delay: float):
+        _t.sleep(delay)
+        t0 = _t.monotonic()
+        srv.transcribe(utt, p, timeout=120)
+        with lock:
+            lat_ms.append((_t.monotonic() - t0) * 1000)
+
+    arrivals = []
+    t = 0.0
+    while t < duration_s:
+        t += rng.exponential(1.0 / rate_hz)
+        arrivals.append(t)
+    threads = [threading.Thread(target=session, args=(a,)) for a in arrivals]
+    start = _t.monotonic()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    wall = _t.monotonic() - start
+    srv.shutdown()
+    lat = np.asarray(sorted(lat_ms))
+    report(
+        f"serving under load: Poisson {rate_hz:.0f} req/s x {duration_s:.0f}s"
+        " of 5s utterances (turbo, incl. queueing)",
+        len(lat) * 5.0, wall,
+        extra={
+            "requests": len(lat),
+            "p50_latency_ms": round(float(np.percentile(lat, 50)), 1),
+            "p95_latency_ms": round(float(np.percentile(lat, 95)), 1),
+            "p99_latency_ms": round(float(np.percentile(lat, 99)), 1),
+            "max_batch_observed": max(srv.batch_sizes[1:] or [0]),
+        },
+    )
 
 
 if __name__ == "__main__":

@@ -125,7 +125,7 @@ def log_mel_spectrogram(
     n_mels: int = 80,
     n_fft: int = N_FFT,
     hop: int = HOP_LENGTH,
-    use_fft: bool = True,
+    use_fft: bool = False,
     filters: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Batched Whisper log-mel: [..., T] float32 PCM -> [..., n_mels, T//hop].
@@ -133,32 +133,51 @@ def log_mel_spectrogram(
     The input should already be 16 kHz mono in [-1, 1]. For a standard
     Whisper window pass exactly 30 s (480k samples) per item.
 
-    use_fft=True (default) computes the STFT with XLA's rFFT — ~50x lower
-    cancellation error in near-floor mel bins than an f32 DFT matmul, which
-    matters for transcript parity. use_fft=False uses the windowed-DFT-basis
-    matmul (pure MXU). Both are negligible next to the encoder cost.
+    Default path: the STFT is ONE strided convolution of the raw audio
+    against the windowed DFT basis at Precision.HIGHEST (f32-exact 6-pass
+    MXU) — no [B, 3000, 400] framing gather, no FFT. XLA's rFFT at length
+    400 (non power of two) plus the frame gather measured ~2 s for a
+    batch-48 x 30 s mel on v5e, ~60x this conv. use_fft=True keeps the
+    rFFT path for numeric cross-checks.
     """
     audio = audio.astype(jnp.float32)
-    frames = _frame(audio, n_fft, hop)  # [..., F, n_fft]
+    n_bins = n_fft // 2 + 1
     if use_fft:
+        frames = _frame(audio, n_fft, hop)  # [..., F, n_fft]
         spec = jnp.fft.rfft(frames * jnp.asarray(_hann(n_fft)), axis=-1)
         power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        # [..., F, bins] -> [..., bins, F]
+        power = jnp.swapaxes(power, -1, -2)
     else:
+        lead = audio.shape[:-1]
+        t = audio.shape[-1]
+        x = audio.reshape((-1, 1, t))
+        pad = n_fft // 2
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
         basis = jnp.asarray(_dft_basis(n_fft))  # [n_fft, 2*bins]
-        spec = frames @ basis  # MXU
-        n_bins = n_fft // 2 + 1
-        power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
+        kernel = basis.T[:, None, :]  # [2*bins, 1, n_fft]
+        spec = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(hop,), padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, 2*bins, F+1]
+        spec = spec[..., : t // hop]  # Whisper drops the final frame
+        power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
+        power = power.reshape(lead + power.shape[1:])  # [..., bins, F]
     if filters is None:
-        mel_w = jnp.asarray(mel_filterbank(n_mels, n_fft).T)  # [bins, n_mels]
+        mel_w = jnp.asarray(mel_filterbank(n_mels, n_fft))  # [n_mels, bins]
     else:
-        mel_w = filters.T  # e.g. the filterbank embedded in a GGML file
-    mel = power @ mel_w  # MXU: [..., F, n_mels]
+        mel_w = filters
+    mel = jnp.einsum(
+        "mf,...ft->...mt", mel_w, power,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [..., n_mels, F]
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
-    # Dynamic-range floor: per-item max over (frames, mels), minus 8.
+    # Dynamic-range floor: per-item max over (mels, frames), minus 8.
     flat_max = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
     log_spec = jnp.maximum(log_spec, flat_max - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
-    return jnp.swapaxes(log_spec, -1, -2)  # [..., n_mels, F]
+    return log_spec  # [..., n_mels, F]
 
 
 def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:

@@ -35,18 +35,25 @@ STAGES = set(
 REPS = 3
 
 
+def _barrier(out):
+    """Completion barrier that fetches only scalars: host-fetching big
+    arrays over the tunnel costs seconds and poisons the timing (a full
+    np.asarray of the [48,1500,1280] encoder output measures the
+    transfer, not the compute)."""
+    def one(a):
+        if hasattr(a, "dtype") and hasattr(a, "ndim"):
+            np.asarray(jnp.sum(a))
+        return a
+
+    jax.tree.map(one, out)
+
+
 def timed(fn, reps=REPS):
-    out = fn()
-    jax.tree.map(
-        lambda a: np.asarray(a) if hasattr(a, "dtype") else a, out
-    )  # host fetch = completion barrier
+    _barrier(fn())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
-        jax.tree.map(
-            lambda a: np.asarray(a) if hasattr(a, "dtype") else a, out
-        )
+        _barrier(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -97,8 +104,13 @@ def main():
     wj = jnp.asarray(windows)
     mel = engine._mel(windows)
     if "mel" in STAGES:
+        from spittle_tpu.audio.mel import log_mel_spectrogram
+
         t = timed(lambda: engine._mel(wj))
-        print(f"mel (engine path)           {t*1e3:8.1f} ms", flush=True)
+        print(f"mel (conv path)             {t*1e3:8.1f} ms", flush=True)
+        t = timed(lambda: log_mel_spectrogram(
+            wj, n_mels=cfg.n_mels, use_fft=True))
+        print(f"mel (rfft path)             {t*1e3:8.1f} ms", flush=True)
 
     xa = encode(params, mel, cfg)
     if "encode" in STAGES:

@@ -337,3 +337,33 @@ class TestAudioDevices:
         from spittle_tpu.shell.audio_devices import list_input_devices
 
         assert list_input_devices(which=lambda t: None) == []
+
+
+def test_cursor_extension_contract():
+    """The bundled Cursor extension writes the exact JSON contract
+    context_providers reads (cursor_context.json with workspaceRoots /
+    activeFile in the platform cache dir)."""
+    import os
+
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "extensions", "cursor-context", "src", "extension.ts",
+    )
+    with open(src, encoding="utf-8") as f:
+        code = f.read()
+    assert "cursor_context.json" in code
+    assert "workspaceRoots" in code and "activeFile" in code
+    # cache dir parity with context_providers.cache_dir()
+    assert "XDG_CACHE_HOME" in code and "Library" in code
+
+    from spittle_tpu.app.context_providers import (
+        get_cursor_workspace,
+        write_cursor_context,
+    )
+
+    import tempfile
+
+    home = tempfile.mkdtemp()
+    workspace = tempfile.mkdtemp()  # must exist (isdir check)
+    write_cursor_context([workspace], home=home)
+    assert get_cursor_workspace(home=home) == workspace

@@ -49,14 +49,19 @@ FRAMES_PER_SECOND = 100
 
 
 def _cast_params_bf16(params):
-    """Cast matmul weights to bf16; layernorm gains/biases stay float32
+    """Cast weights AND biases to bf16; layernorm gains/biases stay float32
     (model.py computes layernorm in float32 — the stacked [L, D] ln leaves
-    would otherwise be caught by an ndim test)."""
+    need the key test, not an ndim test). Biases must follow the weights:
+    a float32 bias added to a bf16 conv/matmul output promotes the
+    activations to float32, which crashes the second encoder conv
+    (conv_general_dilated requires matching dtypes) and silently de-bf16s
+    every transformer block after a bias add. Matches init_params, which
+    creates biases in the compute dtype (model.py:104-112,148-150)."""
     def cast(path, a):
         key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if key.endswith(("ln_g", "ln_b")):
             return a
-        if a.dtype == jnp.float32 and a.ndim >= 2:
+        if a.dtype == jnp.float32:
             return a.astype(jnp.bfloat16)
         return a
 

@@ -66,15 +66,19 @@ def validate_cleanup(
     original: str, cleaned: str, spans: List[Tuple[str, str]]
 ) -> bool:
     """Sanity gate on provider output (cleanup.rs validate_cleanup):
-    non-empty, within a 3x length band of the input, and every protected
-    placeholder replaced."""
+    non-empty, within a 3x length band of the input, no placeholder
+    leaked, and every protected span's content present — a model that
+    DROPS a placeholder silently loses the @token/path/flag it stood
+    for, which is worse than a leak."""
     if not cleaned or not cleaned.strip():
         return False
     lo, lc = len(original), len(cleaned)
     if lc * 3 < lo or lc > lo * 3:
         return False
-    for placeholder, _ in spans:
+    for placeholder, original_span in spans:
         if placeholder in cleaned:
+            return False
+        if original_span.strip() and original_span.strip() not in cleaned:
             return False
     return True
 
@@ -119,3 +123,36 @@ class CleanupManager:
         if not validate_cleanup(text, restored, spans):
             return text  # degenerate output or leaked placeholder
         return restored
+
+
+def t5_seq2seq(model_dir: str, max_tokens: int = MAX_DECODE_TOKENS):
+    """Build a Seq2SeqFn from an HF flan-t5 checkpoint dir.
+
+    The live counterpart of the reference's ort encoder/decoder sessions
+    (cleanup.rs:166-295): our JAX T5 forward (models/t5) + the HF
+    tokenizer.json the checkpoint ships. Pass the result to
+    CleanupManager(seq2seq=...). Raises if the dir lacks weights or
+    tokenizer — CleanupManager construction mirrors the reference's
+    load-or-unavailable behavior, not silent degradation.
+    """
+    import os
+
+    import numpy as np
+    from tokenizers import Tokenizer
+
+    from spittle_tpu.models.t5 import greedy_generate, load_t5_dir
+
+    cfg, params = load_t5_dir(model_dir)
+    tok = Tokenizer.from_file(os.path.join(model_dir, "tokenizer.json"))
+
+    def run(prompt: str) -> str:
+        ids = tok.encode(prompt).ids
+        if ids[-1] != cfg.eos_id:
+            ids = ids + [cfg.eos_id]
+        out = greedy_generate(
+            params, np.asarray([ids], np.int32), cfg, max_tokens=max_tokens
+        )
+        row = [int(t) for t in out[0] if t not in (cfg.pad_id, cfg.eos_id)]
+        return tok.decode(row)
+
+    return run

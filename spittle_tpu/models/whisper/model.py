@@ -182,13 +182,21 @@ def _mlp(x, blk):
     return mm(h, blk["fc2_w"]) + blk["fc2_b"]
 
 
+def encoder_block_body(h: jnp.ndarray, blk, n_head: int) -> jnp.ndarray:
+    """One encoder block (pre-LN attention + MLP residuals).
+
+    Public so pipeline-parallel stages (parallel/pipeline_parallel.py)
+    apply exactly the production block."""
+    h = h + _attn_full(layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"]),
+                       blk, n_head, causal=False)
+    h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
+    return h
+
+
 @functools.partial(jax.jit, static_argnames=("n_head",))
 def _encoder_blocks(blocks, x, n_head: int):
     def body(h, blk):
-        h = h + _attn_full(layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"]),
-                           blk, n_head, causal=False)
-        h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
-        return h, None
+        return encoder_block_body(h, blk, n_head), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x

@@ -82,14 +82,40 @@ class TranscribeAction:
                     entry.engine_type if entry else "whisper",
                 )
         services.events.emit(SHOW_OVERLAY, {"state": "recording"})
+        ui = app.ui
+        if ui is not None:
+            from .ui_state import SoundType, TrayIconState
+
+            ui.tray.set_state(TrayIconState.RECORDING)
+            # actions.rs:47-77 timing: OnDemand plays the start sound
+            # BEFORE the stream opens (so it isn't recorded); AlwaysOn
+            # streams already, so play after the start commits.
+            if not settings.always_on_microphone:
+                ui.feedback.play(SoundType.START)
         started = services.audio.try_start_recording(binding_id)
+        if started and ui is not None and settings.always_on_microphone:
+            from .ui_state import SoundType
+
+            ui.feedback.play(SoundType.START)
         if not started:
             # Roll stale toggle state back (actions.rs:87-94)
             with services.toggle_lock:
                 services.toggle_state[binding_id] = False
+            if ui is not None:
+                from .ui_state import TrayIconState
+
+                ui.tray.set_state(TrayIconState.IDLE)
 
     def stop(self, app: "ActionContext", binding_id: str) -> None:
         services = app.services
+        ui = app.ui
+        if ui is not None:
+            # actions.rs:130-137: tray -> Transcribing, stop sound, before
+            # the async transcription task.
+            from .ui_state import SoundType, TrayIconState
+
+            ui.tray.set_state(TrayIconState.TRANSCRIBING)
+            ui.feedback.play(SoundType.STOP)
         samples = services.audio.stop_recording(binding_id)
         services.events.emit(HIDE_OVERLAY, None)
         session = getattr(app, "streaming_session", None)
@@ -116,6 +142,11 @@ class TranscribeAction:
                 pipeline.run()
             finally:
                 self._clear_toggle(services, binding_id)
+                ui2 = app.ui
+                if ui2 is not None:
+                    from .ui_state import TrayIconState
+
+                    ui2.tray.set_state(TrayIconState.IDLE)
 
         threading.Thread(target=run, daemon=True).start()
 
@@ -157,10 +188,12 @@ class ActionContext:
         services: AppServices,
         output: TextOutput,
         hooks_factory: Optional[Callable[[np.ndarray], PipelineHooks]] = None,
+        ui=None,  # Optional[ui_state.AppUi]: tray/overlay/feedback bundle
     ):
         self.services = services
         self.output = output
         self._hooks_factory = hooks_factory
+        self.ui = ui
         self.streaming_session: Optional[StreamingSession] = None
         # Suspended bindings don't route actions (shortcut/mod.rs:214-238);
         # an attached ShortcutRegistry also unregisters the OS hotkey.
@@ -202,6 +235,10 @@ class ActionContext:
                 self.services.toggle_state[k] = False
         self.services.audio.cancel_recording()
         self.services.events.emit(HIDE_OVERLAY, None)
+        if self.ui is not None:
+            from .ui_state import TrayIconState
+
+            self.ui.tray.set_state(TrayIconState.IDLE)
         self.services.transcription.maybe_unload_immediately()
 
     # -- the shared shortcut event entry point ---------------------------

@@ -117,6 +117,29 @@ class AppRpcServer:
                     self.wfile.write(data)
                 elif self.path == "/healthz":
                     self._json(200, {"ok": True})
+                elif self.path in ("/", "/index.html"):
+                    # The operator console (web/index.html): the
+                    # reference's React settings/history app served over
+                    # the same wire it drives.
+                    import os as _os
+
+                    page = _os.path.join(
+                        _os.path.dirname(_os.path.abspath(__file__)),
+                        "web", "index.html",
+                    )
+                    try:
+                        with open(page, "rb") as f:
+                            data = f.read()
+                    except OSError:
+                        self._json(404, {"ok": False, "error": "no ui"})
+                        return
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/html; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._json(404, {"ok": False, "error": "not found"})
 

@@ -150,6 +150,43 @@ class AudioFeedback:
             self._player(path, s.audio_feedback_volume)
 
 
+class AppUi:
+    """Tray + overlay + audio feedback wired to a services graph.
+
+    The lib.rs:160-232 analog: builds the UI controllers over the event
+    bus and gives actions one object to drive (tray state transitions
+    and feedback sounds around the dictation loop, actions.rs:42-77,
+    130-137). `player=None` probes the system (paplay/aplay/afplay via
+    shell.audio_out); headless environments get state-only UI with
+    sounds recorded in feedback.played.
+    """
+
+    def __init__(
+        self,
+        services,
+        locale: Optional[str] = None,
+        player: Optional[Callable[[str, float], None]] = None,
+        synthesize_sounds: bool = True,
+    ):
+        from spittle_tpu.shell.audio_out import (
+            synthesize_theme_sounds,
+            system_player,
+        )
+
+        self.tray = TrayController(services.events, locale)
+        self.overlay = OverlayController(services.events, services.get_settings)
+        self.feedback = AudioFeedback(
+            services.get_settings,
+            services.data_dir,
+            player=player if player is not None else system_player(),
+        )
+        if synthesize_sounds:
+            try:
+                synthesize_theme_sounds(self.feedback.resources_dir)
+            except OSError:
+                pass  # read-only data dir: sound_path misses are non-fatal
+
+
 # -- platform helpers (helpers/clamshell.rs) --------------------------------
 
 

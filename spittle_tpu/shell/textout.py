@@ -163,32 +163,100 @@ class SystemTextOutput:
         reader=_default_reader,
         which=shutil.which,
         ax_backend=None,
+        uinput_factory=None,
     ):
         """ax_backend: optional macOS AX selection backend
         (shell/macos_ax.py); None resolves the platform default — a real
-        ApplicationServices binding on macOS, nothing elsewhere."""
+        ApplicationServices binding on macOS, nothing elsewhere.
+
+        uinput_factory: () -> UinputKeyboard-like, or None to probe the
+        native Linux backend (shell/uinput.py — the enigo analog,
+        input.rs). Keystrokes prefer uinput when /dev/uinput is writable;
+        the external-tool chain remains the fallback."""
         self._settings = settings_provider
         self._run = runner
         self._read = reader
         self._which = which
         self._ax_backend = ax_backend
+        self._uinput_factory = uinput_factory
+        self._uinput = None
+        self._uinput_probed = False
 
     # -- primitives ------------------------------------------------------
 
     def _tool(self) -> Optional[str]:
         return choose_typing_tool(self._settings().typing_tool, self._which)
 
+    def _kb(self):
+        """Lazy uinput keyboard; None when unavailable. Only used under
+        TypingTool.AUTO — an explicit tool choice is respected."""
+        if self._uinput_probed:
+            return self._uinput
+        self._uinput_probed = True
+        if self._settings().typing_tool is not TypingTool.AUTO:
+            return None
+        try:
+            if self._uinput_factory is not None:
+                self._uinput = self._uinput_factory()
+            else:
+                from .uinput import UinputKeyboard
+
+                if UinputKeyboard.available():
+                    self._uinput = UinputKeyboard()
+        except OSError:
+            self._uinput = None
+        return self._uinput
+
+    @staticmethod
+    def _parse_key(key: str):
+        """'ctrl+shift+v' -> (mods, 'v') in uinput terms."""
+        from .uinput import MOD_ALT, MOD_CTRL, MOD_META, MOD_SHIFT
+
+        names = {
+            "Left": "left", "Right": "right", "Up": "up", "Down": "down",
+            "BackSpace": "backspace", "Return": "enter", "Tab": "tab",
+            "Escape": "escape", "Insert": "insert", "Delete": "delete",
+            "Home": "home", "End": "end",
+        }
+        mod_bits = {
+            "ctrl": MOD_CTRL, "shift": MOD_SHIFT, "alt": MOD_ALT,
+            "super": MOD_META, "cmd": MOD_META,
+        }
+        parts = key.split("+")
+        mods = 0
+        for p in parts[:-1]:
+            bit = mod_bits.get(p.lower())
+            if bit is None:
+                return None
+            mods |= bit
+        last = parts[-1]
+        name = names.get(last, last.lower() if len(last) == 1 else None)
+        if name is None:
+            return None
+        return mods, name
+
     def _type_text(self, text: str) -> bool:
+        kb = self._kb()
+        if kb is not None and kb.type_text(text):
+            return True  # non-ASCII falls through to the tool chain
         tool = self._tool()
         if tool is None:
             return False
         return self._run(type_command(tool, text), type_stdin(tool, text))
 
-    def _press(self, key: str) -> bool:
+    def _press(self, key: str, count: int = 1) -> bool:
+        kb = self._kb()
+        if kb is not None:
+            parsed = self._parse_key(key)
+            if parsed is not None and kb.key(parsed[1], parsed[0], count):
+                return True
         tool = self._tool()
         if tool is None:
             return False
-        return self._run(key_command(tool, key), key_stdin(tool, key))
+        ok = True
+        for _ in range(count):
+            ok = self._run(key_command(tool, key), key_stdin(tool, key)) and ok
+        return ok
 
     def _clipboard_write(self, text: str) -> bool:
         cmd, stdin = clipboard_write_command(text, is_wayland(), self._which)
@@ -240,17 +308,19 @@ class SystemTextOutput:
             delete_chars, suffix_chars, backend=self._ax_backend
         )
         if not used_ax:
-            for _ in range(suffix_chars):
-                self._press("Left")
-            for _ in range(delete_chars):
-                self._press("BackSpace")
+            # Batched movement (input.rs:120-150): one uinput burst per
+            # direction instead of one subprocess per keypress.
+            if suffix_chars:
+                self._press("Left", count=suffix_chars)
+            if delete_chars:
+                self._press("BackSpace", count=delete_chars)
         if insert:
             self._type_text(insert)
         elif delete_chars > 0 and used_ax:
             # AX selected the range; empty replacement clears it.
             self._press("BackSpace")
-        for _ in range(suffix_chars):
-            self._press("Right")
+        if suffix_chars:
+            self._press("Right", count=suffix_chars)
 
     def press_key(self, key: str) -> None:
         mapping = {"enter": "Return", "ctrl+enter": "ctrl+Return",

@@ -101,6 +101,14 @@ def main():
         print(f"host window assembly        "
               f"{(time.perf_counter()-t0)*1e3:8.1f} ms", flush=True)
 
+    if "transfer" in STAGES:
+        t = timed(lambda: jax.block_until_ready(jnp.asarray(windows)))
+        print(f"h2d transfer f32 (92 MB)    {t*1e3:8.1f} ms", flush=True)
+        w16 = (np.clip(windows, -1, 1) * 32767).astype(np.int16)
+        t = timed(lambda: jax.block_until_ready(
+            jnp.asarray(w16).astype(jnp.float32) / 32768.0))
+        print(f"h2d transfer i16+convert    {t*1e3:8.1f} ms", flush=True)
+
     wj = jnp.asarray(windows)
     mel = engine._mel(windows)
     if "mel" in STAGES:

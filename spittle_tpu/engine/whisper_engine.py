@@ -107,11 +107,13 @@ class WhisperEngine:
         self.mel_filters: Optional[jnp.ndarray] = None
         self._space_token: Optional[int] = None
         self._non_speech: Optional[Tuple[int, ...]] = None
+        self._frontend_fn = None  # jitted mel+encode, built per model
 
     # -- lifecycle -------------------------------------------------------
 
     def load_model(self, model_path: str) -> None:
         """Load a GGML file, HF safetensors dir, or `random:<config>` (tests)."""
+        self._frontend_fn = None  # captures cfg/filters; rebuild per model
         if model_path.startswith("random:"):
             name = model_path.split(":", 1)[1]
             self.cfg = CONFIGS[name]
@@ -191,6 +193,7 @@ class WhisperEngine:
         self.mel_filters = None
         self.draft_cfg = None
         self.draft_params = None
+        self._frontend_fn = None
 
     @property
     def is_loaded(self) -> bool:
@@ -214,6 +217,24 @@ class WhisperEngine:
             jnp.asarray(audio_batch), n_mels=self.cfg.n_mels,
             filters=self.mel_filters,
         )
+
+    def _frontend(self, windows: np.ndarray) -> jnp.ndarray:
+        """windows [B, 480000] PCM -> encoder output, as ONE cached
+        program. mel + the encoder conv stem otherwise run as an eager op
+        chain — each op a separate dispatch (and host round-trip on a
+        tunneled backend) with big intermediates materialized in HBM."""
+        if self._frontend_fn is None:
+            cfg = self.cfg
+            filters = self.mel_filters
+
+            def fe(params, w):
+                mel = log_mel_spectrogram(
+                    w, n_mels=cfg.n_mels, filters=filters
+                )
+                return encode(params, mel, cfg)
+
+            self._frontend_fn = jax.jit(fe)
+        return self._frontend_fn(self.params, jnp.asarray(windows))
 
     def _decode_options(
         self, params: TranscribeParams, timestamps: bool = True
@@ -299,8 +320,7 @@ class WhisperEngine:
                 start = seeks[i] * HOP_LENGTH
                 chunk = audios[i][start : start + self.window_samples]
                 windows[bi, : len(chunk)] = chunk
-            mel = self._mel(windows)
-            xa = encode(self.params, mel, cfg)
+            xa = self._frontend(windows)
             draft_xa = None
             if self.draft_params is not None:
                 draft_mel = log_mel_spectrogram(
@@ -421,18 +441,21 @@ class WhisperEngine:
             self.window_frames // 2,
         )
         stride = max(self.window_frames - overlap, 1)
+        # A window is only needed while the previous one doesn't already
+        # cover the remaining content: stop at content - overlap, else a
+        # 30 s utterance with overlap > 0 would decode a second window
+        # containing nothing but already-covered tail.
         plan = [
             (i, seek)
             for i in range(n)
-            for seek in range(0, content_frames[i], stride)
+            for seek in range(0, max(content_frames[i] - overlap, 1), stride)
         ]
         windows = np.zeros((len(plan), self.window_samples), np.float32)
         for wi, (i, seek) in enumerate(plan):
             start = seek * HOP_LENGTH
             chunk = audios[i][start : start + self.window_samples]
             windows[wi, : len(chunk)] = chunk
-        mel = self._mel(windows)
-        xa = encode(self.params, mel, cfg)
+        xa = self._frontend(windows)
         draft_xa = None
         if self.draft_params is not None:
             draft_mel = log_mel_spectrogram(
@@ -604,9 +627,11 @@ class WhisperEngine:
                     if draft_xa is not None and sub else draft_xa
                 ),
             )
-            tokens = np.asarray(out["tokens"])
-            avg_lp = np.asarray(out["avg_logprob"])
-            ns_prob = np.asarray(out["no_speech_prob"])
+            # One batched device->host fetch: three separate np.asarray
+            # calls cost three round-trips on a tunneled backend.
+            tokens, avg_lp, ns_prob = jax.device_get(
+                (out["tokens"], out["avg_logprob"], out["no_speech_prob"])
+            )
             sb = out["sample_begin"]
             if best is None:
                 best = {

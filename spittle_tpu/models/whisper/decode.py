@@ -269,6 +269,38 @@ def _greedy_loop(
     return final, pre_logits
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "opts", "prefix_len", "sot_pos", "sample"),
+)
+def _greedy_program(
+    params, xa, prefix, cfg, opts, prefix_len, sot_pos, temperature, sample
+):
+    """The whole greedy decode as ONE cached program.
+
+    _greedy_loop builds its lax.while_loop from fresh closures, so calling
+    it eagerly re-traces (and re-hashes against the compile cache) on
+    EVERY transcribe call — seconds of host overhead per batch on a
+    tunneled backend. Under jit with static (cfg, opts, prefix_len,
+    sample) the trace is cached after the first call, and the no-speech /
+    avg-logprob summaries fold into the same program so the [P, B, V]
+    prefill logits never leave the device."""
+    final, pre_logits = _greedy_loop(
+        params, xa, prefix, cfg, opts, prefix_len,
+        temperature=temperature, sample=sample,
+    )
+    no_speech_prob = jax.nn.softmax(
+        pre_logits[sot_pos].astype(jnp.float32), axis=-1
+    )[:, cfg.no_speech]
+    avg_logprob = final["sum_logprob"] / jnp.maximum(final["length"], 1)
+    return {
+        "tokens": final["tokens"],
+        "avg_logprob": avg_logprob,
+        "no_speech_prob": no_speech_prob,
+        "length": final["length"],
+    }
+
+
 def greedy_decode(
     params,
     xa: jnp.ndarray,
@@ -313,23 +345,14 @@ def greedy_decode(
     import dataclasses as _dc
 
     static_opts = _dc.replace(opts, temperature=0.0)
-    final, pre_logits = _greedy_loop(
+    out = _greedy_program(
         params, xa, prefix, cfg, static_opts,
         prefix_len=len(prefix_list),
+        sot_pos=sot_pos,
         temperature=jnp.asarray(opts.temperature, jnp.float32),
         sample=opts.temperature > 0,
     )
-    no_speech_prob = jax.nn.softmax(
-        pre_logits[sot_pos].astype(jnp.float32), axis=-1
-    )[:, cfg.no_speech]
-    avg_logprob = final["sum_logprob"] / jnp.maximum(final["length"], 1)
-    return {
-        "tokens": final["tokens"],
-        "sample_begin": len(prefix_list),
-        "avg_logprob": avg_logprob,
-        "no_speech_prob": no_speech_prob,
-        "length": final["length"],
-    }
+    return {**out, "sample_begin": len(prefix_list)}
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -48,6 +48,26 @@ WINDOW_FRAMES = 3000  # mel frames per 30 s window (standard Whisper)
 FRAMES_PER_SECOND = 100
 
 
+def _pcm_f32(w: jnp.ndarray) -> jnp.ndarray:
+    """Device-side PCM normalize: int16 wire format -> float32 [-1, 1).
+
+    Audio ships to the device as int16 (the mic's native format) because
+    the host->device link is the scarce resource in serving — int16
+    halves the bytes of the dominant transfer; the convert fuses into the
+    mel program."""
+    if w.dtype == jnp.int16:
+        return w.astype(jnp.float32) / 32768.0
+    return w.astype(jnp.float32)
+
+
+def _as_audio(a) -> np.ndarray:
+    """Accept float32 [-1,1] or int16 PCM; other dtypes convert to f32."""
+    a = np.asarray(a)
+    if a.dtype == np.int16:
+        return a
+    return a.astype(np.float32, copy=False)
+
+
 def _cast_params_bf16(params):
     """Cast weights AND biases to bf16; layernorm gains/biases stay float32
     (model.py computes layernorm in float32 — the stacked [L, D] ln leaves
@@ -218,6 +238,22 @@ class WhisperEngine:
             filters=self.mel_filters,
         )
 
+    def _assemble_windows(self, audios, items) -> np.ndarray:
+        """items: [(audio_idx, start_sample)] -> [len(items), window] PCM.
+
+        All-int16 inputs assemble (and transfer) as int16 — half the
+        host->device bytes, normalized on device in the fused frontend;
+        mixed batches normalize to float32 on host."""
+        all_i16 = all(a.dtype == np.int16 for a in audios)
+        dtype = np.int16 if all_i16 else np.float32
+        windows = np.zeros((len(items), self.window_samples), dtype)
+        for wi, (i, start) in enumerate(items):
+            chunk = audios[i][start : start + self.window_samples]
+            if chunk.dtype == np.int16 and not all_i16:
+                chunk = chunk.astype(np.float32) / 32768.0
+            windows[wi, : len(chunk)] = chunk
+        return windows
+
     def _frontend(self, windows: np.ndarray) -> jnp.ndarray:
         """windows [B, 480000] PCM -> encoder output, as ONE cached
         program. mel + the encoder conv stem otherwise run as an eager op
@@ -229,7 +265,7 @@ class WhisperEngine:
 
             def fe(params, w):
                 mel = log_mel_spectrogram(
-                    w, n_mels=cfg.n_mels, filters=filters
+                    _pcm_f32(w), n_mels=cfg.n_mels, filters=filters
                 )
                 return encode(params, mel, cfg)
 
@@ -282,16 +318,10 @@ class WhisperEngine:
         cfg = self.cfg
         tok = self.tokenizer
 
-        max_prompt = cfg.n_text_ctx // 2 - 1
-        prompt_tokens: Tuple[int, ...] = ()
-        if params.initial_prompt:
-            # whisper.cpp truncates the prompt to n_text_ctx/2 - 1
-            ids = tok.encode(" " + params.initial_prompt.strip())
-            prompt_tokens = tuple(ids[-max_prompt:])
-        base_prompt = prompt_tokens
+        base_prompt = prompt_tokens = self._base_prompt(params)
 
         n = len(batch)
-        audios = [np.asarray(a, np.float32) for a in batch]
+        audios = [_as_audio(a) for a in batch]
         if params.parallel_windows:
             if params.condition_on_previous_text:
                 raise ValueError(
@@ -315,16 +345,15 @@ class WhisperEngine:
             if not active:
                 break
             # Build this round's window batch.
-            windows = np.zeros((len(active), self.window_samples), np.float32)
-            for bi, i in enumerate(active):
-                start = seeks[i] * HOP_LENGTH
-                chunk = audios[i][start : start + self.window_samples]
-                windows[bi, : len(chunk)] = chunk
+            windows = self._assemble_windows(
+                audios, [(i, seeks[i] * HOP_LENGTH) for i in active]
+            )
             xa = self._frontend(windows)
             draft_xa = None
             if self.draft_params is not None:
                 draft_mel = log_mel_spectrogram(
-                    jnp.asarray(windows), n_mels=self.draft_cfg.n_mels
+                    _pcm_f32(jnp.asarray(windows)),
+                    n_mels=self.draft_cfg.n_mels,
                 )
                 draft_xa = encode(self.draft_params, draft_mel, self.draft_cfg)
 
@@ -404,7 +433,9 @@ class WhisperEngine:
                     t for t in seg_tokens[0] if t < cfg.timestamp_begin
                 ]
                 prompt_tokens = tuple(
-                    (list(base_prompt) + text_tokens)[-max_prompt:]
+                    (list(base_prompt) + text_tokens)[
+                        -(cfg.n_text_ctx // 2 - 1):
+                    ]
                 )
             round_idx += 1
 
@@ -419,18 +450,80 @@ class WhisperEngine:
             )
         return results
 
-    def _transcribe_parallel_windows(
-        self, audios, params: TranscribeParams, base_prompt
-    ) -> List[TranscriptionResult]:
-        """Long-form fast path: every 30 s window of every item decodes in
-        ONE batched device program (fixed-stride chunking).
+    def _base_prompt(self, params: TranscribeParams) -> Tuple[int, ...]:
+        """initial_prompt -> conditioning tokens, truncated to
+        n_text_ctx/2 - 1 (whisper.cpp prompt-half split)."""
+        if not params.initial_prompt:
+            return ()
+        max_prompt = self.cfg.n_text_ctx // 2 - 1
+        ids = self.tokenizer.encode(" " + params.initial_prompt.strip())
+        return tuple(ids[-max_prompt:])
 
-        Trades whisper.cpp's timestamp-guided seek + prompt carry for a
-        single compile-once batch — the right shape for TPU serving when
-        windows are independent (condition_on_previous_text=False).
+    def transcribe_stream(self, batches, params=None, prefetch: int = 1):
+        """Pipelined batched transcription: prefetch-to-device double
+        buffering (the tf.data-prefetch pattern, TPU-idiomatic input
+        pipelining).
+
+        batches: iterable of Sequence[np.ndarray] (each a batch of PCM
+        buffers, float32 or int16). Yields List[TranscriptionResult] per
+        batch, in order. A worker thread assembles windows and streams
+        them host->device while the PREVIOUS batch's encode/decode runs
+        on the device — on a host link slower than the model, sustained
+        throughput becomes max(transfer, compute) instead of their sum.
+
+        Requires independent windows (parallel_windows semantics;
+        condition_on_previous_text must be off). prefetch bounds how many
+        staged batches may wait on device (HBM: one 48 x 30 s int16 batch
+        is 46 MB).
         """
-        cfg = self.cfg
-        tok = self.tokenizer
+        import queue as _queue
+        import threading
+
+        assert self.is_loaded, "no model loaded"
+        params = params or TranscribeParams(parallel_windows=True)
+        if params.condition_on_previous_text:
+            raise ValueError(
+                "transcribe_stream requires condition_on_previous_text="
+                "False (windows decode independently)"
+            )
+        base_prompt = self._base_prompt(params)
+
+        q: _queue.Queue = _queue.Queue(maxsize=max(1, prefetch))
+        done = object()
+
+        def producer():
+            try:
+                for batch in batches:
+                    audios = [_as_audio(a) for a in batch]
+                    plan, windows, content_frames, overlap = (
+                        self._plan_parallel_windows(audios, params)
+                    )
+                    dev = jax.device_put(windows)
+                    q.put((audios, (plan, dev, content_frames, overlap)))
+            except BaseException as e:  # surface in the consumer
+                q.put(("__error__", e))
+            else:
+                q.put(done)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, tuple) and item[0] == "__error__":
+                raise item[1]
+            audios, staged = item
+            yield self._transcribe_parallel_windows(
+                audios, params, base_prompt, staged=staged
+            )
+
+    def _plan_parallel_windows(self, audios, params: TranscribeParams):
+        """Host half of the parallel-windows path: window plan + PCM batch.
+
+        Returns (plan, windows, content_frames, overlap). Split out so
+        transcribe_stream can run it (plus the device transfer) on a
+        prefetch thread while the previous batch computes."""
         n = len(audios)
         content_frames = [max(1, len(a) // HOP_LENGTH) for a in audios]
         # (item, seek) for every window. With overlap-stitch, windows
@@ -450,16 +543,38 @@ class WhisperEngine:
             for i in range(n)
             for seek in range(0, max(content_frames[i] - overlap, 1), stride)
         ]
-        windows = np.zeros((len(plan), self.window_samples), np.float32)
-        for wi, (i, seek) in enumerate(plan):
-            start = seek * HOP_LENGTH
-            chunk = audios[i][start : start + self.window_samples]
-            windows[wi, : len(chunk)] = chunk
+        windows = self._assemble_windows(
+            audios, [(i, seek * HOP_LENGTH) for i, seek in plan]
+        )
+        return plan, windows, content_frames, overlap
+
+    def _transcribe_parallel_windows(
+        self, audios, params: TranscribeParams, base_prompt, staged=None
+    ) -> List[TranscriptionResult]:
+        """Long-form fast path: every 30 s window of every item decodes in
+        ONE batched device program (fixed-stride chunking).
+
+        Trades whisper.cpp's timestamp-guided seek + prompt carry for a
+        single compile-once batch — the right shape for TPU serving when
+        windows are independent (condition_on_previous_text=False).
+        staged: optional (plan, device_windows, content_frames, overlap)
+        from _plan_parallel_windows + device_put on a prefetch thread.
+        """
+        cfg = self.cfg
+        tok = self.tokenizer
+        n = len(audios)
+        if staged is None:
+            plan, windows, content_frames, overlap = (
+                self._plan_parallel_windows(audios, params)
+            )
+        else:
+            plan, windows, content_frames, overlap = staged
+        stride = max(self.window_frames - overlap, 1)
         xa = self._frontend(windows)
         draft_xa = None
         if self.draft_params is not None:
             draft_mel = log_mel_spectrogram(
-                jnp.asarray(windows), n_mels=self.draft_cfg.n_mels
+                _pcm_f32(jnp.asarray(windows)), n_mels=self.draft_cfg.n_mels
             )
             draft_xa = encode(self.draft_params, draft_mel, self.draft_cfg)
 

@@ -1,0 +1,94 @@
+"""int16 wire-format ingest + pipelined transcribe_stream.
+
+Audio ships host->device as int16 (the mic's native format; half the
+bytes of f32 on the serving hot path) and normalizes on device inside
+the fused mel+encoder program. transcribe_stream overlaps batch k+1's
+window assembly + transfer with batch k's compute (prefetch-to-device).
+Both must be transcript-identical to the float32 / synchronous paths.
+"""
+
+import numpy as np
+import pytest
+
+from spittle_tpu.engine.base import TranscribeParams
+from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    e = WhisperEngine()
+    e.load_model("random:tiny")
+    return e
+
+
+@pytest.fixture(scope="module")
+def audio_pairs():
+    rng = np.random.default_rng(7)
+    f32 = [
+        (rng.standard_normal(16000 * d) * 0.1).astype(np.float32)
+        for d in (3, 5, 8)
+    ]
+    # Quantize THEN take that as the f32 ground truth so both dtypes
+    # carry bit-identical signal (the parity being tested is the ingest
+    # path, not int16 quantization error).
+    i16 = [(np.clip(a, -1, 1) * 32768).astype(np.int16) for a in f32]
+    f32q = [a.astype(np.float32) / 32768.0 for a in i16]
+    return f32q, i16
+
+
+PAR = TranscribeParams(
+    language="en", condition_on_previous_text=False,
+    parallel_windows=True, max_tokens=12, temperatures=(0.0,),
+)
+SEQ = TranscribeParams(language="en", max_tokens=12, temperatures=(0.0,))
+
+
+def texts(results):
+    return [r.text for r in results]
+
+
+def test_i16_matches_f32_parallel_windows(engine, audio_pairs):
+    f32q, i16 = audio_pairs
+    assert texts(engine.transcribe_batch(i16, PAR)) == texts(
+        engine.transcribe_batch(f32q, PAR)
+    )
+
+
+def test_i16_matches_f32_sequential(engine, audio_pairs):
+    f32q, i16 = audio_pairs
+    assert texts(engine.transcribe_batch(i16, SEQ)) == texts(
+        engine.transcribe_batch(f32q, SEQ)
+    )
+
+
+def test_mixed_dtype_batch(engine, audio_pairs):
+    f32q, i16 = audio_pairs
+    mixed = [f32q[0], i16[1], f32q[2]]
+    assert texts(engine.transcribe_batch(mixed, SEQ)) == texts(
+        engine.transcribe_batch(f32q, SEQ)
+    )
+
+
+def test_stream_matches_batch(engine, audio_pairs):
+    f32q, i16 = audio_pairs
+    batches = [i16, i16[:2], list(reversed(i16))]
+    streamed = [texts(r) for r in engine.transcribe_stream(batches, PAR)]
+    direct = [texts(engine.transcribe_batch(b, PAR)) for b in batches]
+    assert streamed == direct
+
+
+def test_stream_rejects_conditioned_decode(engine):
+    bad = TranscribeParams(condition_on_previous_text=True)
+    with pytest.raises(ValueError):
+        list(engine.transcribe_stream([[np.zeros(16000, np.float32)]], bad))
+
+
+def test_stream_propagates_producer_error(engine):
+    def batches():
+        yield [np.zeros(16000, np.float32)]
+        raise RuntimeError("source died")
+
+    it = engine.transcribe_stream(batches(), PAR)
+    next(it)
+    with pytest.raises(RuntimeError, match="source died"):
+        next(it)

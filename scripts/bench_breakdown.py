@@ -115,7 +115,7 @@ def main():
         from spittle_tpu.audio.mel import log_mel_spectrogram
 
         t = timed(lambda: engine._mel(wj))
-        print(f"mel (conv path)             {t*1e3:8.1f} ms", flush=True)
+        print(f"mel (CT-DFT path)           {t*1e3:8.1f} ms", flush=True)
         t = timed(lambda: log_mel_spectrogram(
             wj, n_mels=cfg.n_mels, use_fft=True))
         print(f"mel (rfft path)             {t*1e3:8.1f} ms", flush=True)

@@ -24,8 +24,14 @@ def save_wav_file(path: str, samples: np.ndarray, sample_rate: int = 16000) -> N
         w.writeframes(pcm.tobytes())
 
 
-def load_wav_file(path: str) -> Tuple[np.ndarray, int]:
-    """Returns (float32 mono samples in [-1, 1], sample_rate)."""
+def load_wav_file(
+    path: str, keep_int16: bool = False
+) -> Tuple[np.ndarray, int]:
+    """Returns (mono samples, sample_rate).
+
+    Samples are float32 in [-1, 1]; with keep_int16, a 16-bit mono file
+    returns raw int16 instead — the engine's wire format (half the
+    host->device bytes, normalized on device)."""
     with wave.open(path, "rb") as w:
         rate = w.getframerate()
         n = w.getnframes()
@@ -33,6 +39,8 @@ def load_wav_file(path: str) -> Tuple[np.ndarray, int]:
         channels = w.getnchannels()
         raw = w.readframes(n)
     if width == 2:
+        if keep_int16 and channels == 1:
+            return np.frombuffer(raw, "<i2"), rate
         data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
     elif width == 4:
         data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0

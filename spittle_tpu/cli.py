@@ -66,8 +66,12 @@ def cmd_transcribe(args) -> int:
         if not args.audio:
             print("error: provide a WAV path or --mic", file=sys.stderr)
             return 2
-        audio, rate = load_wav_file(args.audio)
+        # int16 is the engine's wire format: half the host->device bytes,
+        # normalized on device inside the fused frontend.
+        audio, rate = load_wav_file(args.audio, keep_int16=True)
     if rate != 16000:
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
         audio = np.asarray(resample(audio, rate, 16000))
 
     engine = WhisperEngine()

@@ -71,6 +71,17 @@ class TranscriptionResult:
     words: List[Word] = dataclasses.field(default_factory=list)
 
 
+def normalize_pcm(a) -> np.ndarray:
+    """PCM input contract for every engine: float32 in [-1, 1] passes
+    through; int16 (the wire format — half the host->device bytes) scales
+    by 1/32768. Engines that can normalize on device (Whisper's fused
+    frontend) keep int16 instead of calling this."""
+    a = np.asarray(a)
+    if a.dtype == np.int16:
+        return a.astype(np.float32) / 32768.0
+    return a.astype(np.float32, copy=False)
+
+
 class TranscriptionEngine(Protocol):
     def load_model(self, model_path: str) -> None: ...
 

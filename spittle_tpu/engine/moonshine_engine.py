@@ -16,7 +16,7 @@ from spittle_tpu.models.moonshine.model import (
     greedy_decode,
     init_params,
 )
-from .base import Segment, TranscribeParams, TranscriptionResult
+from .base import normalize_pcm, Segment, TranscribeParams, TranscriptionResult
 from .parakeet_engine import SentencePieceTable
 
 MIN_SAMPLES = 1024  # conv stem needs at least ~one stem window
@@ -71,7 +71,7 @@ class MoonshineEngine:
         params: Optional[TranscribeParams] = None,
     ) -> List[TranscriptionResult]:
         assert self.is_loaded
-        audios = [np.asarray(a, np.float32) for a in batch]
+        audios = [normalize_pcm(a) for a in batch]
         max_len = max(max(len(a) for a in audios), MIN_SAMPLES)
         padded = np.zeros((len(audios), max_len), np.float32)
         for i, a in enumerate(audios):

@@ -25,7 +25,7 @@ from spittle_tpu.models.parakeet.config import CONFIGS, ParakeetConfig
 from spittle_tpu.models.parakeet.decode import tdt_greedy_decode
 from spittle_tpu.models.parakeet.features import HOP, parakeet_features
 from spittle_tpu.models.parakeet.model import encode, init_params
-from .base import Segment, TranscribeParams, TranscriptionResult
+from .base import normalize_pcm, Segment, TranscribeParams, TranscriptionResult
 
 SECONDS_PER_FRAME = 8 * HOP / 16000.0  # 80 ms per encoder frame
 
@@ -156,7 +156,7 @@ class ParakeetEngine:
     ) -> List[TranscriptionResult]:
         assert self.is_loaded, "no model loaded"
         params = params or TranscribeParams()
-        audios = [np.asarray(a, np.float32) for a in batch]
+        audios = [normalize_pcm(a) for a in batch]
         max_len = max(len(a) for a in audios)
         # Round up so the conv subsampling sees full frames.
         max_len = max(max_len, HOP * 16)

@@ -22,7 +22,7 @@ from spittle_tpu.models.sensevoice.model import (
     lfr_stack,
     prompt_ids_for,
 )
-from .base import Segment, TranscribeParams, TranscriptionResult
+from .base import normalize_pcm, Segment, TranscribeParams, TranscriptionResult
 from .parakeet_engine import SentencePieceTable
 
 
@@ -114,7 +114,7 @@ class SenseVoiceEngine:
         assert self.is_loaded
         params = params or TranscribeParams()
         language = params.language or "auto"
-        audios = [np.asarray(a, np.float32) for a in batch]
+        audios = [normalize_pcm(a) for a in batch]
         max_len = max(max(len(a) for a in audios), HOP * 16)
         padded = np.zeros((len(audios), max_len), np.float32)
         for i, a in enumerate(audios):

@@ -796,7 +796,11 @@ class WhisperEngine:
         config 2)."""
         from spittle_tpu.audio.vad.segmenter import segment_speech
 
-        audio = np.asarray(audio, np.float32)
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:  # wire-format PCM -> normalized f32
+            audio = audio.astype(np.float32) / 32768.0
+        else:
+            audio = audio.astype(np.float32, copy=False)
         spans = segment_speech(audio, params=vad_params)
         if not spans:
             return TranscriptionResult(text="")

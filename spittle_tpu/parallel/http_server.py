@@ -6,7 +6,8 @@ apps POST audio here and the BatchingTranscriptionServer coalesces
 concurrent sessions into device batches.
 
 Endpoints:
-  POST /transcribe   body: WAV bytes (or raw f32 PCM with X-Sample-Rate) ->
+  POST /transcribe   body: WAV bytes, raw f32 PCM, or raw s16le PCM
+                     (X-PCM-Format: s16le; X-Sample-Rate for raw) ->
                      {"text", "language", "segments": [...]}
   GET  /healthz      {"ok": true, "batches": [...recent batch sizes...]}
 
@@ -28,7 +29,16 @@ from spittle_tpu.engine.base import TranscribeParams
 from .serving import BatchingTranscriptionServer
 
 
-def _parse_audio(body: bytes, content_type: str, sample_rate: Optional[int]):
+def _parse_audio(
+    body: bytes,
+    content_type: str,
+    sample_rate: Optional[int],
+    pcm_format: str = "",
+):
+    """WAV bytes, raw f32le, or raw s16le (X-PCM-Format: s16le).
+
+    int16 stays int16 when no resample is needed — it is the engine's
+    wire format (half the host->device bytes, normalized on device)."""
     from spittle_tpu.audio.resample import resample
     from spittle_tpu.audio.wav import load_wav_file
     import tempfile, os
@@ -38,13 +48,18 @@ def _parse_audio(body: bytes, content_type: str, sample_rate: Optional[int]):
             f.write(body)
             path = f.name
         try:
-            audio, rate = load_wav_file(path)
+            audio, rate = load_wav_file(path, keep_int16=True)
         finally:
             os.unlink(path)
+    elif pcm_format == "s16le":
+        audio = np.frombuffer(body, "<i2")
+        rate = sample_rate or 16000
     else:
         audio = np.frombuffer(body, np.float32)
         rate = sample_rate or 16000
     if rate != 16000:
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
         audio = np.asarray(resample(audio, rate, 16000))
     return audio
 
@@ -91,6 +106,7 @@ class TranscriptionHTTPServer:
                     audio = _parse_audio(
                         body, self.headers.get("Content-Type", ""),
                         int(sr) if sr else None,
+                        self.headers.get("X-PCM-Format", ""),
                     )
                     params = TranscribeParams(
                         language=self.headers.get("X-Language") or None,

@@ -92,3 +92,30 @@ def test_stream_propagates_producer_error(engine):
     next(it)
     with pytest.raises(RuntimeError, match="source died"):
         next(it)
+
+
+def test_normalize_pcm_contract():
+    from spittle_tpu.engine.base import normalize_pcm
+
+    i16 = np.array([-32768, 0, 16384, 32767], np.int16)
+    f = normalize_pcm(i16)
+    assert f.dtype == np.float32
+    np.testing.assert_allclose(
+        f, [-1.0, 0.0, 0.5, 32767 / 32768.0], atol=1e-7
+    )
+    passthrough = np.array([0.25, -0.5], np.float32)
+    assert normalize_pcm(passthrough) is passthrough
+
+
+def test_parakeet_i16_matches_f32():
+    from spittle_tpu.engine.parakeet_engine import ParakeetEngine
+
+    eng = ParakeetEngine()
+    eng.load_model("random:parakeet-test")
+    rng = np.random.default_rng(3)
+    f32 = [(rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)]
+    i16 = [(np.clip(a, -1, 1) * 32768).astype(np.int16) for a in f32]
+    f32q = [a.astype(np.float32) / 32768.0 for a in i16]
+    assert [r.text for r in eng.transcribe_batch(i16)] == [
+        r.text for r in eng.transcribe_batch(f32q)
+    ]

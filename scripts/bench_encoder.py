@@ -1,0 +1,133 @@
+"""On-chip encoder breakdown at the headline shape (turbo, batch 48).
+
+Times the conv stem, the block scan, and single-block sublayers
+(attention vs MLP) to locate where the 1.4 s encode goes. Honest
+barrier = host fetch of a reduction.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SPITTLE_JAX_CACHE", "/tmp/spittle_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B = int(os.environ.get("BE_BATCH", "48"))
+REPS = 3
+
+
+def fetch(x):
+    return np.asarray(jnp.sum(x))
+
+
+def timed(fn, reps=REPS):
+    fetch(fn())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    from spittle_tpu.models.whisper.config import CONFIGS
+    from spittle_tpu.models.whisper.model import (
+        _encoder_blocks, encode, encoder_block_body, init_params,
+    )
+
+    cfg = CONFIGS["large-v3-turbo"]
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    enc = params["encoder"]
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.standard_normal((B, cfg.n_mels, 3000)), jnp.float32
+    )
+
+    t = timed(lambda: encode(params, mel, cfg))
+    print(f"encode total        {t*1e3:8.1f} ms", flush=True)
+
+    @jax.jit
+    def stem(mel):
+        x = jax.lax.conv_general_dilated(
+            mel.astype(enc["conv1_w"].dtype), enc["conv1_w"],
+            window_strides=(1,), padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ) + enc["conv1_b"][None, :, None]
+        x = jax.nn.gelu(x, approximate=False)
+        x = jax.lax.conv_general_dilated(
+            x, enc["conv2_w"], window_strides=(2,), padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ) + enc["conv2_b"][None, :, None]
+        return jax.nn.gelu(x, approximate=False)
+
+    t = timed(lambda: stem(mel))
+    print(f"conv stem           {t*1e3:8.1f} ms", flush=True)
+
+    x = jnp.asarray(
+        rng.standard_normal((B, 1500, cfg.n_audio_state)), jnp.bfloat16
+    )
+    t = timed(lambda: _encoder_blocks(enc["blocks"], x, cfg.n_audio_head))
+    n_layer = cfg.n_audio_layer
+    print(f"blocks scan ({n_layer}L)   {t*1e3:8.1f} ms   "
+          f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
+
+    blk0 = jax.tree.map(lambda a: a[0], enc["blocks"])
+
+    @jax.jit
+    def one_block(x):
+        return encoder_block_body(x, blk0, cfg.n_audio_head)
+
+    t = timed(lambda: one_block(x))
+    print(f"one block (jit)     {t*1e3:8.1f} ms", flush=True)
+
+    from spittle_tpu.models.whisper.model import (
+        _attn_full, _mlp, layer_norm,
+    )
+
+    @jax.jit
+    def attn_only(x):
+        return x + _attn_full(
+            layer_norm(x, blk0["attn_ln_g"], blk0["attn_ln_b"]),
+            blk0, cfg.n_audio_head, causal=False,
+        )
+
+    @jax.jit
+    def mlp_only(x):
+        return x + _mlp(
+            layer_norm(x, blk0["mlp_ln_g"], blk0["mlp_ln_b"]), blk0
+        )
+
+    t = timed(lambda: attn_only(x))
+    print(f"attn sublayer       {t*1e3:8.1f} ms", flush=True)
+    t = timed(lambda: mlp_only(x))
+    print(f"mlp sublayer        {t*1e3:8.1f} ms", flush=True)
+
+    # MXU ceiling reference: one big bf16 matmul of the MLP's fc1 shape
+    w = jnp.asarray(
+        rng.standard_normal((cfg.n_audio_state, 4 * cfg.n_audio_state)),
+        jnp.bfloat16,
+    )
+    xx = x.reshape(-1, cfg.n_audio_state)
+
+    @jax.jit
+    def gemm(xx):
+        return xx @ w
+
+    t = timed(lambda: gemm(xx))
+    flops = 2 * xx.shape[0] * w.shape[0] * w.shape[1]
+    print(f"ref gemm fc1-shape  {t*1e3:8.1f} ms   "
+          f"{flops/t/1e12:6.1f} TF/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

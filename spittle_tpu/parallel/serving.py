@@ -82,9 +82,14 @@ class BatchingTranscriptionServer:
         self, samples: np.ndarray, params: Optional[TranscribeParams] = None
     ) -> Future:
         fut: Future = Future()
+        samples = np.asarray(samples)
+        if samples.dtype != np.int16:
+            # int16 is the wire format (engines normalize on device);
+            # everything else must arrive as float32 in [-1, 1].
+            samples = samples.astype(np.float32, copy=False)
         self._queue.put(
             _Request(
-                samples=np.asarray(samples, np.float32),
+                samples=samples,
                 params=params or TranscribeParams(),
                 future=fut,
                 enqueued_at=time.monotonic(),

@@ -245,3 +245,24 @@ def test_short_bucket_dispatches_before_long():
     assert eng.batches[0] == [16000]
     assert eng.batches[1] == [16000 * 45]
     srv.shutdown()
+
+
+def test_i16_requests_preserved_not_cast_unscaled():
+    """submit() must keep int16 PCM as int16 (the wire format the engines
+    normalize on device) — an unscaled float32 cast feeds +-32767-range
+    'audio' into the engine."""
+
+    class DtypeEngine:
+        def transcribe_batch(self, batch, params=None):
+            return [
+                TranscriptionResult(text=str(b.dtype)) for b in batch
+            ]
+
+    srv = BatchingTranscriptionServer(DtypeEngine(), max_wait_ms=5)
+    try:
+        out16 = srv.transcribe(np.ones(8000, np.int16))
+        out32 = srv.transcribe(np.ones(8000, np.float64))
+        assert out16.text == "int16"
+        assert out32.text == "float32"
+    finally:
+        srv.shutdown()

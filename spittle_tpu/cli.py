@@ -16,8 +16,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here
+# so `JAX_PLATFORMS=cpu python -m spittle_tpu.cli ...` really runs on
+# CPU (a CLI run killed mid-compile on the tunneled TPU wedges the
+# tunnel for ~30 minutes).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _capture_from_mic(seconds: float, device=None, tool=None):

@@ -279,8 +279,10 @@ def _config9():
     utt = rng.standard_normal(16000 * 5).astype(np.float32)  # 5 s utterances
 
     srv = BatchingTranscriptionServer(eng, max_batch=32, max_wait_ms=20.0)
-    # warm every bucket shape the load will hit
-    srv.transcribe(utt, p)
+    # Pre-compile the whole batch-size ladder (1..32) with the load's
+    # decode params — without this every new coalesced size compiled
+    # mid-request (measured 22 s p50 at 8 req/s).
+    srv.warmup(p)
 
     rate_hz = float(os.environ.get("BENCH_LOAD_RATE", "8.0"))
     duration_s = float(os.environ.get("BENCH_LOAD_SECONDS", "20.0"))

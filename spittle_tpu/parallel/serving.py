@@ -104,6 +104,28 @@ class BatchingTranscriptionServer:
         """Synchronous client call — the TranscriptionManager seam."""
         return self.submit(samples, params).result(timeout=timeout)
 
+    def warmup(
+        self,
+        params: Optional[TranscribeParams] = None,
+        bucket_s: Optional[float] = None,
+        dtype=np.float32,
+    ) -> None:
+        """Pre-compile every ladder batch size for one bucket so no live
+        request pays an XLA compile (SURVEY hard part (d): <300 ms p50
+        needs warm graphs for every shape). Decode options (max_tokens,
+        beam size, ...) are static in the compiled programs — warm with
+        the SAME params production trafic will send; same for the PCM
+        dtype (int16 wire format vs float32)."""
+        bucket_len = int((bucket_s or self.buckets[-1]) * SAMPLE_RATE)
+        sizes = [1]
+        while sizes[-1] * 2 < self.max_batch:
+            sizes.append(sizes[-1] * 2)
+        if sizes[-1] != self.max_batch:
+            sizes.append(self.max_batch)
+        for n in sizes:
+            batch = [np.zeros(bucket_len, dtype) for _ in range(n)]
+            self.engine.transcribe_batch(batch, params or TranscribeParams())
+
     def shutdown(self) -> None:
         self._shutdown.set()
         self._queue.put(None)
@@ -163,6 +185,19 @@ class BatchingTranscriptionServer:
             for bucket_len, reqs in groups:
                 self._run_group(bucket_len, reqs)
 
+    def _ladder_size(self, n: int) -> int:
+        """Next power-of-two batch size (capped at max_batch).
+
+        XLA compiles one program per device shape; letting every
+        coalesced batch size (3, 7, 13, ...) reach the engine means a
+        fresh multi-second compile mid-request — measured as 22 s p50
+        under Poisson load. A static ladder keeps the shape set tiny
+        (and warmup() pre-compiles it)."""
+        size = 1
+        while size < n:
+            size *= 2
+        return min(size, self.max_batch)
+
     def _run_group(
         self, bucket_len: Optional[int], reqs: List[_Request]
     ) -> None:
@@ -178,6 +213,11 @@ class BatchingTranscriptionServer:
                 )
                 for r in reqs
             ]
+            target = self._ladder_size(len(padded))
+            filler = target - len(padded)
+            if filler > 0:
+                silence = np.zeros(bucket_len, padded[0].dtype)
+                padded.extend(silence for _ in range(filler))
         self.batch_sizes.append(len(reqs))
         queue_ms = max(
             (time.monotonic() - r.enqueued_at) * 1000 for r in reqs

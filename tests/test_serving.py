@@ -266,3 +266,34 @@ def test_i16_requests_preserved_not_cast_unscaled():
         assert out32.text == "float32"
     finally:
         srv.shutdown()
+
+
+def test_batch_size_ladder_padding():
+    """Device programs compile per batch size: the dispatcher pads each
+    bucketed group to the next power-of-two (capped at max_batch) with
+    silence so the compiled-shape set stays tiny under load."""
+    eng = RecordingEngine(delay=0.05)
+    srv = BatchingTranscriptionServer(eng, max_batch=32, max_wait_ms=80)
+    try:
+        futs = [srv.submit(np.ones(8000, np.float32)) for _ in range(3)]
+        # occupy dispatcher so remaining submissions coalesce
+        [f.result(timeout=10) for f in futs]
+        engine_batch_sizes = {len(b) for b in eng.batches}
+        assert engine_batch_sizes <= {1, 2, 4, 8}  # ladder sizes only
+        # observability records REAL request counts, not padded
+        assert sum(srv.batch_sizes) == 3
+    finally:
+        srv.shutdown()
+
+
+def test_warmup_compiles_ladder():
+    eng = RecordingEngine()
+    srv = BatchingTranscriptionServer(eng, max_batch=32, max_wait_ms=5)
+    try:
+        srv.warmup()
+        assert [len(b) for b in eng.batches] == [1, 2, 4, 8, 16, 32]
+        assert all(
+            n == 16000 * 30 for b in eng.batches for n in b
+        )  # largest bucket
+    finally:
+        srv.shutdown()

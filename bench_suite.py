@@ -191,28 +191,30 @@ def _config5():
 
 
 def _config6():
-    # 6. dictation-realistic single 5 s utterance -> text p50 (turbo).
-    from spittle_tpu.audio.mel import log_mel_spectrogram
-    from spittle_tpu.models.whisper.config import CONFIGS
-    from spittle_tpu.models.whisper.decode import DecodeOptions, greedy_decode
-    from spittle_tpu.models.whisper.model import encode, init_params
+    # 6. dictation-realistic single 5 s utterance -> text p50 (turbo),
+    # ENGINE end-to-end (int16 transfer, fused frontend, rule decode,
+    # token parse) — full 30 s window vs reduced audio_ctx=256 (the
+    # whisper.cpp audio_ctx speed knob: encode only the 5.12 s that
+    # cover the utterance).
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
 
-    cfg = CONFIGS["large-v3-turbo"]
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    eng = WhisperEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:large-v3-turbo")
     rng = np.random.default_rng(0)
-    audio = np.zeros((1, 480000), np.float32)
-    audio[0, :80000] = rng.standard_normal(80000)
-    audio = jnp.asarray(audio)
-    opts = DecodeOptions(timestamps=True, max_tokens=24)
+    utt = (rng.standard_normal(16000 * 5) * 3000).astype(np.int16)
+    base = dict(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=24, temperatures=(0.0,),
+    )
+    p_full = TranscribeParams(**base)
+    p_fit = TranscribeParams(**base, audio_ctx=256)
 
-    def run():
-        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
-        xa = encode(params, mel, cfg)
-        out = greedy_decode(params, xa, cfg, opts)
-        np.asarray(out["tokens"])
-
-    dt = timed(run, n=10)
+    dt = timed(lambda: eng.transcribe_samples(utt, p_full), n=10)
     report("whisper-large-v3-turbo single 5s utterance (end-of-speech->text)",
+           5.0, dt, extra={"p50_latency_ms": round(dt * 1000, 1)})
+    dt = timed(lambda: eng.transcribe_samples(utt, p_fit), n=10)
+    report("whisper-large-v3-turbo single 5s utterance, audio_ctx=256",
            5.0, dt, extra={"p50_latency_ms": round(dt * 1000, 1)})
 
 

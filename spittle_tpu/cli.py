@@ -99,6 +99,7 @@ def cmd_transcribe(args) -> int:
             args.no_condition or args.parallel_windows
         ),
         parallel_windows=args.parallel_windows,
+        audio_ctx=args.audio_ctx,
     )
     with tracer.span("transcribe"):
         if args.vad:
@@ -181,6 +182,9 @@ def cmd_serve(args) -> int:
     server = BatchingTranscriptionServer(
         engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
+    if args.warmup:
+        print("warming batch-size ladder...", flush=True)
+        server.warmup()
     http = TranscriptionHTTPServer(server, host=args.host, port=args.port)
     http.start()
     print(f"serving on http://{http.address[0]}:{http.address[1]} "
@@ -238,6 +242,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="small same-vocab model for speculative decoding")
     t.add_argument("--no-condition", action="store_true",
                    help="disable condition_on_previous_text prompt carry")
+    t.add_argument("--audio-ctx", type=int, default=None,
+                   help="reduced encoder context (whisper.cpp audio_ctx "
+                        "analog): encode only the first N positions "
+                        "(N/50 seconds) per window — faster, not "
+                        "bit-equal to the full window")
     t.add_argument("--parallel-windows", action="store_true",
                    help="decode all 30s windows in one batch "
                         "(implies --no-condition)")
@@ -273,6 +282,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8090)
     s.add_argument("--max-batch", type=int, default=32)
     s.add_argument("--max-wait-ms", type=float, default=10.0)
+    s.add_argument("--warmup", action="store_true",
+                   help="pre-compile the batch-size ladder before "
+                        "accepting traffic (avoids mid-request XLA "
+                        "compiles; adds minutes of one-time boot cost "
+                        "on a cold compile cache)")
     s.set_defaults(fn=cmd_serve)
     return p
 

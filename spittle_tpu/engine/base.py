@@ -43,6 +43,14 @@ class TranscribeParams:
     # None -> n_text_ctx // 2. Smaller budgets shrink the static KV cache
     # the decode loop re-reads each step.
     max_tokens: Optional[int] = None
+    # Reduced encoder context (whisper.cpp params.audio_ctx analog):
+    # encode only the first audio_ctx positions (= audio_ctx*2 mel frames
+    # = audio_ctx/50 seconds) per window instead of the full 30 s. A 5 s
+    # dictation utterance at audio_ctx=256 pays ~1/6 of the encoder FLOPs
+    # and cross-KV decode traffic. Like whisper.cpp, this is a speed/
+    # accuracy trade the caller opts into; transcripts are NOT bit-equal
+    # to the full-window decode. None -> full window.
+    audio_ctx: Optional[int] = None
     # Temperature-fallback ladder override (whisper.cpp temperature +
     # temperature_inc). None -> the engine default (0.0, 0.2, ..., 1.0);
     # (0.0,) disables retries.

@@ -231,6 +231,20 @@ class WhisperEngine:
     def window_samples(self) -> int:
         return self.window_frames * HOP_LENGTH
 
+    def _window_geometry(
+        self, params: TranscribeParams
+    ) -> Tuple[int, int]:
+        """(window_frames, window_samples) for this call.
+
+        params.audio_ctx (whisper.cpp audio_ctx analog) shrinks the
+        window: the encoder runs over audio_ctx positions = 2*audio_ctx
+        mel frames, so short utterances skip padded-frame compute in the
+        encoder AND per-step cross-KV reads in the decoder."""
+        if params.audio_ctx:
+            wf = min(2 * params.audio_ctx, self.window_frames)
+            return wf, wf * HOP_LENGTH
+        return self.window_frames, self.window_samples
+
     def _mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
         """[B, n_samples] -> [B, n_mels, frames]."""
         return log_mel_spectrogram(
@@ -238,17 +252,20 @@ class WhisperEngine:
             filters=self.mel_filters,
         )
 
-    def _assemble_windows(self, audios, items) -> np.ndarray:
+    def _assemble_windows(
+        self, audios, items, window_samples: Optional[int] = None
+    ) -> np.ndarray:
         """items: [(audio_idx, start_sample)] -> [len(items), window] PCM.
 
         All-int16 inputs assemble (and transfer) as int16 — half the
         host->device bytes, normalized on device in the fused frontend;
         mixed batches normalize to float32 on host."""
+        ws = window_samples or self.window_samples
         all_i16 = all(a.dtype == np.int16 for a in audios)
         dtype = np.int16 if all_i16 else np.float32
-        windows = np.zeros((len(items), self.window_samples), dtype)
+        windows = np.zeros((len(items), ws), dtype)
         for wi, (i, start) in enumerate(items):
-            chunk = audios[i][start : start + self.window_samples]
+            chunk = audios[i][start : start + ws]
             if chunk.dtype == np.int16 and not all_i16:
                 chunk = chunk.astype(np.float32) / 32768.0
             windows[wi, : len(chunk)] = chunk
@@ -332,6 +349,7 @@ class WhisperEngine:
                 audios, params, base_prompt
             )
         seeks = [0] * n  # in mel frames
+        wf, ws = self._window_geometry(params)
         content_frames = [max(1, len(a) // HOP_LENGTH) for a in audios]
         seg_tokens: List[List[int]] = [[] for _ in range(n)]
         segments: List[List[Segment]] = [[] for _ in range(n)]
@@ -346,7 +364,8 @@ class WhisperEngine:
                 break
             # Build this round's window batch.
             windows = self._assemble_windows(
-                audios, [(i, seeks[i] * HOP_LENGTH) for i in active]
+                audios, [(i, seeks[i] * HOP_LENGTH) for i in active],
+                window_samples=ws,
             )
             xa = self._frontend(windows)
             draft_xa = None
@@ -385,9 +404,7 @@ class WhisperEngine:
                         break
                     gen.append(int(t))
                 win_offset = seeks[i] / FRAMES_PER_SECOND
-                window_frames = min(
-                    self.window_frames, content_frames[i] - seeks[i]
-                )
+                window_frames = min(wf, content_frames[i] - seeks[i])
                 # whisper.cpp/OpenAI no-speech skip: a window that looks like
                 # silence (high no_speech_prob) with a weak decode is dropped
                 # and the seek advances the full window.
@@ -531,9 +548,10 @@ class WhisperEngine:
         # midpoint falls in its core region, so boundary words aren't cut.
         overlap = min(
             int(params.parallel_overlap_s * FRAMES_PER_SECOND),
-            self.window_frames // 2,
+            self._window_geometry(params)[0] // 2,
         )
-        stride = max(self.window_frames - overlap, 1)
+        wf, ws = self._window_geometry(params)
+        stride = max(wf - overlap, 1)
         # A window is only needed while the previous one doesn't already
         # cover the remaining content: stop at content - overlap, else a
         # 30 s utterance with overlap > 0 would decode a second window
@@ -544,7 +562,8 @@ class WhisperEngine:
             for seek in range(0, max(content_frames[i] - overlap, 1), stride)
         ]
         windows = self._assemble_windows(
-            audios, [(i, seek * HOP_LENGTH) for i, seek in plan]
+            audios, [(i, seek * HOP_LENGTH) for i, seek in plan],
+            window_samples=ws,
         )
         return plan, windows, content_frames, overlap
 
@@ -569,7 +588,8 @@ class WhisperEngine:
             )
         else:
             plan, windows, content_frames, overlap = staged
-        stride = max(self.window_frames - overlap, 1)
+        wf, _ = self._window_geometry(params)
+        stride = max(wf - overlap, 1)
         xa = self._frontend(windows)
         draft_xa = None
         if self.draft_params is not None:
@@ -612,7 +632,7 @@ class WhisperEngine:
                     break
                 gen.append(int(t))
             win_offset = seek / FRAMES_PER_SECOND
-            window_frames = min(self.window_frames, content_frames[i] - seek)
+            window_frames = min(wf, content_frames[i] - seek)
             if (
                 float(out["no_speech_prob"][wi]) > self.NO_SPEECH_THRESHOLD
                 and float(out["avg_logprob"][wi]) < self.LOGPROB_THRESHOLD
@@ -631,7 +651,7 @@ class WhisperEngine:
                 is_last = seek + stride >= content_frames[i]
                 segs = select_core_segments(
                     segs, win_offset,
-                    self.window_frames / FRAMES_PER_SECOND,
+                    wf / FRAMES_PER_SECOND,
                     overlap / FRAMES_PER_SECOND, is_first, is_last,
                 )
             if params.word_timestamps and gen:
@@ -653,7 +673,7 @@ class WhisperEngine:
                 if overlap:
                     shifted = select_core_segments(
                         shifted, win_offset,
-                        self.window_frames / FRAMES_PER_SECOND,
+                        wf / FRAMES_PER_SECOND,
                         overlap / FRAMES_PER_SECOND, is_first, is_last,
                     )
                 words[i].extend(shifted)

@@ -155,7 +155,8 @@ def _beam_loop(
         finished = finished | (new_tok == cfg.eot)
 
         cur_logits, cache = decode_step(
-            params, new_tok, pos, cache, cross_kv, cfg
+            params, new_tok, pos, cache, cross_kv, cfg,
+            audio_ctx=xa.shape[1],
         )
         return dict(
             tokens=tokens, pos=pos + 1, cache=cache,

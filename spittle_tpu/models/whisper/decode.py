@@ -251,7 +251,8 @@ def _greedy_loop(
         finished = s["finished"] | (next_tok == cfg.eot)
 
         cur_logits, cache = decode_step(
-            params, next_tok, pos, s["cache"], cross_kv, cfg
+            params, next_tok, pos, s["cache"], cross_kv, cfg,
+            audio_ctx=xa.shape[1],
         )
         return dict(
             tokens=tokens,
@@ -370,6 +371,7 @@ def detect_language(params, xa: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
         cache,
         cross_kv,
         cfg,
+        audio_ctx=xa.shape[1],
     )
     lang_slice = logits[:, cfg.lang_begin : cfg.lang_begin + cfg.n_langs]
     return jax.nn.softmax(lang_slice.astype(jnp.float32), axis=-1)

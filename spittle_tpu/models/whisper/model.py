@@ -221,7 +221,10 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     pos = jnp.asarray(
         sinusoidal_positions(cfg.n_audio_ctx, cfg.n_audio_state), x.dtype
     )
-    x = x + pos[None]
+    # Reduced audio context (whisper.cpp params.audio_ctx analog): a mel
+    # shorter than the full 30 s window encodes with the FIRST T
+    # positions, so short utterances skip padded-frame compute entirely.
+    x = x + pos[None, : x.shape[1]]
     x = _encoder_blocks(enc["blocks"], x, cfg.n_audio_head)
     return layer_norm(x, enc["ln_g"], enc["ln_b"])
 
@@ -376,7 +379,7 @@ def logits_from_hidden(params: Params, h: jnp.ndarray) -> jnp.ndarray:
     return (h @ dec["tok_emb"].T.astype(h.dtype)).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "audio_ctx"))
 def decode_step(
     params: Params,
     tokens: jnp.ndarray,  # [B] int32 current token
@@ -384,8 +387,13 @@ def decode_step(
     kv_cache: jnp.ndarray,
     cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
     cfg: WhisperConfig,
+    audio_ctx: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One incremental decode step -> (logits [B, V], new_cache)."""
+    """One incremental decode step -> (logits [B, V], new_cache).
+
+    audio_ctx: true (pre-tile-padding) cross-KV length; 0 means the full
+    cfg.n_audio_ctx. Callers that encoded a reduced window pass the
+    actual length so tile padding is masked correctly."""
     dec = params["decoder"]
     x = dec["tok_emb"][tokens][:, None, :]  # [B, 1, D]
     x = (x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1)[None]).astype(
@@ -393,12 +401,12 @@ def decode_step(
     )
     x, new_cache = _decoder_step_blocks(
         dec["blocks"], x, kv_cache, cross_kv[0], cross_kv[1], pos,
-        cfg.n_text_head, cross_kv_len=cfg.n_audio_ctx,
+        cfg.n_text_head, cross_kv_len=audio_ctx or cfg.n_audio_ctx,
     )
     return logits_from_hidden(params, x)[:, 0], new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "audio_ctx"))
 def decode_block(
     params: Params,
     tokens: jnp.ndarray,  # [B, K] tokens occupying positions pos..pos+K-1
@@ -406,6 +414,7 @@ def decode_block(
     kv_cache: jnp.ndarray,
     cross_kv,
     cfg: WhisperConfig,
+    audio_ctx: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K-position decode: logits [B, K, V] + cache written at pos..pos+K-1.
 
@@ -453,7 +462,9 @@ def decode_block(
         xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // n_head
         cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
-        co = _cross_attention(cq, ck, cv, dh, kv_len=cfg.n_audio_ctx)
+        co = _cross_attention(
+            cq, ck, cv, dh, kv_len=audio_ctx or cfg.n_audio_ctx
+        )
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
         h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
         return (h,), cache_l

@@ -133,7 +133,8 @@ def _speculative_loop(
         def draft_step(carry, j):
             tok, penult, ts_d, d_cache = carry
             d_logits, d_cache = decode_step(
-                draft_params, tok, pos + j, d_cache, d_cross_kv, draft_cfg
+                draft_params, tok, pos + j, d_cache, d_cross_kv, draft_cfg,
+                audio_ctx=draft_xa.shape[1],
             )
             is_ts = tok >= cfg.timestamp_begin
             # Pair-close -> strictly-greater floor (mirrors decode.py).
@@ -154,7 +155,8 @@ def _speculative_loop(
 
         # Main model verifies the whole block in one pass.
         logits_blk, cache = decode_block(
-            params, block, pos, s["cache"], cross_kv, cfg
+            params, block, pos, s["cache"], cross_kv, cfg,
+            audio_ctx=xa.shape[1],
         )
         logits_blk = logits_blk.astype(jnp.float32)
 

@@ -108,11 +108,14 @@ class TranscriptionHTTPServer:
                         int(sr) if sr else None,
                         self.headers.get("X-PCM-Format", ""),
                     )
+                    actx = self.headers.get("X-Audio-Ctx")
                     params = TranscribeParams(
                         language=self.headers.get("X-Language") or None,
                         translate=self.headers.get("X-Translate") == "1",
                         initial_prompt=self.headers.get("X-Initial-Prompt") or None,
                         beam_size=int(self.headers.get("X-Beam-Size", "1")),
+                        # whisper.cpp audio_ctx analog (speed knob)
+                        audio_ctx=int(actx) if actx else None,
                     )
                     result = outer.batcher.transcribe(audio, params)
                     self._json(200, {

@@ -99,6 +99,7 @@ def main():
         guard(_config7)
         guard(_config8)
         guard(_config9)
+        guard(lambda: _config9(fit_audio_ctx=True))
 
 
 def _config1():
@@ -260,10 +261,12 @@ def _config8():
            480.0, dt, extra={"p50_latency_ms": round(dt * 1000, 1)})
 
 
-def _config9():
+def _config9(fit_audio_ctx: bool = False):
     # 9. Serving under load: Poisson arrivals through the batching server
     # into the real engine — p50/p99 end-of-speech->text INCLUDING
     # queueing (VERDICT r1: config-5 measured batch latency only).
+    # fit_audio_ctx runs each bucket at the reduced encoder context that
+    # covers it (opt-in speed/accuracy knob).
     import threading
     import time as _t
 
@@ -280,11 +283,14 @@ def _config9():
     rng = np.random.default_rng(0)
     utt = rng.standard_normal(16000 * 5).astype(np.float32)  # 5 s utterances
 
-    srv = BatchingTranscriptionServer(eng, max_batch=32, max_wait_ms=20.0)
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=32, max_wait_ms=20.0, fit_audio_ctx=fit_audio_ctx
+    )
     # Pre-compile the whole batch-size ladder (1..32) with the load's
     # decode params — without this every new coalesced size compiled
-    # mid-request (measured 22 s p50 at 8 req/s).
-    srv.warmup(p)
+    # mid-request (measured 22 s p50 at 8 req/s). The load only hits the
+    # 5 s bucket.
+    srv.warmup(p, bucket_s=5.0)
 
     rate_hz = float(os.environ.get("BENCH_LOAD_RATE", "8.0"))
     duration_s = float(os.environ.get("BENCH_LOAD_SECONDS", "20.0"))
@@ -312,9 +318,10 @@ def _config9():
     wall = _t.monotonic() - start
     srv.shutdown()
     lat = np.asarray(sorted(lat_ms))
+    fit_tag = ", fit_audio_ctx" if fit_audio_ctx else ""
     report(
         f"serving under load: Poisson {rate_hz:.0f} req/s x {duration_s:.0f}s"
-        " of 5s utterances (turbo, incl. queueing)",
+        f" of 5s utterances (turbo, incl. queueing{fit_tag})",
         len(lat) * 5.0, wall,
         extra={
             "requests": len(lat),

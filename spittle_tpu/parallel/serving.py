@@ -64,12 +64,19 @@ class BatchingTranscriptionServer:
         max_wait_ms: float = 10.0,
         buckets: Sequence[float] = DEFAULT_BUCKETS,
         mesh=None,
+        fit_audio_ctx: bool = False,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.buckets = tuple(buckets)
         self.mesh = mesh
+        # Opt-in: run each bucket at a reduced encoder context that just
+        # covers it (whisper.cpp audio_ctx analog) — a 5 s bucket pays
+        # ~1/6 of the encoder FLOPs + cross-KV reads of a full 30 s
+        # window. A speed/accuracy trade the operator chooses; requests
+        # that set their own params.audio_ctx are left untouched.
+        self.fit_audio_ctx = fit_audio_ctx
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._shutdown = threading.Event()
         self.batch_sizes: List[int] = []  # observability
@@ -122,9 +129,12 @@ class BatchingTranscriptionServer:
             sizes.append(sizes[-1] * 2)
         if sizes[-1] != self.max_batch:
             sizes.append(self.max_batch)
+        run_params = self._fitted_params(
+            bucket_len, params or TranscribeParams()
+        )
         for n in sizes:
             batch = [np.zeros(bucket_len, dtype) for _ in range(n)]
-            self.engine.transcribe_batch(batch, params or TranscribeParams())
+            self.engine.transcribe_batch(batch, run_params)
 
     def shutdown(self) -> None:
         self._shutdown.set()
@@ -185,6 +195,18 @@ class BatchingTranscriptionServer:
             for bucket_len, reqs in groups:
                 self._run_group(bucket_len, reqs)
 
+    def _fitted_params(
+        self, bucket_len: Optional[int], params: TranscribeParams
+    ) -> TranscribeParams:
+        """Bucket-matched reduced audio context (fit_audio_ctx mode)."""
+        if not (self.fit_audio_ctx and bucket_len):
+            return params
+        if params.audio_ctx:
+            return params  # caller's explicit choice wins
+        ctx = -(-bucket_len // 320)  # encoder positions covering bucket
+        ctx = -(-ctx // 64) * 64  # tile-friendly multiple
+        return dataclasses.replace(params, audio_ctx=ctx)
+
     def _ladder_size(self, n: int) -> int:
         """Next power-of-two batch size (capped at max_batch).
 
@@ -222,17 +244,18 @@ class BatchingTranscriptionServer:
         queue_ms = max(
             (time.monotonic() - r.enqueued_at) * 1000 for r in reqs
         )
+        run_params = self._fitted_params(bucket_len, reqs[0].params)
         try:
             if self.mesh is not None:
                 with self.mesh:
                     results = self.engine.transcribe_batch(
-                        padded, reqs[0].params
+                        padded, run_params
                     )
             else:
                 with span("serving.batch", size=len(reqs),
                           bucket=bucket_len, queue_ms=round(queue_ms, 1)):
                     results = self.engine.transcribe_batch(
-                        padded, reqs[0].params
+                        padded, run_params
                     )
         except Exception as e:
             for r in reqs:

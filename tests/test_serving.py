@@ -297,3 +297,52 @@ def test_warmup_compiles_ladder():
         )  # largest bucket
     finally:
         srv.shutdown()
+
+
+def test_fit_audio_ctx_sets_bucket_matched_context():
+    """fit_audio_ctx mode runs each bucket at the reduced encoder
+    context that covers it; explicit request audio_ctx wins."""
+
+    class ParamsEngine:
+        def __init__(self):
+            self.seen = []
+
+        def transcribe_batch(self, batch, params=None):
+            self.seen.append(params.audio_ctx)
+            return [TranscriptionResult(text="") for _ in batch]
+
+    eng = ParamsEngine()
+    srv = BatchingTranscriptionServer(
+        eng, max_wait_ms=5, fit_audio_ctx=True
+    )
+    try:
+        srv.transcribe(np.ones(16000 * 4, np.float32))  # 5 s bucket
+        srv.transcribe(np.ones(16000 * 25, np.float32))  # 30 s bucket
+        srv.transcribe(
+            np.ones(16000 * 4, np.float32),
+            TranscribeParams(audio_ctx=100),
+        )
+        # 5 s bucket: 80000/320 = 250 -> 256; 30 s: 1500 -> 1536 (the
+        # engine caps at the model's n_audio_ctx, so this is the full
+        # window); explicit request value passes through untouched
+        assert eng.seen == [256, 1536, 100]
+    finally:
+        srv.shutdown()
+
+
+def test_fit_audio_ctx_off_by_default():
+    class ParamsEngine:
+        def __init__(self):
+            self.seen = []
+
+        def transcribe_batch(self, batch, params=None):
+            self.seen.append(params.audio_ctx)
+            return [TranscriptionResult(text="") for _ in batch]
+
+    eng = ParamsEngine()
+    srv = BatchingTranscriptionServer(eng, max_wait_ms=5)
+    try:
+        srv.transcribe(np.ones(16000 * 4, np.float32))
+        assert eng.seen == [None]
+    finally:
+        srv.shutdown()

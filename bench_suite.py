@@ -227,7 +227,8 @@ def _config7():
     eng = WhisperEngine(dtype=jnp.bfloat16)
     eng.load_model("random:tiny.en")
     rng = np.random.default_rng(0)
-    audio = (0.1 * rng.standard_normal(16000 * 600)).astype(np.float32)
+    # int16 wire format (what a WAV load / mic capture feeds the engine)
+    audio = (rng.standard_normal(16000 * 600) * 3000).astype(np.int16)
     p = TranscribeParams(condition_on_previous_text=False,
                          parallel_windows=True)
     dt = timed(lambda: eng.transcribe_samples(audio, p), n=3)

@@ -25,6 +25,12 @@ class WhisperConfig:
     n_text_state: int
     n_text_head: int
     n_text_layer: int
+    # Optional Switch-style top-1 MoE encoder FFN (research/fine-tune
+    # variant; no published Whisper checkpoint uses it). 0 = dense. With
+    # E experts the encoder MLP becomes a routed mixture whose expert
+    # weights shard over the mesh's 'model' axis (expert parallelism,
+    # parallel/expert_parallel.py).
+    moe_experts: int = 0
 
     @property
     def head_dim(self) -> int:

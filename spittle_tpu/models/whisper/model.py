@@ -152,6 +152,19 @@ def init_params(
         "ln_g": jnp.ones((d,), jnp.float32),
         "ln_b": jnp.zeros((d,), jnp.float32),
     }
+    if cfg.moe_experts:
+        # Routed MoE encoder FFN replaces the dense MLP (cfg.moe_experts
+        # experts, Switch top-1). Stacked [L, ...] like every block leaf
+        # so lax.scan and the mesh sharding rules apply unchanged.
+        L, e, ff = cfg.n_audio_layer, cfg.moe_experts, 4 * d
+        km1, km2, km3 = jax.random.split(jax.random.fold_in(k_enc, 7), 3)
+        blocks = encoder["blocks"]
+        del blocks["fc1_w"], blocks["fc1_b"], blocks["fc2_w"], blocks["fc2_b"]
+        blocks["moe_router"] = (
+            jax.random.normal(km1, (L, d, e), jnp.float32) * d**-0.5
+        )
+        blocks["moe_w_in"] = w(km2, (L, e, d, ff), d**-0.5)
+        blocks["moe_w_out"] = w(km3, (L, e, ff, d), ff**-0.5)
     decoder = {
         "tok_emb": w(k_emb, (cfg.n_vocab, d), d**-0.5),
         "pos_emb": jnp.zeros((cfg.n_text_ctx, d), dtype),
@@ -182,14 +195,37 @@ def _mlp(x, blk):
     return mm(h, blk["fc2_w"]) + blk["fc2_b"]
 
 
+def _moe_mlp(x: jnp.ndarray, blk) -> jnp.ndarray:
+    """Switch top-1 routed MoE FFN for MoE-variant encoder blocks.
+
+    Delegates to parallel.expert_parallel.moe_ffn over flattened tokens;
+    under a mesh with the moe_w_* leaves sharded over 'model', GSPMD
+    inserts the expert dispatch collectives (expert parallelism)."""
+    from spittle_tpu.parallel.expert_parallel import moe_ffn
+
+    b, t, d = x.shape
+    out, _aux = moe_ffn(
+        {
+            "router_w": blk["moe_router"],
+            "w_in": blk["moe_w_in"],
+            "w_out": blk["moe_w_out"],
+        },
+        x.reshape(-1, d),
+    )
+    return out.reshape(b, t, d)
+
+
 def encoder_block_body(h: jnp.ndarray, blk, n_head: int) -> jnp.ndarray:
     """One encoder block (pre-LN attention + MLP residuals).
 
     Public so pipeline-parallel stages (parallel/pipeline_parallel.py)
-    apply exactly the production block."""
+    apply exactly the production block. Blocks carrying moe_* leaves
+    (cfg.moe_experts > 0) use the routed MoE FFN instead of the dense
+    MLP."""
     h = h + _attn_full(layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"]),
                        blk, n_head, causal=False)
-    h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
+    xn = layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"])
+    h = h + (_moe_mlp(xn, blk) if "moe_w_in" in blk else _mlp(xn, blk))
     return h
 
 

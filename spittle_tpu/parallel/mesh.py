@@ -53,6 +53,10 @@ _BLOCK_RULES: Dict[str, P] = {
     "cross_bq": P(None, "model"),
     "cross_bv": P(None, "model"),
     "cross_wo": P(None, "model", None),
+    # MoE-variant encoder blocks (cfg.moe_experts > 0): expert weights
+    # shard over 'model' = expert parallelism; router replicates.
+    "moe_w_in": P(None, "model", None, None),
+    "moe_w_out": P(None, "model", None, None),
 }
 
 _TOP_RULES: Dict[str, P] = {

@@ -50,34 +50,6 @@ def report(name, seconds_audio, dt, extra=None):
     print(json.dumps(line), flush=True)
 
 
-def whisper_window_fn(cfg_name, batch, decode_tokens, beam=1):
-    from spittle_tpu.audio.mel import log_mel_spectrogram
-    from spittle_tpu.models.whisper.config import CONFIGS
-    from spittle_tpu.models.whisper.decode import DecodeOptions, greedy_decode
-    from spittle_tpu.models.whisper.beam import beam_decode
-    from spittle_tpu.models.whisper.model import encode, init_params
-
-    cfg = CONFIGS[cfg_name]
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((batch, 480000)), jnp.float32)
-    opts = DecodeOptions(
-        language=None if cfg.multilingual else None,
-        timestamps=True, max_tokens=decode_tokens,
-    )
-
-    def run():
-        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
-        xa = encode(params, mel, cfg)
-        if beam > 1:
-            out = beam_decode(params, xa, cfg, opts, beam_size=beam)
-        else:
-            out = greedy_decode(params, xa, cfg, opts)
-        np.asarray(out["tokens"])
-
-    return run, cfg, params
-
-
 def guard(fn):
     try:
         fn()
@@ -103,10 +75,21 @@ def main():
 
 
 def _config1():
-    # 1. tiny.en greedy single 30 s window
-    run, *_ = whisper_window_fn("tiny.en", 1, 64)
-    dt = timed(run)
-    report("whisper-tiny.en greedy 1x30s", 30.0, dt)
+    # 1. tiny.en greedy single 30 s window — ENGINE end-to-end (int16
+    # PCM in, rule-applying decode, text out).
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    eng = WhisperEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:tiny.en")
+    rng = np.random.default_rng(0)
+    utt = (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+    p = TranscribeParams(
+        condition_on_previous_text=False, parallel_windows=True,
+        max_tokens=64, temperatures=(0.0,),
+    )
+    dt = timed(lambda: eng.transcribe_samples(utt, p))
+    report("whisper-tiny.en greedy 1x30s (engine path)", 30.0, dt)
 
 def _config2():
     # 2. VAD + resample chunking on 10-minute audio
@@ -132,55 +115,61 @@ def _config2():
     report("silero-vad + 48k->16k resample, 10-min audio", 600.0, dt)
 
 def _config3():
-    # 3. whisper small beam-5 + language detect
-    from spittle_tpu.models.whisper.decode import detect_language
-    from spittle_tpu.audio.mel import log_mel_spectrogram
-    from spittle_tpu.models.whisper.model import encode
+    # 3. whisper small beam-5 + auto language detect — ENGINE end-to-end.
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
 
-    run_b, cfg_s, params_s = whisper_window_fn("small", 4, 48, beam=5)
+    eng = WhisperEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:small")
     rng = np.random.default_rng(2)
-    audio4 = jnp.asarray(rng.standard_normal((4, 480000)), jnp.float32)
-
-    def run_small():
-        mel = log_mel_spectrogram(audio4, n_mels=cfg_s.n_mels)
-        xa = encode(params_s, mel, cfg_s)
-        np.asarray(detect_language(params_s, xa, cfg_s))
-        run_b()
-
-    dt = timed(run_small, n=3)
-    report("whisper-small beam5 + langdetect, batch 4x30s", 120.0, dt)
+    batch = [
+        (rng.standard_normal(480000) * 3000).astype(np.int16)
+        for _ in range(4)
+    ]
+    p = TranscribeParams(
+        language=None,  # auto-detect (reference language=None semantics)
+        beam_size=5, condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=48, temperatures=(0.0,),
+    )
+    dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+    report("whisper-small beam5 + langdetect, batch 4x30s (engine path)",
+           120.0, dt)
 
 def _config4():
-    # 4. parakeet TDT
-    from spittle_tpu.models.parakeet.config import CONFIGS as PK
-    from spittle_tpu.models.parakeet.decode import tdt_greedy_decode
-    from spittle_tpu.models.parakeet.features import parakeet_features
-    from spittle_tpu.models.parakeet.model import (
-        encode as pk_encode, init_params as pk_init)
+    # 4. parakeet TDT — ENGINE end-to-end (host int16 PCM in, text out).
+    from spittle_tpu.engine.parakeet_engine import ParakeetEngine
 
-    pk_cfg = PK["parakeet-tdt-0.6b-v2"]
-    pk_params = pk_init(pk_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    audio_pk = jnp.asarray(
-        np.random.default_rng(3).standard_normal((8, 16000 * 30)), jnp.float32
-    )
-
-    def run_pk():
-        feats = parakeet_features(audio_pk, n_mels=pk_cfg.n_mels)
-        enc = pk_encode(pk_params, feats, pk_cfg)
-        lens = jnp.full((8,), enc.shape[1], jnp.int32)
-        toks, counts, _ = tdt_greedy_decode(pk_params, enc, lens, pk_cfg,
-                                            max_tokens=256)
-        np.asarray(counts)
-
-    dt = timed(run_pk, n=3)
-    report("parakeet-tdt-0.6b greedy, batch 8x30s", 240.0, dt)
+    eng = ParakeetEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:parakeet-tdt-0.6b-v2")
+    rng = np.random.default_rng(3)
+    batch = [
+        (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+        for _ in range(8)
+    ]
+    dt = timed(lambda: eng.transcribe_batch(batch), n=3)
+    report("parakeet-tdt-0.6b greedy, batch 8x30s (engine path)", 240.0, dt)
 
 def _config5():
-    # 5. large-v3-turbo batch-32 streaming latency
-    run32, *_ = whisper_window_fn("large-v3-turbo", 32, 32)
-    dt = timed(run32, n=5)
+    # 5. large-v3-turbo batch-32 end-of-speech latency — ENGINE
+    # end-to-end (int16 transfer + fused frontend + rule decode + parse).
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    eng = WhisperEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:large-v3-turbo")
+    rng = np.random.default_rng(0)
+    batch = [
+        (rng.standard_normal(480000) * 3000).astype(np.int16)
+        for _ in range(32)
+    ]
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=32, temperatures=(0.0,),
+    )
+    dt = timed(lambda: eng.transcribe_batch(batch, p), n=5)
     report(
-        "whisper-large-v3-turbo batch 32x30s (end-of-speech->text)",
+        "whisper-large-v3-turbo batch 32x30s (end-of-speech->text, "
+        "engine path)",
         32 * 30.0, dt,
         extra={"p50_latency_ms": round(dt * 1000, 1)},
     )

@@ -5,6 +5,12 @@ exists so the framework can fine-tune its engines (e.g. domain adaptation
 for dictation jargon) and to exercise the full dp+tp sharded compute path:
 encoder + teacher-forced decoder + cross-entropy + AdamW, jitted over a
 ('data', 'model') mesh with parameters sharded per parallel.mesh rules.
+
+MoE-variant configs (cfg.moe_experts > 0) train through this step too —
+routing gradients flow via the gate probability (Switch semantics) — but
+the load-balancing aux loss is not yet added to the objective; add
+parallel.expert_parallel.moe_ffn's aux_loss to the loss before any long
+MoE fine-tune, or routing will collapse onto few experts.
 """
 
 from __future__ import annotations

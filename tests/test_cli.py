@@ -73,3 +73,10 @@ def test_transcribe_parallel_windows(wav_file, capsys):
 
 def test_vad_smoke(wav_file, capsys):
     assert main(["vad", wav_file]) == 0
+
+
+def test_transcribe_audio_ctx(wav_file, capsys):
+    rc = main(["transcribe", wav_file, "--model", "random:cli-test",
+               "--language", "en", "--parallel-windows",
+               "--audio-ctx", "128"])
+    assert rc == 0

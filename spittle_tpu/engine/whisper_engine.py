@@ -9,7 +9,14 @@ Replaces the whisper.cpp path the reference drives through transcribe-rs
   advances a per-utterance seek cursor and regroups unfinished utterances
   into the next batched round (whisper.cpp decodes windows serially);
 - language auto-detect (reference language=None semantics,
-  transcription.rs:448-459) runs batched on the first window.
+  transcription.rs:448-459) runs batched on the first window;
+- audio crosses host->device as int16 (the mic wire format, half the
+  bytes), normalized inside the fused mel+encoder program;
+- transcribe_stream prefetches batch k+1 to the device while batch k
+  computes (sustained throughput = max(transfer, compute));
+- TranscribeParams.audio_ctx (whisper.cpp params.audio_ctx analog)
+  shrinks the encoded window for short utterances — opt-in
+  speed/accuracy trade.
 
 Segment timestamps come from the decoded timestamp tokens (0.02 s units),
 like whisper.cpp's segment output.

@@ -72,6 +72,8 @@ def main():
         guard(_config8)
         guard(_config9)
         guard(lambda: _config9(fit_audio_ctx=True))
+        guard(_config10)
+        guard(_config11)
 
 
 def _config1():
@@ -325,3 +327,35 @@ def _config9(fit_audio_ctx: bool = False):
 
 if __name__ == "__main__":
     main()
+
+
+def _config10():
+    # 10. moonshine-base greedy — ENGINE end-to-end (raw-waveform conv
+    # stem; no mel). Reference slot: transcription.rs:298-319.
+    from spittle_tpu.engine.moonshine_engine import MoonshineEngine
+
+    eng = MoonshineEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:moonshine-base")
+    rng = np.random.default_rng(5)
+    batch = [
+        (rng.standard_normal(16000 * 10) * 3000).astype(np.int16)
+        for _ in range(8)
+    ]
+    dt = timed(lambda: eng.transcribe_batch(batch), n=3)
+    report("moonshine-base greedy, batch 8x10s (engine path)", 80.0, dt)
+
+
+def _config11():
+    # 11. sense-voice-small CTC — ENGINE end-to-end (LFR features +
+    # SAN-M + CTC). Reference slot: transcription.rs:321-339.
+    from spittle_tpu.engine.sensevoice_engine import SenseVoiceEngine
+
+    eng = SenseVoiceEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:sense-voice-small")
+    rng = np.random.default_rng(6)
+    batch = [
+        (rng.standard_normal(16000 * 10) * 3000).astype(np.int16)
+        for _ in range(8)
+    ]
+    dt = timed(lambda: eng.transcribe_batch(batch), n=3)
+    report("sense-voice-small CTC, batch 8x10s (engine path)", 80.0, dt)

@@ -16,7 +16,7 @@ from spittle_tpu.models.parakeet.features import HOP, parakeet_features
 from spittle_tpu.models.sensevoice.model import (
     CONFIGS,
     SenseVoiceConfig,
-    ctc_greedy_decode,
+    ctc_collapse_ids,
     encode,
     init_params,
     lfr_stack,
@@ -124,10 +124,13 @@ class SenseVoiceEngine:
         pids = np.tile(
             prompt_ids_for(self.cfg, language, self.use_itn), (len(audios), 1)
         )
-        logits = np.asarray(
-            encode(self.params, feats, jnp.asarray(pids), self.cfg)
+        logits = encode(self.params, feats, jnp.asarray(pids), self.cfg)
+        # argmax on device: fetching the [B, T, 25k-vocab] logits costs
+        # hundreds of MB host transfer; the [B, T] id matrix is ~kB.
+        ids = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        decoded = ctc_collapse_ids(
+            ids, self.cfg.blank_id, self.cfg.n_prompt
         )
-        decoded = ctc_greedy_decode(logits, self.cfg.blank_id, self.cfg.n_prompt)
         out = []
         for i, ids in enumerate(decoded):
             text = self.table.decode(ids)

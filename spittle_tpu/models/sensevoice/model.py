@@ -202,6 +202,10 @@ def encode(
     d = cfg.d_model
     if "cmvn_shift" in params:
         features = (features + params["cmvn_shift"]) * params["cmvn_scale"]
+    # Compute in the weight dtype: float32 LFR features against bf16
+    # weights would promote every activation back to f32 and crash the
+    # depthwise FSMN conv on the dtype mismatch.
+    features = features.astype(params["enc0"]["wqkv"].dtype)
     prompts = params["embed"][prompt_ids].astype(features.dtype)
     x = jnp.concatenate([prompts, features], axis=1)
     x = x * (d**0.5)
@@ -220,13 +224,14 @@ def encode(
     return (x @ params["ctc_w"] + params["ctc_b"]).astype(jnp.float32)
 
 
-def ctc_greedy_decode(
-    logits: np.ndarray, blank_id: int = 0, skip: int = 4
+def ctc_collapse_ids(
+    ids: np.ndarray, blank_id: int = 0, skip: int = 4
 ) -> List[List[int]]:
-    """Per-item argmax -> collapse repeats -> drop blanks. `skip` drops the
-    prompt frames at the front."""
+    """Collapse repeats -> drop blanks on per-frame argmax ids [B, T].
+    `skip` drops the prompt frames at the front. The argmax should run
+    on device (the id matrix is kB; the full logits are hundreds of MB
+    at the 25k CTC vocab)."""
     out = []
-    ids = np.argmax(logits, axis=-1)
     for row in ids:
         row = row[skip:]
         prev = -1
@@ -237,6 +242,15 @@ def ctc_greedy_decode(
             prev = t
         out.append(toks)
     return out
+
+
+def ctc_greedy_decode(
+    logits: np.ndarray, blank_id: int = 0, skip: int = 4
+) -> List[List[int]]:
+    """Per-item argmax -> collapse repeats -> drop blanks (host-side
+    convenience for tests/small inputs; production argmaxes on device
+    and calls ctc_collapse_ids)."""
+    return ctc_collapse_ids(np.argmax(logits, axis=-1), blank_id, skip)
 
 
 def prompt_ids_for(

@@ -101,3 +101,14 @@ def test_audio_ctx_shrinks_encoder_output(engine):
     w = np.zeros((1, ctx * 2 * 160), np.float32)
     xa = engine._frontend(w)
     assert xa.shape[1] == ctx
+
+
+def test_audio_ctx_with_beam_search(engine, audio):
+    """Beam decode threads the true cross-KV length too."""
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=10, temperatures=(0.0,),
+        beam_size=3, audio_ctx=engine.cfg.n_audio_ctx // 2,
+    )
+    for r in engine.transcribe_batch(audio, p):
+        assert isinstance(r.text, str)

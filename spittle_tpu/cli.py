@@ -80,9 +80,9 @@ def cmd_transcribe(args) -> int:
         # normalized on device inside the fused frontend.
         audio, rate = load_wav_file(args.audio, keep_int16=True)
     if rate != 16000:
-        if audio.dtype == np.int16:
-            audio = audio.astype(np.float32) / 32768.0
-        audio = np.asarray(resample(audio, rate, 16000))
+        from spittle_tpu.engine.base import normalize_pcm
+
+        audio = np.asarray(resample(normalize_pcm(audio), rate, 16000))
 
     engine = WhisperEngine()
     with tracer.span("model_load"):

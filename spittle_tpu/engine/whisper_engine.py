@@ -445,7 +445,13 @@ class WhisperEngine:
                     )
                 segments[i].extend(segs)
                 seg_tokens[i].extend(gen)
-                seeks[i] += advance if advance > 0 else window_frames
+                # Clamp to the encoded window: with a reduced audio_ctx
+                # the timestamp vocabulary still spans 0-30 s, and an
+                # unclamped advance would skip audio no window ever saw.
+                seeks[i] += (
+                    min(advance, window_frames) if advance > 0
+                    else window_frames
+                )
             # Prompt carry (whisper.cpp no_context=false): single-utterance
             # sequential windows condition on the text decoded so far.
             if (
@@ -504,7 +510,9 @@ class WhisperEngine:
         import threading
 
         assert self.is_loaded, "no model loaded"
-        params = params or TranscribeParams(parallel_windows=True)
+        params = params or TranscribeParams(
+            parallel_windows=True, condition_on_previous_text=False
+        )
         if params.condition_on_previous_text:
             raise ValueError(
                 "transcribe_stream requires condition_on_previous_text="
@@ -514,33 +522,54 @@ class WhisperEngine:
 
         q: _queue.Queue = _queue.Queue(maxsize=max(1, prefetch))
         done = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put that gives up when the consumer abandoned the
+            # generator — a plain q.put would park this thread forever,
+            # pinning its staged device buffer (46 MB per 48 x 30 s
+            # batch) for the process lifetime.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in batches:
+                    if stop.is_set():
+                        return
                     audios = [_as_audio(a) for a in batch]
                     plan, windows, content_frames, overlap = (
                         self._plan_parallel_windows(audios, params)
                     )
                     dev = jax.device_put(windows)
-                    q.put((audios, (plan, dev, content_frames, overlap)))
+                    if not _put((audios, (plan, dev, content_frames,
+                                          overlap))):
+                        return
             except BaseException as e:  # surface in the consumer
-                q.put(("__error__", e))
+                _put(("__error__", e))
             else:
-                q.put(done)
+                _put(done)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is done:
-                break
-            if isinstance(item, tuple) and item[0] == "__error__":
-                raise item[1]
-            audios, staged = item
-            yield self._transcribe_parallel_windows(
-                audios, params, base_prompt, staged=staged
-            )
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                if isinstance(item, tuple) and item[0] == "__error__":
+                    raise item[1]
+                audios, staged = item
+                yield self._transcribe_parallel_windows(
+                    audios, params, base_prompt, staged=staged
+                )
+        finally:
+            stop.set()  # unblock + terminate the producer on early exit
 
     def _plan_parallel_windows(self, audios, params: TranscribeParams):
         """Host half of the parallel-windows path: window plan + PCM batch.
@@ -632,6 +661,13 @@ class WhisperEngine:
         seg_tokens: List[List[int]] = [[] for _ in range(n)]
         segments: List[List[Segment]] = [[] for _ in range(n)]
         words: List[list] = [[] for _ in range(n)]
+        # The stitch flags must come from the ACTUAL plan: with the plan
+        # stopping at content - overlap, the last window of an item can
+        # have seek + stride < content, and a stride-based is_last test
+        # would drop its final overlap/2 seconds of segments.
+        last_seek = {}
+        for j, sk in plan:
+            last_seek[j] = max(sk, last_seek.get(j, 0))
         for wi, (i, seek) in enumerate(plan):
             gen = []
             for t in tokens[wi, sb:]:
@@ -655,7 +691,7 @@ class WhisperEngine:
             )
             if overlap:
                 is_first = seek == 0
-                is_last = seek + stride >= content_frames[i]
+                is_last = seek == last_seek[i]
                 segs = select_core_segments(
                     segs, win_offset,
                     wf / FRAMES_PER_SECOND,
@@ -823,11 +859,9 @@ class WhisperEngine:
         config 2)."""
         from spittle_tpu.audio.vad.segmenter import segment_speech
 
-        audio = np.asarray(audio)
-        if audio.dtype == np.int16:  # wire-format PCM -> normalized f32
-            audio = audio.astype(np.float32) / 32768.0
-        else:
-            audio = audio.astype(np.float32, copy=False)
+        from .base import normalize_pcm
+
+        audio = normalize_pcm(audio)
         spans = segment_speech(audio, params=vad_params)
         if not spans:
             return TranscriptionResult(text="")

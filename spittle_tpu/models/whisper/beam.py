@@ -48,7 +48,9 @@ def _beam_loop(
     k = beam_size
     bk = b * k
     max_len = opts.max_tokens or cfg.n_text_ctx
-    static_mask = jnp.asarray(_static_suppress_mask(cfg, opts))
+    static_mask = jnp.asarray(
+        _static_suppress_mask(cfg, opts, audio_ctx=xa.shape[1])
+    )
 
     # Cross K/V computed ONCE per item and shared by its beams: the
     # cross-attention core folds beams into the query axis, so K/V stream

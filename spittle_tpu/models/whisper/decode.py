@@ -70,7 +70,14 @@ def sot_sequence(
     return tuple(seq)
 
 
-def _static_suppress_mask(cfg: WhisperConfig, opts: DecodeOptions) -> np.ndarray:
+def _static_suppress_mask(
+    cfg: WhisperConfig, opts: DecodeOptions, audio_ctx: int = 0
+) -> np.ndarray:
+    """audio_ctx: encoder positions actually present (reduced-window
+    decode). A full window's vocabulary naturally tops out at <|30.00|>
+    = timestamp_begin + 1500; a reduced window generalizes that bound —
+    timestamps past the encoded audio are suppressed so the decode can't
+    emit segments (or seek advances) beyond what any window saw."""
     mask = np.zeros(cfg.n_vocab, np.float32)
     always = [cfg.sot, cfg.sot_prev, cfg.sot_lm, cfg.no_speech,
               cfg.translate, cfg.transcribe]
@@ -81,6 +88,8 @@ def _static_suppress_mask(cfg: WhisperConfig, opts: DecodeOptions) -> np.ndarray
         mask[t] = NEG_INF
     if opts.timestamps:
         mask[cfg.no_timestamps] = NEG_INF
+        if audio_ctx:
+            mask[cfg.timestamp_begin + audio_ctx + 1 :] = NEG_INF
     else:
         mask[cfg.timestamp_begin :] = NEG_INF
     return mask
@@ -173,7 +182,9 @@ def _greedy_loop(
     # Cache sized to the decode budget (sublane-aligned): a short decode
     # reads max_len-wide K/V per step instead of n_text_ctx-wide.
     ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)
-    static_mask = jnp.asarray(_static_suppress_mask(cfg, opts))
+    static_mask = jnp.asarray(
+        _static_suppress_mask(cfg, opts, audio_ctx=xa.shape[1])
+    )
 
     # One teacher-forced pass prefills the cache and yields per-position
     # logits (token-by-token prefill would re-read all weights + cross-KV

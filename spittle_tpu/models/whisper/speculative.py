@@ -65,7 +65,9 @@ def _speculative_loop(
     ctx = min(cfg.n_text_ctx, -(-(max_len + kk) // 32) * 32)
     buf_len = max_len + kk
 
-    static_mask = jnp.asarray(_static_suppress_mask(cfg, opts))
+    static_mask = jnp.asarray(
+        _static_suppress_mask(cfg, opts, audio_ctx=xa.shape[1])
+    )
     cross_kv = precompute_cross_kv(params, xa, cfg)
     d_cross_kv = precompute_cross_kv(draft_params, draft_xa, draft_cfg)
 

@@ -58,9 +58,9 @@ def _parse_audio(
         audio = np.frombuffer(body, np.float32)
         rate = sample_rate or 16000
     if rate != 16000:
-        if audio.dtype == np.int16:
-            audio = audio.astype(np.float32) / 32768.0
-        audio = np.asarray(resample(audio, rate, 16000))
+        from spittle_tpu.engine.base import normalize_pcm
+
+        audio = np.asarray(resample(normalize_pcm(audio), rate, 16000))
     return audio
 
 

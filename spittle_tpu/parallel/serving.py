@@ -115,26 +115,47 @@ class BatchingTranscriptionServer:
         self,
         params: Optional[TranscribeParams] = None,
         bucket_s: Optional[float] = None,
-        dtype=np.float32,
+        dtypes=(np.int16, np.float32),
     ) -> None:
-        """Pre-compile every ladder batch size for one bucket so no live
-        request pays an XLA compile (SURVEY hard part (d): <300 ms p50
-        needs warm graphs for every shape). Decode options (max_tokens,
-        beam size, ...) are static in the compiled programs — warm with
-        the SAME params production trafic will send; same for the PCM
-        dtype (int16 wire format vs float32)."""
-        bucket_len = int((bucket_s or self.buckets[-1]) * SAMPLE_RATE)
+        """Pre-compile every (bucket, ladder size, PCM dtype) program so
+        no live request pays an XLA compile (SURVEY hard part (d):
+        <300 ms p50 needs warm graphs for every shape). Decode options
+        (max_tokens, beam size, ...) are static in the compiled
+        programs — warm with the SAME params production traffic will
+        send. All buckets warm by default: with fit_audio_ctx each
+        bucket has its own reduced-context programs, and non-whisper
+        engines (parakeet pads to the batch max length) also compile
+        per bucket; re-executions of an already-compiled program cost
+        only a short run, so redundant combinations are cheap. Runs
+        under the mesh when one is configured (sharded programs are a
+        different identity from single-device ones). Narrow with
+        bucket_s / dtypes if boot time matters more than first-request
+        latency."""
+        if bucket_s is not None:
+            bucket_list = [bucket_s]
+        else:
+            bucket_list = list(self.buckets)
         sizes = [1]
         while sizes[-1] * 2 < self.max_batch:
             sizes.append(sizes[-1] * 2)
         if sizes[-1] != self.max_batch:
             sizes.append(self.max_batch)
-        run_params = self._fitted_params(
-            bucket_len, params or TranscribeParams()
-        )
-        for n in sizes:
-            batch = [np.zeros(bucket_len, dtype) for _ in range(n)]
-            self.engine.transcribe_batch(batch, run_params)
+        for b in bucket_list:
+            bucket_len = int(b * SAMPLE_RATE)
+            run_params = self._fitted_params(
+                bucket_len, params or TranscribeParams()
+            )
+            for dtype in dtypes:
+                # one reusable buffer: identical arrays can dedupe on
+                # the host->device transfer layer
+                silence = np.zeros(bucket_len, dtype)
+                for n in sizes:
+                    batch = [silence] * n
+                    if self.mesh is not None:
+                        with self.mesh:
+                            self.engine.transcribe_batch(batch, run_params)
+                    else:
+                        self.engine.transcribe_batch(batch, run_params)
 
     def shutdown(self) -> None:
         self._shutdown.set()

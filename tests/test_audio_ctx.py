@@ -112,3 +112,50 @@ def test_audio_ctx_with_beam_search(engine, audio):
     )
     for r in engine.transcribe_batch(audio, p):
         assert isinstance(r.text, str)
+
+
+def test_last_window_segments_survive_overlap_stitch(engine):
+    """Regression (round-2 review): with the plan stopping at
+    content - overlap, the final window can have seek + stride < content
+    and a stride-based is_last test dropped the last overlap/2 seconds
+    of segments. is_last must come from the actual plan."""
+    import dataclasses
+
+    from spittle_tpu.engine.base import Segment
+
+    audios = [np.zeros(16000 * 30, np.float32)]
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, parallel_overlap_s=5.0,
+        max_tokens=8, temperatures=(0.0,),
+    )
+    plan, windows, content, overlap = engine._plan_parallel_windows(
+        audios, p
+    )
+    assert [s for _, s in plan] == [0]  # single window covers 30 s
+    # A segment in the final 2.5 s (inside overlap/2 of the window end)
+    # must survive stitching when this window is the item's last.
+    from spittle_tpu.engine.whisper_engine import select_core_segments
+
+    seg = Segment(29.0, 29.9, "tail")
+    kept = select_core_segments(
+        [seg], 0.0, 30.0, 5.0, is_first=True, is_last=True
+    )
+    assert kept == [seg]
+
+
+def test_sequential_advance_clamped_to_reduced_window(engine):
+    """Regression: with audio_ctx the timestamp vocabulary still spans
+    0-30 s; an unclamped seek advance could skip audio no window ever
+    encoded. _parse_window advances are clamped to the window."""
+    rng = np.random.default_rng(9)
+    audio = [(rng.standard_normal(16000 * 12) * 0.1).astype(np.float32)]
+    ctx = engine.cfg.n_audio_ctx // 10  # 3 s windows for tiny (ctx 150)
+    p = TranscribeParams(
+        language="en", max_tokens=8, temperatures=(0.0,), audio_ctx=ctx,
+    )
+    results = engine.transcribe_batch(audio, p)
+    assert isinstance(results[0].text, str)
+    # every segment lies within the audio duration
+    for s in results[0].segments:
+        assert 0.0 <= s.start <= 12.5

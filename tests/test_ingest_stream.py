@@ -7,6 +7,8 @@ window assembly + transfer with batch k's compute (prefetch-to-device).
 Both must be transcript-identical to the float32 / synchronous paths.
 """
 
+import time
+
 import numpy as np
 import pytest
 
@@ -119,3 +121,33 @@ def test_parakeet_i16_matches_f32():
     assert [r.text for r in eng.transcribe_batch(i16)] == [
         r.text for r in eng.transcribe_batch(f32q)
     ]
+
+
+def test_stream_abandoned_generator_stops_producer(engine):
+    """Breaking out of a transcribe_stream loop must terminate the
+    prefetch thread (a blocked q.put would pin its staged device buffer
+    for the process lifetime)."""
+    import threading
+
+    produced = []
+
+    def batches():
+        for i in range(50):
+            produced.append(i)
+            yield [np.zeros(16000, np.float32)]
+
+    before = threading.active_count()
+    it = engine.transcribe_stream(batches(), PAR)
+    next(it)
+    it.close()  # consumer abandons
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 50  # producer stopped early
+
+
+def test_stream_default_params_work(engine):
+    """params=None must be usable (parallel windows, no conditioning)."""
+    out = list(engine.transcribe_stream([[np.zeros(16000, np.float32)]]))
+    assert len(out) == 1 and len(out[0]) == 1

@@ -290,11 +290,69 @@ def test_warmup_compiles_ladder():
     eng = RecordingEngine()
     srv = BatchingTranscriptionServer(eng, max_batch=32, max_wait_ms=5)
     try:
-        srv.warmup()
-        assert [len(b) for b in eng.batches] == [1, 2, 4, 8, 16, 32]
-        assert all(
-            n == 16000 * 30 for b in eng.batches for n in b
-        )  # largest bucket
+        srv.warmup(dtypes=(np.float32,))
+        ladder = [1, 2, 4, 8, 16, 32]
+        # every bucket warms the full ladder (non-whisper engines and
+        # fit_audio_ctx compile per bucket length)
+        from spittle_tpu.parallel.serving import DEFAULT_BUCKETS
+        assert [len(b) for b in eng.batches] == ladder * len(DEFAULT_BUCKETS)
+        lens = {b[0] for b in eng.batches}
+        assert lens == {int(s * 16000) for s in DEFAULT_BUCKETS}
+    finally:
+        srv.shutdown()
+
+
+def test_warmup_respects_bucket_and_dtype_narrowing():
+    class DtypeRecordingEngine:
+        def __init__(self):
+            self.calls = []
+
+        def transcribe_batch(self, batch, params=None):
+            self.calls.append((len(batch), len(batch[0]), batch[0].dtype))
+            return [TranscriptionResult(text="") for _ in batch]
+
+    eng = DtypeRecordingEngine()
+    srv = BatchingTranscriptionServer(eng, max_batch=4, max_wait_ms=5)
+    try:
+        srv.warmup(bucket_s=5.0)
+        assert {c[1] for c in eng.calls} == {16000 * 5}
+        assert {str(c[2]) for c in eng.calls} == {"int16", "float32"}
+        assert [c[0] for c in eng.calls] == [1, 2, 4] * 2
+    finally:
+        srv.shutdown()
+
+
+def test_warmup_runs_under_mesh():
+    import jax
+    from spittle_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device mesh")
+
+    entered = []
+
+    class MeshCheckEngine:
+        def transcribe_batch(self, batch, params=None):
+            from jax.sharding import get_abstract_mesh
+            import jax.interpreters.pxla  # noqa: F401
+
+            from jax._src import mesh as mesh_lib
+
+            entered.append(
+                mesh_lib.thread_resources.env.physical_mesh.size > 1
+            )
+            return [TranscriptionResult(text="") for _ in batch]
+
+    mesh = make_mesh(n_dev, tp=2 if n_dev % 2 == 0 else 1)
+    srv = BatchingTranscriptionServer(
+        MeshCheckEngine(), max_batch=2, max_wait_ms=5, mesh=mesh
+    )
+    try:
+        srv.warmup(bucket_s=1.0, dtypes=(np.float32,))
+        assert entered and all(entered)
     finally:
         srv.shutdown()
 

@@ -165,19 +165,25 @@ int spittle_uinput_key(int fd, const char* name, int mods, int count,
                        unsigned delay_us) {
     uint16_t code = named_key(name);
     if (!code) return -1;
-    if ((mods & 1) && emit(fd, EV_KEY, KEY_LEFTCTRL, 1)) return -1;
-    if ((mods & 2) && emit(fd, EV_KEY, KEY_LEFTSHIFT, 1)) return -1;
-    if ((mods & 4) && emit(fd, EV_KEY, KEY_LEFTALT, 1)) return -1;
-    if ((mods & 8) && emit(fd, EV_KEY, KEY_LEFTMETA, 1)) return -1;
-    if (mods && syn(fd)) return -1;
-    for (int i = 0; i < count; ++i)
-        if (tap(fd, code, false, delay_us)) return -1;
-    if ((mods & 1) && emit(fd, EV_KEY, KEY_LEFTCTRL, 0)) return -1;
-    if ((mods & 2) && emit(fd, EV_KEY, KEY_LEFTSHIFT, 0)) return -1;
-    if ((mods & 4) && emit(fd, EV_KEY, KEY_LEFTALT, 0)) return -1;
-    if ((mods & 8) && emit(fd, EV_KEY, KEY_LEFTMETA, 0)) return -1;
-    if (mods && syn(fd)) return -1;
-    return 0;
+    int err = 0;
+    if ((mods & 1) && emit(fd, EV_KEY, KEY_LEFTCTRL, 1)) err = -1;
+    if (!err && (mods & 2) && emit(fd, EV_KEY, KEY_LEFTSHIFT, 1)) err = -1;
+    if (!err && (mods & 4) && emit(fd, EV_KEY, KEY_LEFTALT, 1)) err = -1;
+    if (!err && (mods & 8) && emit(fd, EV_KEY, KEY_LEFTMETA, 1)) err = -1;
+    if (!err && mods && syn(fd)) err = -1;
+    if (!err)
+        for (int i = 0; i < count; ++i)
+            if (tap(fd, code, false, delay_us)) { err = -1; break; }
+    // ALWAYS best-effort release the modifiers, including after an
+    // error: a stuck virtual ctrl/shift turns every subsequent
+    // keystroke from any device into a shortcut until the virtual
+    // keyboard is destroyed.
+    if ((mods & 1) && emit(fd, EV_KEY, KEY_LEFTCTRL, 0)) err = -1;
+    if ((mods & 2) && emit(fd, EV_KEY, KEY_LEFTSHIFT, 0)) err = -1;
+    if ((mods & 4) && emit(fd, EV_KEY, KEY_LEFTALT, 0)) err = -1;
+    if ((mods & 8) && emit(fd, EV_KEY, KEY_LEFTMETA, 0)) err = -1;
+    if (mods && syn(fd)) err = -1;
+    return err;
 }
 
 void spittle_uinput_close(int fd) {

@@ -74,7 +74,7 @@ def main() -> int:
         models=[_entry(*m) for m in GGML_MODELS],
     )
     mgr = ModelManager(args.dir, catalog=catalog)
-    mgr.events.subscribe(
+    mgr.events.listen_all(
         lambda name, payload: name == "model-download-progress"
         and print(
             f"  {payload['model_id']}: "

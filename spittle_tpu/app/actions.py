@@ -123,6 +123,11 @@ class TranscribeAction:
         pasted_segments = session.finish() if session is not None else []
         if (samples is None or not len(samples)) and not pasted_segments:
             self._clear_toggle(services, binding_id)
+            if ui is not None:
+                # Empty recording: no pipeline thread will run, so the
+                # tray must return to IDLE here (its usual reset lives
+                # in the pipeline thread's finally).
+                ui.tray.set_state(TrayIconState.IDLE)
             return
 
         def run():

@@ -104,11 +104,26 @@ def probe_player(which=shutil.which) -> Optional[str]:
 
 
 def _scaled_copy(path: str, volume: float) -> str:
-    samples, sr = load_wav_file(path)
-    fd, tmp = tempfile.mkstemp(suffix=".wav", prefix="spittle_fb_")
-    os.close(fd)
-    save_wav_file(tmp, (samples * max(0.0, min(volume, 1.0))).astype(
-        np.float32), sr)
+    """Volume-scaled WAV at a DETERMINISTIC cache path per
+    (source, volume, mtime): feedback plays hundreds of times per
+    session, and a fresh mkstemp per play leaked one temp file per
+    start/stop sound on the non-blocking path."""
+    import hashlib
+
+    try:
+        mtime = int(os.stat(path).st_mtime)
+    except OSError:
+        mtime = 0
+    key = hashlib.sha1(
+        f"{os.path.abspath(path)}|{volume:.3f}|{mtime}".encode()
+    ).hexdigest()[:16]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"spittle_fb_{key}.wav"
+    )
+    if not os.path.exists(tmp):
+        samples, sr = load_wav_file(path)
+        save_wav_file(tmp, (samples * max(0.0, min(volume, 1.0))).astype(
+            np.float32), sr)
     return tmp
 
 
@@ -133,18 +148,16 @@ def system_player(
         return None
 
     def play(path: str, volume: float) -> None:
-        argv, tmp = build_player_cmd(tool, path, volume)
-        try:
-            if blocking:
-                run(argv, capture_output=True, timeout=10)
-            else:
-                subprocess.Popen(
-                    argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
-                )
-        finally:
-            if tmp and blocking:
-                os.unlink(tmp)
-            # non-blocking: leak-on-purpose until process exit is fine for
-            # a <1 s feedback blip; tmpdir cleanup handles the rest
+        # build_player_cmd's scaled copy is a deterministic
+        # per-(sound, volume) cache file reused across plays — it is
+        # intentionally NOT unlinked (a non-blocking player may still
+        # be reading it).
+        argv, _tmp = build_player_cmd(tool, path, volume)
+        if blocking:
+            run(argv, capture_output=True, timeout=10)
+        else:
+            subprocess.Popen(
+                argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+            )
 
     return play

@@ -154,44 +154,75 @@ class CtypesAXBackend:
             raise AXError(f"AXUIElementCopyAttributeValue({name}) -> {err}")
         return out
 
+    def _release(self, *objs) -> None:
+        """CFRelease every copied/created CF object — each call here
+        creates fresh system-wide/app/element/value objects, and a
+        dictation session applies hundreds of diffs (steady native
+        memory growth otherwise)."""
+        for o in objs:
+            try:
+                val = o.value if hasattr(o, "value") else o
+                if val:
+                    self.cf.CFRelease(val)
+            except Exception:
+                pass
+
     def _focused_element(self):
+        """-> (element, retained_objects_to_release_with_it)."""
         system = self.lib.AXUIElementCreateSystemWide()
         if not system:
             raise AXError("AXUIElementCreateSystemWide returned null")
-        app = self._copy_attr(system, "AXFocusedApplication")
-        return self._copy_attr(app, "AXFocusedUIElement")
+        try:
+            app = self._copy_attr(system, "AXFocusedApplication")
+        except AXError:
+            self._release(system)
+            raise
+        try:
+            element = self._copy_attr(app, "AXFocusedUIElement")
+        except AXError:
+            self._release(app, system)
+            raise
+        return element, (app, system)
 
     def range_settable(self) -> bool:
-        element = self._focused_element()
+        element, owned = self._focused_element()
         attr = self._cfstr("AXSelectedTextRange")
-        settable = self.ctypes.c_ubyte(0)
-        err = self.lib.AXUIElementIsAttributeSettable(
-            element, attr, self.ctypes.byref(settable))
-        self.cf.CFRelease(attr)
-        return err == 0 and settable.value != 0
+        try:
+            settable = self.ctypes.c_ubyte(0)
+            err = self.lib.AXUIElementIsAttributeSettable(
+                element, attr, self.ctypes.byref(settable))
+            return err == 0 and settable.value != 0
+        finally:
+            self._release(attr, element, *owned)
 
     def selected_range(self) -> Tuple[int, int]:
-        element = self._focused_element()
-        value = self._copy_attr(element, "AXSelectedTextRange")
-        rng = self.CFRange()
-        ok = self.lib.AXValueGetValue(
-            value, self.K_AX_VALUE_TYPE_CF_RANGE, self.ctypes.byref(rng))
-        if not ok:
-            raise AXError("AXValueGetValue(AXSelectedTextRange) failed")
-        return int(rng.location), int(rng.length)
+        element, owned = self._focused_element()
+        value = None
+        try:
+            value = self._copy_attr(element, "AXSelectedTextRange")
+            rng = self.CFRange()
+            ok = self.lib.AXValueGetValue(
+                value, self.K_AX_VALUE_TYPE_CF_RANGE, self.ctypes.byref(rng))
+            if not ok:
+                raise AXError("AXValueGetValue(AXSelectedTextRange) failed")
+            return int(rng.location), int(rng.length)
+        finally:
+            if value is not None:
+                self._release(value)
+            self._release(element, *owned)
 
     def set_selected_range(self, location: int, length: int) -> None:
-        element = self._focused_element()
+        element, owned = self._focused_element()
         rng = self.CFRange(location, length)
         value = self.lib.AXValueCreate(
             self.K_AX_VALUE_TYPE_CF_RANGE, self.ctypes.byref(rng))
         if not value:
+            self._release(element, *owned)
             raise AXError("AXValueCreate(CFRange) failed")
         attr = self._cfstr("AXSelectedTextRange")
         try:
             err = self.lib.AXUIElementSetAttributeValue(element, attr, value)
         finally:
-            self.cf.CFRelease(attr)
-            self.cf.CFRelease(value)
+            self._release(attr, value, element, *owned)
         if err != 0:
             raise AXError(f"AXUIElementSetAttributeValue -> {err}")

@@ -48,7 +48,10 @@ class CaptureTool:
                 cmd += ["--target", device]
             return cmd + ["-"]
         if self.name == "arecord":
-            cmd = ["arecord", "-q", "-f", "FLOAT_LE", "-r", str(rate),
+            # S16_LE: FLOAT_LE is rejected by most raw ALSA hw devices
+            # (capture would die instantly as a silent EOF); the reader
+            # normalizes i16 -> f32.
+            cmd = ["arecord", "-q", "-f", "S16_LE", "-r", str(rate),
                    "-c", "1", "-t", "raw"]
             if device:
                 cmd += ["-D", device]
@@ -68,7 +71,7 @@ class CaptureTool:
 CAPTURE_TOOLS = (
     CaptureTool("parec", "f32"),
     CaptureTool("pw-record", "f32"),
-    CaptureTool("arecord", "f32"),
+    CaptureTool("arecord", "i16"),
     CaptureTool("ffmpeg", "f32"),
     CaptureTool("rec", "f32"),
 )
@@ -122,7 +125,7 @@ class MicSource:
         cmd = self._tool.command(sample_rate, device)
         popen = popen or (
             lambda c: subprocess.Popen(
-                c, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+                c, stdout=subprocess.PIPE, stderr=subprocess.PIPE
             )
         )
         self._proc = popen(cmd)
@@ -187,6 +190,24 @@ class MicSource:
             pass
         finally:
             self._eof.set()
+            self._report_child_error()
+
+    def _report_child_error(self) -> None:
+        """Surface the capture child's stderr when it died — a rejected
+        sample format otherwise looks like an instant silent EOF."""
+        try:
+            rc = self._proc.poll()
+            if rc in (None, 0) or self._proc.stderr is None:
+                return
+            detail = self._proc.stderr.read() or b""
+            import logging
+
+            logging.getLogger("spittle_tpu.mic").warning(
+                "capture tool %s exited rc=%s: %s",
+                self._tool.name, rc, detail.decode(errors="replace")[:500],
+            )
+        except Exception:
+            pass
 
     def read(self, timeout: float) -> Optional[np.ndarray]:
         """Recorder AudioSource protocol: chunk, empty on timeout, None

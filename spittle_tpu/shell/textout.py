@@ -189,12 +189,14 @@ class SystemTextOutput:
 
     def _kb(self):
         """Lazy uinput keyboard; None when unavailable. Only used under
-        TypingTool.AUTO — an explicit tool choice is respected."""
+        TypingTool.AUTO — an explicit tool choice is respected (checked
+        BEFORE the probe latch, so switching the setting back to AUTO
+        later still probes)."""
+        if self._settings().typing_tool is not TypingTool.AUTO:
+            return None
         if self._uinput_probed:
             return self._uinput
         self._uinput_probed = True
-        if self._settings().typing_tool is not TypingTool.AUTO:
-            return None
         try:
             if self._uinput_factory is not None:
                 self._uinput = self._uinput_factory()
@@ -237,8 +239,16 @@ class SystemTextOutput:
 
     def _type_text(self, text: str) -> bool:
         kb = self._kb()
-        if kb is not None and kb.type_text(text):
-            return True  # non-ASCII falls through to the tool chain
+        if kb is not None and text.isascii():
+            # Known-typable text only: non-ASCII goes wholly to the tool
+            # chain rather than splitting a word across two backends.
+            typed = kb.type_prefix(text)
+            if typed == len(text):
+                return True
+            # Unexpected mid-write failure: fall back for the REMAINDER
+            # only — retyping the whole string would duplicate the
+            # already-typed prefix in the focused app.
+            text = text[typed:]
         tool = self._tool()
         if tool is None:
             return False

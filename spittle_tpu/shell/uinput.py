@@ -47,16 +47,22 @@ def _build() -> bool:
         return False
 
 
-def load_lib() -> Optional[ctypes.CDLL]:
+def load_lib(build: bool = True) -> Optional[ctypes.CDLL]:
+    """build=False: only load a prebuilt library — availability probes
+    on the typing hot path must never trigger a synchronous g++ compile
+    (up to 120 s stalling the user's first paste)."""
     global _lib, _build_failed
     with _lock:
         if _lib is not None:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB) and not _build():
-            _build_failed = True
-            return None
+        if not os.path.exists(_LIB):
+            if not build:
+                return None  # no latch: an explicit build may follow
+            if not _build():
+                _build_failed = True
+                return None
         lib = ctypes.CDLL(_LIB)
         lib.spittle_uinput_open.restype = ctypes.c_int
         lib.spittle_uinput_type.restype = ctypes.c_int
@@ -94,24 +100,37 @@ class UinputKeyboard:
 
     @staticmethod
     def available() -> bool:
+        """Side-effect-free probe: requires a PREBUILT native library
+        (build one explicitly via load_lib() / python -m
+        spittle_tpu.shell.uinput)."""
         return (
             os.name == "posix"
             and os.path.exists("/dev/uinput")
             and os.access("/dev/uinput", os.W_OK)
-            and load_lib() is not None
+            and load_lib(build=False) is not None
         )
 
     def type_text(self, text: str) -> bool:
         """Types ASCII; returns False if any char is unmappable (caller
         should fall back to a clipboard paste for rich text)."""
-        try:
-            data = text.encode("ascii")
-        except UnicodeEncodeError:
-            return False
+        return self.type_prefix(text) == len(text)
+
+    def type_prefix(self, text: str) -> int:
+        """Types the longest mappable prefix; returns chars typed.
+
+        Callers falling back to an external tool must retype only
+        text[typed:] — retyping the whole string would double the
+        already-typed prefix in the focused app."""
+        i = 0
+        while i < len(text) and ord(text[i]) < 128:
+            i += 1
+        data = text[:i].encode("ascii")
+        if not data:
+            return 0
         rc = self._lib.spittle_uinput_type(
             self._fd, data, self.key_delay_us
         )
-        return rc == len(data)
+        return max(0, rc)
 
     def key(self, name: str, mods: int = 0, count: int = 1) -> bool:
         return (
@@ -131,3 +150,7 @@ class UinputKeyboard:
             self.close()
         except Exception:
             pass
+
+
+if __name__ == "__main__":  # explicit build hook (boot-time, not hot path)
+    print("built" if load_lib(build=True) is not None else "build failed")

@@ -235,3 +235,31 @@ class TestBindingsExport:
         dts = export_dts()
         assert "export interface SpittleCommands" in dts
         assert "downloadModel(model_id: string)" in dts
+
+
+def test_empty_recording_resets_tray_to_idle(tmp_path):
+    """Regression (round-2 review): tapping the hotkey with no speech set
+    the tray to TRANSCRIBING and the early return skipped the pipeline
+    thread whose finally normally resets it — stuck icon forever."""
+    from spittle_tpu.app.ui_state import AppUi, TrayIconState
+
+    src = QueueSource(16000)
+    services = AppServices(
+        str(tmp_path), source_factory=lambda: src, use_mock_engine=True
+    )
+    try:
+        services.transcription.load_model("m", "/fake", "whisper")
+        ui = AppUi(services, player=lambda path, vol: None)
+        actions = ActionContext(services, BufferTextOutput(), ui=ui)
+        actions.handle_shortcut_event("transcribe", "ctrl+space", True)
+        # release immediately: no audio pushed -> empty recording
+        actions.handle_shortcut_event("transcribe", "ctrl+space", False)
+        deadline = time.time() + 5
+        while (
+            ui.tray.state is not TrayIconState.IDLE
+            and time.time() < deadline
+        ):
+            time.sleep(0.05)
+        assert ui.tray.state is TrayIconState.IDLE
+    finally:
+        services.shutdown()

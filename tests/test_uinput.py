@@ -45,13 +45,19 @@ class FakeKeyboard:
         self.ascii_only = ascii_only
 
     def type_text(self, text):
+        return self.type_prefix(text) == len(text)
+
+    def type_prefix(self, text):
         if self.ascii_only:
-            try:
-                text.encode("ascii")
-            except UnicodeEncodeError:
-                return False
+            i = 0
+            while i < len(text) and ord(text[i]) < 128:
+                i += 1
+            if i < len(text):
+                if i:
+                    self.typed.append(text[:i])
+                return i
         self.typed.append(text)
-        return True
+        return len(text)
 
     def key(self, name, mods=0, count=1):
         self.keys.append((name, mods, count))

@@ -129,3 +129,50 @@ def test_tokenizer_byte_bpe_roundtrip(text):
     )
     tok = WhisperTokenizer(cfg, make_test_vocab())
     assert tok.decode(tok.encode(text)) == text
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    duration_s=st.floats(0.1, 120.0),
+    audio_ctx=st.one_of(st.none(), st.integers(32, 1500)),
+    overlap_s=st.floats(0.0, 10.0),
+)
+def test_parallel_window_plan_covers_all_content(
+    duration_s, audio_ctx, overlap_s
+):
+    """Invariant: for ANY (duration, audio_ctx, overlap) the parallel
+    window plan starts at 0, strides uniformly, and its last window
+    reaches the end of the content — nothing silently untranscribed."""
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import FRAMES_PER_SECOND
+
+    class GeomOnly:
+        window_frames = 3000
+        window_samples = 3000 * 160
+        from spittle_tpu.engine.whisper_engine import (
+            WhisperEngine as _W,
+        )
+        _window_geometry = _W._window_geometry
+        _plan_parallel_windows = _W._plan_parallel_windows
+        _assemble_windows = _W._assemble_windows
+
+    eng = GeomOnly()
+    params = TranscribeParams(
+        parallel_windows=True, condition_on_previous_text=False,
+        audio_ctx=audio_ctx, parallel_overlap_s=overlap_s,
+    )
+    n = max(1, int(16000 * duration_s))
+    audios = [np.zeros(n, np.float32)]
+    plan, windows, content, overlap = eng._plan_parallel_windows(
+        audios, params
+    )
+    wf, ws = eng._window_geometry(params)
+    seeks = [s for _, s in plan]
+    assert seeks[0] == 0
+    assert seeks == sorted(seeks)
+    # full coverage: the last window reaches the content end
+    assert seeks[-1] + wf >= content[0]
+    # no useless all-overlap tail window
+    if len(seeks) > 1:
+        assert seeks[-1] < max(content[0] - overlap, 1)
+    assert windows.shape == (len(plan), ws)

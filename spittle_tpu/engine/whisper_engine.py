@@ -140,7 +140,13 @@ class WhisperEngine:
 
     def load_model(self, model_path: str) -> None:
         """Load a GGML file, HF safetensors dir, or `random:<config>` (tests)."""
-        self._frontend_fn = None  # captures cfg/filters; rebuild per model
+        # Reset EVERY per-model cache: a reload must not leak the previous
+        # model's mel filters (80- vs 128-mel), suppression token ids
+        # (different vocab), alignment heads, or jitted frontend.
+        self._frontend_fn = None
+        self._non_speech = None
+        self.mel_filters = None
+        self.alignment_heads = None
         if model_path.startswith("random:"):
             name = model_path.split(":", 1)[1]
             self.cfg = CONFIGS[name]
@@ -462,11 +468,22 @@ class WhisperEngine:
                 text_tokens = [
                     t for t in seg_tokens[0] if t < cfg.timestamp_begin
                 ]
-                prompt_tokens = tuple(
-                    (list(base_prompt) + text_tokens)[
-                        -(cfg.n_text_ctx // 2 - 1):
-                    ]
-                )
+                combined = (list(base_prompt) + text_tokens)[
+                    -(cfg.n_text_ctx // 2 - 1):
+                ]
+                # Bucket the carried length: the decode program's prefix
+                # shape is static, so every distinct prompt length would
+                # trigger a full XLA recompile per window. Keeping the
+                # LAST k tokens for a small bucket set trades a little
+                # conditioning context for compile-once decoding.
+                max_prompt = cfg.n_text_ctx // 2 - 1
+                if len(combined) >= 32:
+                    k = max(
+                        bb for bb in (32, 64, 128, max_prompt)
+                        if bb <= len(combined)
+                    )
+                    combined = combined[-k:]
+                prompt_tokens = tuple(combined)
             round_idx += 1
 
         results = []
@@ -869,6 +886,7 @@ class WhisperEngine:
         results = self.transcribe_batch(chunks, params)
         segments: List[Segment] = []
         texts = []
+        words: List = []
         for span, res in zip(spans, results):
             if res.text:
                 texts.append(res.text)
@@ -880,18 +898,19 @@ class WhisperEngine:
                         text=seg.text,
                     )
                 )
+            for w in res.words:
+                from .base import Word
+
+                words.append(
+                    Word(w.word, w.start + span.start_sec,
+                         w.end + span.start_sec)
+                )
         return TranscriptionResult(
             text=" ".join(texts).strip(),
             segments=segments,
             language=results[0].language if results else None,
+            words=words,
         )
-
-    def _pad_window_batch(self, audios: List[np.ndarray]) -> np.ndarray:
-        n = self.window_samples
-        out = np.zeros((len(audios), n), np.float32)
-        for i, a in enumerate(audios):
-            out[i, : min(len(a), n)] = a[:n]
-        return out
 
     def _parse_window(
         self,

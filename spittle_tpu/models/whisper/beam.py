@@ -47,7 +47,15 @@ def _beam_loop(
     b = xa.shape[0]
     k = beam_size
     bk = b * k
-    max_len = opts.max_tokens or cfg.n_text_ctx
+    # opts.max_tokens is the DECODE BUDGET (whisper.cpp n_max_text_ctx
+    # analog): the buffer holds prefix + budget, clamped to the model's
+    # text context. Treating it as the total length crashed on long
+    # carried prompts (negative buffer) or silently truncated later
+    # windows to a near-zero generation budget.
+    max_len = min(
+        cfg.n_text_ctx,
+        prefix_len + (opts.max_tokens or cfg.n_text_ctx),
+    )
     static_mask = jnp.asarray(
         _static_suppress_mask(cfg, opts, audio_ctx=xa.shape[1])
     )
@@ -90,7 +98,8 @@ def _beam_loop(
         cur_logits=pre_logits[-1].astype(jnp.float32),
         scores=init_scores,  # [B*K] sum logprob
         finished=jnp.zeros(bk, bool),
-        ts_floor=jnp.full(bk, cfg.timestamp_begin, jnp.int32),
+        # timestamp_begin - 1 = "no timestamp yet" sentinel (decode.py)
+        ts_floor=jnp.full(bk, cfg.timestamp_begin - 1, jnp.int32),
         length=jnp.zeros(bk, jnp.int32),
     )
 
@@ -152,7 +161,10 @@ def _beam_loop(
         # opening timestamp -> equal allowed (see decode.py rationale).
         last_sel = last[flat_src]
         last_is_ts = last_sel >= cfg.timestamp_begin
-        new_floor = jnp.where(last_is_ts, new_tok + 1, new_tok)
+        first_ts = ts_floor < cfg.timestamp_begin  # initial opener
+        new_floor = jnp.where(
+            last_is_ts | first_ts, new_tok + 1, new_tok
+        )
         ts_floor = jnp.where(is_ts & newly, new_floor, ts_floor)
         finished = finished | (new_tok == cfg.eot)
 

@@ -121,7 +121,12 @@ def _process_logits(
 
     if opts.timestamps:
         last_is_ts = last_tok >= ts_begin
-        penult_is_ts = penult_tok >= ts_begin
+        # OpenAI ApplyTimestampRules: penultimate_was_timestamp is True
+        # when FEWER THAN TWO tokens have been sampled — reading the
+        # prompt's task token out of the buffer instead inverted the
+        # rule at the second sampled position (banning text right after
+        # the initial timestamp instead of forcing it).
+        penult_is_ts = (pos - sample_begin < 2) | (penult_tok >= ts_begin)
         # Timestamps come in pairs (except directly before EOT):
         # last ts + penult ts -> no more ts now; last ts + penult text ->
         # only ts or EOT.
@@ -173,7 +178,15 @@ def _greedy_loop(
     if temperature is None:
         temperature = jnp.asarray(opts.temperature, jnp.float32)
     b = xa.shape[0]
-    max_len = opts.max_tokens or cfg.n_text_ctx
+    # opts.max_tokens is the DECODE BUDGET (whisper.cpp n_max_text_ctx
+    # analog): the buffer holds prefix + budget, clamped to the model's
+    # text context. Treating it as the total length crashed on long
+    # carried prompts (negative buffer) or silently truncated later
+    # windows to a near-zero generation budget.
+    max_len = min(
+        cfg.n_text_ctx,
+        prefix_len + (opts.max_tokens or cfg.n_text_ctx),
+    )
     cross_kv = precompute_cross_kv(params, xa, cfg)
     if opts.quant_kv:
         from spittle_tpu.ops.quant import quantize_kv
@@ -208,7 +221,11 @@ def _greedy_loop(
         cache=cache,
         cur_logits=pre_logits[-1].astype(jnp.float32),
         finished=jnp.zeros(b, bool),
-        ts_floor=jnp.full(b, cfg.timestamp_begin, jnp.int32),
+        # timestamp_begin - 1 is a sentinel meaning "no timestamp sampled
+        # yet" (it bans nothing): the INITIAL timestamp's close must be
+        # strictly greater, unlike a pair-closing timestamp whose
+        # consecutive opener may be equal.
+        ts_floor=jnp.full(b, cfg.timestamp_begin - 1, jnp.int32),
         sum_logprob=jnp.zeros(b, jnp.float32),
         length=jnp.zeros(b, jnp.int32),
         key=jax.random.PRNGKey(opts.seed),
@@ -252,12 +269,17 @@ def _greedy_loop(
             s["tokens"], next_tok[:, None], (0, pos)
         )
         is_ts = next_tok >= cfg.timestamp_begin
-        # OpenAI ApplyTimestampRules floor: a timestamp OPENING a pair may
-        # be matched exactly by its close (floor = ts); once a pair CLOSES,
-        # later timestamps must be strictly greater (floor = ts + 1) — the
-        # guard against zero-length segments.
+        # OpenAI ApplyTimestampRules floor: a pair-CLOSING timestamp may
+        # be equalled by the next pair's opener (floor = ts), while an
+        # OPENING timestamp's close must be strictly greater
+        # (floor = ts + 1) — the guard against zero-length segments. A
+        # timestamp after text is a close EXCEPT the first one ever,
+        # which is the initial opener (tracked via the floor sentinel).
         last_is_ts = last >= cfg.timestamp_begin
-        new_floor = jnp.where(last_is_ts, next_tok + 1, next_tok)
+        first_ts = s["ts_floor"] < cfg.timestamp_begin
+        new_floor = jnp.where(
+            last_is_ts | first_ts, next_tok + 1, next_tok
+        )
         ts_floor = jnp.where(is_ts & newly, new_floor, s["ts_floor"])
         finished = s["finished"] | (next_tok == cfg.eot)
 

@@ -60,7 +60,15 @@ def _speculative_loop(
 ):
     b = xa.shape[0]
     kk = draft_k
-    max_len = opts.max_tokens or cfg.n_text_ctx
+    # opts.max_tokens is the DECODE BUDGET (whisper.cpp n_max_text_ctx
+    # analog): the buffer holds prefix + budget, clamped to the model's
+    # text context. Treating it as the total length crashed on long
+    # carried prompts (negative buffer) or silently truncated later
+    # windows to a near-zero generation budget.
+    max_len = min(
+        cfg.n_text_ctx,
+        prefix_len + (opts.max_tokens or cfg.n_text_ctx),
+    )
     # Blocks may write up to pos+K-1 < max_len+K; budget the caches for it.
     ctx = min(cfg.n_text_ctx, -(-(max_len + kk) // 32) * 32)
     buf_len = max_len + kk
@@ -91,7 +99,8 @@ def _speculative_loop(
         d_cache=d_cache,
         cur_logits=pre_logits[:, -1].astype(jnp.float32),
         finished=jnp.zeros(b, bool),
-        ts_floor=jnp.full(b, cfg.timestamp_begin, jnp.int32),
+        # timestamp_begin - 1 = "no timestamp yet" sentinel (decode.py)
+        ts_floor=jnp.full(b, cfg.timestamp_begin - 1, jnp.int32),
         sum_logprob=jnp.zeros(b, jnp.float32),
         length=jnp.zeros(b, jnp.int32),
         rounds=jnp.asarray(0, jnp.int32),
@@ -140,7 +149,11 @@ def _speculative_loop(
             )
             is_ts = tok >= cfg.timestamp_begin
             # Pair-close -> strictly-greater floor (mirrors decode.py).
-            new_floor = jnp.where(penult >= cfg.timestamp_begin, tok + 1, tok)
+            new_floor = jnp.where(
+                (penult >= cfg.timestamp_begin)
+                | (ts_d < cfg.timestamp_begin),  # initial opener
+                tok + 1, tok,
+            )
             ts_d = jnp.where(is_ts & ~s["finished"], new_floor, ts_d)
             pl = proc(d_logits.astype(jnp.float32), pos + j + 1, tok,
                       penult, ts_d)
@@ -168,7 +181,11 @@ def _speculative_loop(
             last, penult, ts_floor = carry
             tok_j = block[:, j]
             is_ts = tok_j >= cfg.timestamp_begin
-            new_floor = jnp.where(last >= cfg.timestamp_begin, tok_j + 1, tok_j)
+            new_floor = jnp.where(
+                (last >= cfg.timestamp_begin)
+                | (ts_floor < cfg.timestamp_begin),  # initial opener
+                tok_j + 1, tok_j,
+            )
             ts_floor = jnp.where(is_ts & ~s["finished"], new_floor, ts_floor)
             pl = proc(logits_blk[:, j], pos + j + 1, tok_j, last, ts_floor)
             m = jnp.argmax(pl, axis=-1).astype(jnp.int32)
@@ -206,7 +223,9 @@ def _speculative_loop(
             is_ts = tok_j >= cfg.timestamp_begin
             prev_j = jnp.where(j == 0, last0, block[:, jnp.maximum(j - 1, 0)])
             new_floor = jnp.where(
-                prev_j >= cfg.timestamp_begin, tok_j + 1, tok_j
+                (prev_j >= cfg.timestamp_begin)
+                | (ts_floor < cfg.timestamp_begin),  # initial opener
+                tok_j + 1, tok_j,
             )
             ts_floor = jnp.where(is_ts & newly, new_floor, ts_floor)
             finished = finished | (emitted & (tok_j == cfg.eot))

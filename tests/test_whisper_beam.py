@@ -31,7 +31,8 @@ def test_beam_decode_runs_and_obeys_rules(tiny):
     opts = DecodeOptions(language="en", timestamps=True, max_tokens=20)
     out = beam_decode(params, xa, cfg, opts, beam_size=3)
     toks = np.asarray(out["tokens"])
-    assert toks.shape == (2, 20)
+    # max_tokens is the DECODE BUDGET: buffer = prefix + budget
+    assert toks.shape == (2, out["sample_begin"] + 20)
     assert toks[0, 0] == cfg.sot
     gen = toks[:, out["sample_begin"]:]
     for bad in (cfg.sot, cfg.sot_prev, cfg.no_timestamps):

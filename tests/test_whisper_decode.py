@@ -49,7 +49,8 @@ def test_greedy_decode_runs_and_respects_rules(tiny):
     out = greedy_decode(params, xa, cfg, opts)
     toks = np.asarray(out["tokens"])
     sb = out["sample_begin"]
-    assert toks.shape == (2, 24)
+    # max_tokens is the DECODE BUDGET: buffer = prefix + budget
+    assert toks.shape == (2, sb + 24)
     # prefix is [sot, lang, transcribe]
     assert toks[0, 0] == cfg.sot
     assert toks[0, 1] == cfg.lang_begin  # "en"

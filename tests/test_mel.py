@@ -12,9 +12,49 @@ from spittle_tpu.audio.mel import (
 )
 
 
+def oracle_filterbank(n_mels: int, n_fft: int = 400, sr: int = 16000) -> np.ndarray:
+    """From-scratch Slaney-scale mel filterbank (librosa `filters.mel`
+    semantics with `htk=False, norm='slaney'`), sharing zero code with
+    `spittle_tpu.audio.mel`. The break-point math is written directly from
+    the Slaney Auditory Toolbox definition: linear below 1 kHz at
+    200/3 Hz per mel, logarithmic above with step log(6.4)/27."""
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+
+    def hz_to_mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        return np.where(
+            f >= min_log_hz,
+            min_log_mel + np.log(np.maximum(f, 1e-12) / min_log_hz) / logstep,
+            f / f_sp,
+        )
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        return np.where(
+            m >= min_log_mel,
+            min_log_hz * np.exp(logstep * (m - min_log_mel)),
+            m * f_sp,
+        )
+
+    hz = mel_to_hz(np.linspace(0.0, hz_to_mel(sr / 2.0), n_mels + 2))
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
+    fdiff = np.diff(hz)
+    ramps = hz[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney normalization: scale each triangle to unit area over Hz.
+    weights *= (2.0 / (hz[2 : n_mels + 2] - hz[:n_mels]))[:, None]
+    return weights
+
+
 def oracle_log_mel(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
     """Reference implementation with np.fft, mirroring OpenAI Whisper's
-    torch.stft-based log_mel_spectrogram step by step."""
+    torch.stft-based log_mel_spectrogram step by step. Uses the
+    independent `oracle_filterbank`, not the package's."""
     pad = N_FFT // 2
     padded = np.pad(audio, (pad, pad), mode="reflect")
     n = np.arange(N_FFT)
@@ -25,7 +65,7 @@ def oracle_log_mel(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
     )
     stft = np.fft.rfft(frames * window, axis=-1)
     power = (np.abs(stft) ** 2)[:-1]  # drop final frame
-    mel = power @ mel_filterbank(n_mels).T.astype(np.float64)
+    mel = power @ oracle_filterbank(n_mels).T
     log_spec = np.log10(np.maximum(mel, 1e-10))
     log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
     return ((log_spec + 4.0) / 4.0).T  # [n_mels, frames]
@@ -66,6 +106,18 @@ def test_batched(audio):
     assert out.shape == (2, 80, len(audio) // HOP_LENGTH)
     single = np.asarray(log_mel_spectrogram(audio))
     np.testing.assert_allclose(out[0], single, atol=1e-5)
+
+
+def test_filterbank_matches_independent_oracle():
+    # Direct filterbank parity against the from-scratch Slaney oracle —
+    # the log-mel parity tests above go through this same oracle, so a
+    # filterbank bug in the package can no longer cancel out.
+    for n_mels in (80, 128):
+        np.testing.assert_allclose(
+            np.asarray(mel_filterbank(n_mels), dtype=np.float64),
+            oracle_filterbank(n_mels),
+            atol=1e-6,
+        )
 
 
 def test_filterbank_properties():

@@ -230,7 +230,14 @@ class ActionContext:
             title = raw[:64] if raw else "Transcription"
             services.history.save_transcription(samples_, title, raw, post, prompt)
 
-        return PipelineHooks(save_history=save_history)
+        from spittle_tpu.text.zh_convert import convert_chinese_variant
+
+        return PipelineHooks(
+            save_history=save_history,
+            # Real zh-Hans/zh-Hant conversion in the default-assembled app
+            # (pipeline.rs:330-332 wires maybe_convert_chinese_variant).
+            convert_chinese=convert_chinese_variant,
+        )
 
     def cancel_current_operation(self) -> None:
         """Centralized cancel (utils.rs:17-46): reset toggles, recording,

@@ -18,7 +18,11 @@ import numpy as np
 
 from spittle_tpu.events import HIDE_OVERLAY, SHOW_OVERLAY
 from spittle_tpu.pipeline import PipelineHooks, TranscriptionPipeline, TextOutput
+from spittle_tpu.utils import threads
+from spittle_tpu.utils.logging import get_logger
 from .services import AppServices
+
+_log = get_logger("actions")
 
 
 class StreamingSession:
@@ -33,8 +37,7 @@ class StreamingSession:
         self.output = output
         self.texts = []  # pasted segments incl. trailing space
         self._q: "_q.Queue" = _q.Queue()
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._worker = threads.spawn(self._run, name="streaming-session")
 
     def submit(self, samples) -> None:
         self._q.put(samples)
@@ -46,12 +49,16 @@ class StreamingSession:
                 return
             try:
                 text = self.services.transcription.transcribe(samples)
+                if text:
+                    self.output.paste(text)
+                    self.texts.append(text + " ")
             except Exception:
-                text = ""
-            if text:
-                self.output.paste(text)
-                self.texts.append(text + " ")
-            self._q.task_done()
+                # Fail open per segment (pipeline.rs:888-899): log and keep
+                # consuming — and task_done below must always run, or
+                # finish()'s q.join() would deadlock on a failed segment.
+                _log.exception("streaming segment failed")
+            finally:
+                self._q.task_done()
 
     def finish(self):
         """Drain pending segments; returns the pasted segment texts."""
@@ -153,7 +160,13 @@ class TranscribeAction:
 
                     ui2.tray.set_state(TrayIconState.IDLE)
 
-        threading.Thread(target=run, daemon=True).start()
+        def on_failure(_exc: BaseException) -> None:
+            # A dead pipeline must not strand the overlay in processing
+            # state (utils.rs:17-46 reset semantics); tray + toggle were
+            # already reset in run()'s finally.
+            services.events.emit(HIDE_OVERLAY, None)
+
+        threads.spawn(run, name="transcription-pipeline", on_failure=on_failure)
 
     @staticmethod
     def _clear_toggle(services: AppServices, binding_id: str) -> None:

@@ -12,6 +12,8 @@ from __future__ import annotations
 import signal
 import threading
 
+from spittle_tpu.utils import threads
+
 from .actions import ActionContext
 
 
@@ -29,7 +31,7 @@ class SignalHandler:
 
     def _on_signal(self, signum, frame) -> None:
         # Do the real work off the signal frame.
-        threading.Thread(target=self.trigger, daemon=True).start()
+        threads.spawn(self.trigger, name="sigusr2-trigger")
 
     def trigger(self) -> None:
         """Toggle the transcribe action exactly like a toggle-mode press."""

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import queue
 import threading
+
+from spittle_tpu.utils import threads
 from typing import Callable, List, Optional, Protocol
 
 import numpy as np
@@ -97,8 +99,10 @@ class AudioRecorder:
     def open(self) -> None:
         assert self._thread is None, "already open"
         self._open = True
-        self._thread = threading.Thread(target=self._run_consumer, daemon=True)
-        self._thread.start()
+        # Exception barrier: a consumer crash is logged (the mic watchdog
+        # then recovers the recording session) instead of escaping the
+        # thread boundary.
+        self._thread = threads.spawn(self._run_consumer, name="audio-consumer")
 
     def start(self) -> None:
         """Begin accumulating. Synchronous: when this returns, the consumer

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Set
 
 from spittle_tpu.config.settings import AppSettings, LLMPrompt
+from spittle_tpu.utils.logging import get_logger
 from spittle_tpu.text.jargon import (
     JargonCorrection,
     JargonProfile,
@@ -52,6 +53,8 @@ def token_overlap_ratio(context: Set[str], candidate: Set[str]) -> float:
     if not candidate:
         return 0.0
     return sum(1 for t in candidate if t in context) / len(candidate)
+
+_log = get_logger("domain_selector")
 
 
 def score_profiles(
@@ -130,9 +133,19 @@ def build_profile_map(settings: AppSettings) -> Dict[str, JargonProfile]:
 
 
 def _run_with_timeout(fn, timeout_s: float):
-    """Run fn on a worker thread; None on timeout (fail-open sidecar)."""
+    """Run fn on a worker thread; None on timeout OR failure (the sidecar
+    fails open both ways — a crash must not escape the thread, and the
+    caller must not block the full timeout waiting on a dead worker)."""
     out: "queue.Queue" = queue.Queue()
-    threading.Thread(target=lambda: out.put(fn()), daemon=True).start()
+
+    def worker():
+        try:
+            out.put(fn())
+        except Exception:
+            _log.exception("domain-selector sidecar call failed")
+            out.put(None)
+
+    threading.Thread(target=worker, daemon=True, name="domain-sidecar").start()
     try:
         return out.get(timeout=timeout_s)
     except queue.Empty:

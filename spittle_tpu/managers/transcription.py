@@ -21,6 +21,8 @@ import numpy as np
 from spittle_tpu.config.settings import AppSettings, ModelUnloadTimeout
 from spittle_tpu.engine.base import TranscribeParams, TranscriptionEngine
 from spittle_tpu.events import EventBus, MODEL_STATE_CHANGED
+from spittle_tpu.utils import threads
+from spittle_tpu.utils.logging import get_logger
 from spittle_tpu.text.filters import apply_custom_words, filter_transcription_output
 from spittle_tpu.text.jargon import (
     JargonCorrection,
@@ -33,6 +35,8 @@ from spittle_tpu.utils.tracing import span
 from .domain_selector import DomainContext, DomainSelectorManager, build_profile_map
 
 IDLE_POLL_SECONDS = 10.0
+
+_log = get_logger("transcription")
 
 
 class TranscriptionManager:
@@ -105,12 +109,13 @@ class TranscriptionManager:
         self, model_id: str, model_path: str, engine_type: str
     ) -> threading.Thread:
         """Background load kick (transcription.rs:374-391)."""
-        t = threading.Thread(
-            target=lambda: self.load_model(model_id, model_path, engine_type),
-            daemon=True,
+        # Barrier: load_model emits the "error" state before re-raising;
+        # the thread wrapper logs the traceback instead of letting it
+        # escape as an unhandled thread exception.
+        return threads.spawn(
+            lambda: self.load_model(model_id, model_path, engine_type),
+            name=f"model-load:{model_id}",
         )
-        t.start()
-        return t
 
     def unload_model(self) -> None:
         with self._engine_lock:
@@ -142,13 +147,18 @@ class TranscriptionManager:
     def _idle_watch(self) -> None:
         """Unload after model_unload_timeout of inactivity (:108-165)."""
         while not self._shutdown.wait(min(self._idle_poll, 1.0)):
-            seconds = self._settings().model_unload_timeout.to_seconds()
-            if seconds is None or seconds == 0:
-                continue
-            if not self.is_model_loaded:
-                continue
-            if time.monotonic() - self._last_activity > seconds:
-                self.unload_model()
+            try:
+                seconds = self._settings().model_unload_timeout.to_seconds()
+                if seconds is None or seconds == 0:
+                    continue
+                if not self.is_model_loaded:
+                    continue
+                if time.monotonic() - self._last_activity > seconds:
+                    self.unload_model()
+            except Exception:
+                # Exception barrier: one bad tick must not kill the
+                # idle-unload watcher for the process lifetime.
+                _log.exception("idle-unload tick failed")
 
     # -- the hot path ----------------------------------------------------
 

@@ -21,6 +21,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from spittle_tpu.utils.logging import get_logger
 from spittle_tpu.engine.base import TranscribeParams, TranscriptionResult
 from spittle_tpu.utils.tracing import span
 
@@ -28,6 +29,8 @@ from spittle_tpu.utils.tracing import span
 # engine sees a small, fixed set of shapes (compile-once, serve-forever).
 DEFAULT_BUCKETS = (1.0, 2.0, 5.0, 10.0, 30.0)
 SAMPLE_RATE = 16_000
+
+_log = get_logger("serving")
 
 
 @dataclasses.dataclass
@@ -206,15 +209,26 @@ class BatchingTranscriptionServer:
 
     def _dispatch_loop(self) -> None:
         while not self._shutdown.is_set():
-            batch = self._collect()
-            if not batch:
-                continue
-            groups = self._group_by_bucket(batch)
-            # Shortest-bucket-first: a 1 s utterance grouped with a
-            # long-form request must not wait behind it (head-of-line).
-            groups.sort(key=lambda g: g[0] if g[0] is not None else 1 << 60)
-            for bucket_len, reqs in groups:
-                self._run_group(bucket_len, reqs)
+            batch = []
+            try:
+                batch = self._collect()
+                if not batch:
+                    continue
+                groups = self._group_by_bucket(batch)
+                # Shortest-bucket-first: a 1 s utterance grouped with a
+                # long-form request must not wait behind it (head-of-line).
+                groups.sort(key=lambda g: g[0] if g[0] is not None else 1 << 60)
+                for bucket_len, reqs in groups:
+                    self._run_group(bucket_len, reqs)
+            except Exception as e:
+                # Exception barrier: _run_group fails its own group's
+                # futures; anything escaping here (collect/grouping)
+                # must fail the batch and keep the dispatcher alive —
+                # a dead dispatcher would hang every future request.
+                _log.exception("serving dispatch iteration failed")
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
 
     def _fitted_params(
         self, bucket_len: Optional[int], params: TranscribeParams

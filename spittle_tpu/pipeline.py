@@ -37,6 +37,7 @@ from spittle_tpu.managers.domain_selector import (
     build_profile_map,
 )
 from spittle_tpu.text.diff import compute_text_diff
+from spittle_tpu.utils import threads
 from spittle_tpu.text.jargon import (
     JargonCorrection,
     JargonSettings,
@@ -310,12 +311,12 @@ class TranscriptionPipeline:
             post_processed_text = final_text
 
         if self.hooks.save_history is not None:
-            threading.Thread(
-                target=self.hooks.save_history,
+            threads.spawn(
+                self.hooks.save_history,
                 args=(self.samples, raw_text, post_processed_text,
                       post_process_prompt),
-                daemon=True,
-            ).start()
+                name="save-history",
+            )
 
         self.final_text = self._expand(final_text)
         self.state = PipelineState.POST_PROCESSED

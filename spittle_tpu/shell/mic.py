@@ -16,6 +16,8 @@ from __future__ import annotations
 import shutil
 import subprocess
 import threading
+
+from spittle_tpu.utils import threads
 from dataclasses import dataclass
 from typing import Callable, List, Optional
 
@@ -139,8 +141,7 @@ class MicSource:
         self._ring = NativeRingBuffer() if native_available() else None
         self._fallback: List[np.ndarray] = []
         self._fallback_lock = threading.Lock()
-        self._reader = threading.Thread(target=self._read_loop, daemon=True)
-        self._reader.start()
+        self._reader = threads.spawn(self._read_loop, name="mic-reader")
 
     @property
     def sample_rate(self) -> int:

@@ -140,6 +140,13 @@ def _process_logits(
         below_floor = is_ts[None] & (vocab_idx[None] < ts_floor[:, None])
         logits = jnp.where(below_floor, NEG_INF, logits)
 
+        # The FIRST sampled token must be a timestamp (OpenAI
+        # ApplyTimestampRules "suppress generating non-timestamp tokens
+        # at the beginning"; HF WhisperTimeStampLogitsProcessor masks
+        # [:timestamp_begin] at begin_index). Found by the token-level
+        # HF-generate parity harness.
+        logits = jnp.where(at_begin & ~is_ts[None], NEG_INF, logits)
+
         # Initial timestamp bound.
         if opts.max_initial_timestamp is not None:
             max_init = ts_begin + int(round(opts.max_initial_timestamp / 0.02))

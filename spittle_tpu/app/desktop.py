@@ -1,0 +1,147 @@
+"""Desktop app assembly: the full hotkey -> record -> transcribe ->
+paste loop with zero external shell.
+
+The lib.rs `run()` analog (reference: src-tauri/src/lib.rs:160-320
+builds managers, registers shortcuts, installs the signal handler, and
+hands the webview its IPC): builds AppServices + ActionContext + AppUi,
+wires a ShortcutRegistry whose HANDY_KEYS backend is the Linux evdev
+listener (shell/evdev_keys.py — the framework HEARS global hotkeys
+itself), registers the bindings from settings, installs SIGUSR2, and
+serves the RPC/web console. `spittle-tpu app` (cli.py) runs this.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from spittle_tpu.config.settings import KeyboardImplementation
+
+from .actions import ActionContext
+from .commands import Commands
+from .rpc_server import AppRpcServer
+from .services import AppServices
+from .shortcuts import InMemoryBackend, ShortcutRegistry
+from .signal_handle import SignalHandler
+from .ui_state import AppUi
+
+
+@dataclasses.dataclass
+class DesktopApp:
+    services: AppServices
+    actions: ActionContext
+    ui: AppUi
+    registry: ShortcutRegistry
+    rpc: AppRpcServer
+    signals: SignalHandler
+
+    def shutdown(self) -> None:
+        try:
+            self.rpc.stop()
+        finally:
+            for be in self.registry.backends.values():
+                close = getattr(be, "close", None)
+                if close:
+                    close()
+            self.services.shutdown()
+
+
+def build_app(
+    data_dir: str,
+    *,
+    port: int = 47890,
+    output=None,
+    source_factory=None,
+    engine_factory=None,
+    use_mock_engine: bool = False,
+    backends=None,
+    player=None,
+) -> DesktopApp:
+    """Assemble the complete app graph. Every seam is injectable for
+    tests; production defaults are the real OS surfaces (system text
+    output, mic subprocess capture, evdev hotkeys when /dev/input
+    exists, in-process fallback backend otherwise)."""
+    services = AppServices(
+        data_dir,
+        source_factory=source_factory,
+        engine_factory=engine_factory,
+        use_mock_engine=use_mock_engine,
+    )
+    if output is None:
+        from spittle_tpu.shell.textout import SystemTextOutput
+
+        output = SystemTextOutput(services.get_settings)
+
+    ui = AppUi(services, player=player)
+    actions = ActionContext(services, output, ui=ui)
+
+    if backends is None:
+        backends = {KeyboardImplementation.TAURI: InMemoryBackend()}
+        from spittle_tpu.shell.evdev_keys import EvdevBackend
+
+        if EvdevBackend.available():
+            backends[KeyboardImplementation.HANDY_KEYS] = EvdevBackend()
+
+    settings = services.get_settings()
+    impl = settings.keyboard_implementation
+    if impl not in backends:
+        impl = next(iter(backends))
+
+    registry = ShortcutRegistry(
+        backends,
+        handler=actions.handle_shortcut_event,
+        events=services.events,
+        implementation=impl,
+        persist_implementation=lambda i: services.update_settings(
+            keyboard_implementation=i
+        ),
+    )
+    actions.registry = registry
+
+    # Evdev key-capture feeds the registry's FrontendKeyEvent stream
+    # (spittle-keys.rs recording mode).
+    for be in backends.values():
+        start_capture = getattr(be, "start_capture", None)
+        if start_capture:
+            start_capture(registry.feed_captured_key)
+
+    # Register the bindings persisted in settings (lib.rs boot).
+    for binding in settings.bindings.values():
+        try:
+            registry.register_binding(binding.id, binding.current_binding)
+        except ValueError:
+            pass  # invalid persisted hotkey: leave unbound, UI can fix
+
+    signals = SignalHandler(actions)
+    signals.install()
+
+    rpc = AppRpcServer(Commands(services, actions), port=port)
+    return DesktopApp(
+        services=services, actions=actions, ui=ui,
+        registry=registry, rpc=rpc, signals=signals,
+    )
+
+
+def run_app(data_dir: str, port: int = 47890,
+            use_mock_engine: bool = False) -> int:
+    """Blocking entry point for `spittle-tpu app`."""
+    import signal
+    import threading
+
+    app = build_app(data_dir, port=port, use_mock_engine=use_mock_engine)
+    app.rpc.start()
+    stop = threading.Event()
+
+    def on_term(_sig, _frm):
+        stop.set()
+
+    signal.signal(signal.SIGINT, on_term)
+    signal.signal(signal.SIGTERM, on_term)
+    host, bound_port = app.rpc.address
+    print(f"spittle-tpu app: console at http://{host}:{bound_port}/ "
+          f"(data dir {data_dir})")
+    try:
+        stop.wait()
+    finally:
+        app.shutdown()
+    return 0

@@ -265,6 +265,9 @@ class AppRpcServer:
     def stop(self) -> None:
         self._shutdown.set()
         self._unlisten()
-        self.httpd.shutdown()
-        if self._thread:
+        if self._thread is not None:
+            # shutdown() blocks until serve_forever acknowledges — on a
+            # never-started server that wait never ends; just close.
+            self.httpd.shutdown()
             self._thread.join(timeout=5)
+        self.httpd.server_close()

@@ -203,6 +203,20 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_app(args) -> int:
+    """The assembled desktop app (app/desktop.py build_app)."""
+    import os
+
+    from spittle_tpu.app.desktop import run_app
+
+    data_dir = args.data_dir or os.path.expanduser(
+        "~/.local/share/spittle-tpu"
+    )
+    os.makedirs(data_dir, exist_ok=True)
+    return run_app(data_dir, port=args.port,
+                   use_mock_engine=args.mock_engine)
+
+
 def cmd_catalog(args) -> int:
     from spittle_tpu.config.catalog import load_model_catalog
 
@@ -293,6 +307,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "compiles; adds minutes of one-time boot cost "
                         "on a cold compile cache)")
     s.set_defaults(fn=cmd_serve)
+
+    a = sub.add_parser(
+        "app",
+        help="full desktop app: evdev hotkeys + mic + engine + RPC console",
+    )
+    a.add_argument("--data-dir", default=None,
+                   help="settings/history dir (default: ~/.local/share/"
+                        "spittle-tpu)")
+    a.add_argument("--port", type=int, default=47890)
+    a.add_argument("--mock-engine", action="store_true",
+                   help="canned-text engine (wiring/latency checks)")
+    a.set_defaults(fn=cmd_app)
     return p
 
 

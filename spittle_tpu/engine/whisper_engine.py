@@ -130,6 +130,10 @@ class WhisperEngine:
         self.alignment_heads = None
         self.cfg: Optional[WhisperConfig] = None
         self.params = None
+        # Optional jax Mesh: window batches are placed with a
+        # NamedSharding over the leading ('data') axis so XLA splits the
+        # frontend + decode across chips (set by the serving layer).
+        self.mesh = None
         self.tokenizer: Optional[WhisperTokenizer] = None
         self.mel_filters: Optional[jnp.ndarray] = None
         self._space_token: Optional[int] = None
@@ -506,6 +510,48 @@ class WhisperEngine:
         ids = self.tokenizer.encode(" " + params.initial_prompt.strip())
         return tuple(ids[-max_prompt:])
 
+    def _place_windows(self, windows):
+        """Host->device transfer of a window batch. With a mesh set, the
+        batch is placed with a NamedSharding over the mesh's leading
+        axis (rows must divide evenly — the serving ladder guarantees
+        it); XLA then runs the frontend/decode data-parallel across the
+        mesh with no further annotation."""
+        if self.mesh is None:
+            return jax.device_put(windows)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = self.mesh.axis_names[0]
+        if windows.shape[0] % self.mesh.shape[axis]:
+            return jax.device_put(windows)  # ragged: replicate instead
+        return jax.device_put(
+            windows, NamedSharding(self.mesh, PartitionSpec(axis))
+        )
+
+    def stage_batch(self, batch, params: Optional[TranscribeParams] = None):
+        """Host + transfer half of a batched transcription: window plan,
+        PCM assembly, and the (async) host->device put — everything a
+        stager thread can do while the previous batch computes. Returns
+        an opaque handle for transcribe_staged, or None when the params
+        need the sequential path (prompt carry / non-parallel windows),
+        which cannot be staged."""
+        params = params or TranscribeParams()
+        if not params.parallel_windows or params.condition_on_previous_text:
+            return None
+        assert self.is_loaded, "no model loaded"
+        audios = [_as_audio(a) for a in batch]
+        plan, windows, content_frames, overlap = self._plan_parallel_windows(
+            audios, params
+        )
+        dev = self._place_windows(windows)
+        return (audios, (plan, dev, content_frames, overlap), params)
+
+    def transcribe_staged(self, handle) -> List[TranscriptionResult]:
+        """Compute half for a stage_batch handle."""
+        audios, staged, params = handle
+        return self._transcribe_parallel_windows(
+            audios, params, self._base_prompt(params), staged=staged
+        )
+
     def transcribe_stream(self, batches, params=None, prefetch: int = 1):
         """Pipelined batched transcription: prefetch-to-device double
         buffering (the tf.data-prefetch pattern, TPU-idiomatic input
@@ -563,7 +609,7 @@ class WhisperEngine:
                     plan, windows, content_frames, overlap = (
                         self._plan_parallel_windows(audios, params)
                     )
-                    dev = jax.device_put(windows)
+                    dev = self._place_windows(windows)
                     if not _put((audios, (plan, dev, content_frames,
                                           overlap))):
                         return
@@ -639,6 +685,7 @@ class WhisperEngine:
             plan, windows, content_frames, overlap = (
                 self._plan_parallel_windows(audios, params)
             )
+            windows = self._place_windows(windows)
         else:
             plan, windows, content_frames, overlap = staged
         wf, _ = self._window_geometry(params)

@@ -68,23 +68,51 @@ class BatchingTranscriptionServer:
         buckets: Sequence[float] = DEFAULT_BUCKETS,
         mesh=None,
         fit_audio_ctx: bool = False,
+        overlap_transfers: bool = False,
+        prefetch: int = 1,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.buckets = tuple(buckets)
         self.mesh = mesh
+        if mesh is not None and hasattr(engine, "mesh"):
+            # The engine places window batches with a NamedSharding over
+            # the mesh's data axis (engine._place_windows), so the batch
+            # really shards instead of replicating onto device 0.
+            engine.mesh = mesh
         # Opt-in: run each bucket at a reduced encoder context that just
         # covers it (whisper.cpp audio_ctx analog) — a 5 s bucket pays
         # ~1/6 of the encoder FLOPs + cross-KV reads of a full 30 s
         # window. A speed/accuracy trade the operator chooses; requests
         # that set their own params.audio_ctx are left untouched.
         self.fit_audio_ctx = fit_audio_ctx
+        # Opt-in cross-group pipeline: a stager thread runs the host
+        # window assembly + (async) host->device transfer of group k+1
+        # while group k computes (the transcribe_stream prefetch pattern
+        # applied under saturating load, via the engine's
+        # stage_batch/transcribe_staged seam). Groups whose params need
+        # the sequential path flow through un-staged.
+        self.overlap_transfers = overlap_transfers and hasattr(
+            engine, "stage_batch"
+        )
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._shutdown = threading.Event()
         self.batch_sizes: List[int] = []  # observability
+        self._threads: List[threading.Thread] = []
+        if self.overlap_transfers:
+            self._stage_q: "queue.Queue" = queue.Queue(maxsize=4)
+            self._run_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+            self._threads.append(threading.Thread(
+                target=self._stage_loop, daemon=True, name="serving-stager"
+            ))
+            self._threads.append(threading.Thread(
+                target=self._run_loop, daemon=True, name="serving-runner"
+            ))
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
-        self._thread.start()
+        self._threads.append(self._thread)
+        for t in self._threads:
+            t.start()
 
     # -- client API ------------------------------------------------------
 
@@ -164,6 +192,11 @@ class BatchingTranscriptionServer:
         self._shutdown.set()
         self._queue.put(None)
         self._thread.join(timeout=5)
+        if self.overlap_transfers:
+            self._stage_q.put(None)  # stager forwards the sentinel
+            for t in self._threads:
+                if t is not self._thread:
+                    t.join(timeout=5)
 
     # -- dispatcher ------------------------------------------------------
 
@@ -219,7 +252,13 @@ class BatchingTranscriptionServer:
                 # long-form request must not wait behind it (head-of-line).
                 groups.sort(key=lambda g: g[0] if g[0] is not None else 1 << 60)
                 for bucket_len, reqs in groups:
-                    self._run_group(bucket_len, reqs)
+                    if self.overlap_transfers:
+                        # Stager + runner threads pipeline the groups:
+                        # group k+1's assembly/transfer overlaps group
+                        # k's compute. Blocking put = backpressure.
+                        self._stage_q.put((bucket_len, reqs))
+                    else:
+                        self._run_group(bucket_len, reqs)
             except Exception as e:
                 # Exception barrier: _run_group fails its own group's
                 # futures; anything escaping here (collect/grouping)
@@ -251,30 +290,111 @@ class BatchingTranscriptionServer:
         under Poisson load. A static ladder keeps the shape set tiny
         (and warmup() pre-compiles it)."""
         size = 1
+        if self.mesh is not None:
+            # Sharded placement needs rows divisible by the data axis;
+            # starting the ladder there keeps every compiled shape
+            # evenly shardable (filler rows are silence).
+            size = self.mesh.shape[self.mesh.axis_names[0]]
         while size < n:
             size *= 2
         return min(size, self.max_batch)
 
-    def _run_group(
+    def _pad_group(
         self, bucket_len: Optional[int], reqs: List[_Request]
-    ) -> None:
+    ) -> List[np.ndarray]:
         if bucket_len is None:
             # Long-form group: ragged, unpadded — the engine's windowed
             # seek loop covers the full audio (no silent truncation).
-            padded = [r.samples for r in reqs]
-        else:
-            padded = [
-                np.pad(
-                    r.samples[:bucket_len],
-                    (0, max(0, bucket_len - len(r.samples))),
+            return [r.samples for r in reqs]
+        padded = [
+            np.pad(
+                r.samples[:bucket_len],
+                (0, max(0, bucket_len - len(r.samples))),
+            )
+            for r in reqs
+        ]
+        target = self._ladder_size(len(padded))
+        filler = target - len(padded)
+        if filler > 0:
+            silence = np.zeros(bucket_len, padded[0].dtype)
+            padded.extend(silence for _ in range(filler))
+        return padded
+
+    def _stage_loop(self) -> None:
+        """Host assembly + device transfer of the NEXT group while the
+        runner computes the current one (jax.device_put is async: the
+        copy streams in the background once issued)."""
+        while True:
+            item = self._stage_q.get()
+            if item is None:
+                self._run_q.put(None)
+                return
+            bucket_len, reqs = item
+            try:
+                padded = self._pad_group(bucket_len, reqs)
+                run_params = self._fitted_params(
+                    bucket_len, reqs[0].params
                 )
-                for r in reqs
-            ]
-            target = self._ladder_size(len(padded))
-            filler = target - len(padded)
-            if filler > 0:
-                silence = np.zeros(bucket_len, padded[0].dtype)
-                padded.extend(silence for _ in range(filler))
+                staged = None
+                if bucket_len is not None:
+                    if self.mesh is not None:
+                        with self.mesh:
+                            staged = self.engine.stage_batch(
+                                padded, run_params
+                            )
+                    else:
+                        staged = self.engine.stage_batch(padded, run_params)
+            except Exception as e:
+                _log.exception("serving stage failed")
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                continue
+            self._run_q.put((bucket_len, reqs, padded, run_params, staged))
+
+    def _run_loop(self) -> None:
+        while True:
+            item = self._run_q.get()
+            if item is None:
+                return
+            bucket_len, reqs, padded, run_params, staged = item
+            self.batch_sizes.append(len(reqs))
+            queue_ms = max(
+                (time.monotonic() - r.enqueued_at) * 1000 for r in reqs
+            )
+            try:
+                with span("serving.batch", size=len(reqs),
+                          bucket=bucket_len, queue_ms=round(queue_ms, 1)):
+                    if staged is not None:
+                        if self.mesh is not None:
+                            with self.mesh:
+                                results = self.engine.transcribe_staged(
+                                    staged
+                                )
+                        else:
+                            results = self.engine.transcribe_staged(staged)
+                    elif self.mesh is not None:
+                        with self.mesh:
+                            results = self.engine.transcribe_batch(
+                                padded, run_params
+                            )
+                    else:
+                        results = self.engine.transcribe_batch(
+                            padded, run_params
+                        )
+            except Exception as e:
+                _log.exception("serving staged run failed")
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                continue
+            for r, res in zip(reqs, results):
+                r.future.set_result(res)
+
+    def _run_group(
+        self, bucket_len: Optional[int], reqs: List[_Request]
+    ) -> None:
+        padded = self._pad_group(bucket_len, reqs)
         self.batch_sizes.append(len(reqs))
         queue_ms = max(
             (time.monotonic() - r.enqueued_at) * 1000 for r in reqs

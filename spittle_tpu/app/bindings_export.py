@@ -148,3 +148,91 @@ def export_dts() -> str:
         lines.append(f"  {cmd['camelName']}({params}): Promise<{ret}>;")
     lines.append("}")
     return "\n".join(lines) + "\n"
+
+
+def describe_settings() -> List[Dict[str, Any]]:
+    """Settings-field schema for UI generation: every AppSettings field
+    with its kind (bool/int/float/str/enum/json), enum choices, default
+    value, and the Commands method that updates it (resolved by scanning
+    each command's source for `_update(<field>=`) — the reference's
+    per-setting React components (src/components/settings/, 60+ files)
+    reduced to data the console renders from. Fields with no mapped
+    command get kind "json" + command null (display-only)."""
+    import dataclasses as _dc
+    import enum as _enum
+    import typing
+
+    from spittle_tpu.config.settings import AppSettings, get_default_settings
+
+    # field -> command mapping from the command implementations themselves.
+    field_cmd: Dict[str, str] = {}
+    for name, fn in sorted(vars(Commands).items()):
+        if name.startswith("_") or not callable(fn):
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except OSError:
+            continue
+        for m in re.finditer(r"_update\(\s*(\w+)\s*=", src):
+            field_cmd.setdefault(m.group(1), name)
+    # Fields updated through richer commands than a plain field setter
+    # (dedicated editors in the console, like the reference's dedicated
+    # components for bindings/prompts/providers).
+    field_cmd.update({
+        "bindings": "change_binding",
+        "selected_model": "set_active_model",
+        "post_process_providers": "set_post_process_provider",
+        "post_process_api_keys": "change_post_process_api_key_setting",
+        "post_process_models": "change_post_process_model_setting",
+        "post_process_prompts": "update_post_process_prompt",
+    })
+
+    defaults = get_default_settings()
+    hints = typing.get_type_hints(AppSettings)
+
+    def _jsonify(v):
+        if isinstance(v, _enum.Enum):
+            return v.value
+        if _dc.is_dataclass(v) and not isinstance(v, type):
+            return {f.name: _jsonify(getattr(v, f.name))
+                    for f in _dc.fields(v)}
+        if isinstance(v, dict):
+            return {k: _jsonify(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_jsonify(x) for x in v]
+        return v
+
+    out = []
+    for f in _dc.fields(AppSettings):
+        tp = hints[f.name]
+        origin = typing.get_origin(tp)
+        if origin is typing.Union:  # Optional[T]
+            args = [a for a in typing.get_args(tp) if a is not type(None)]
+            tp = args[0] if len(args) == 1 else tp
+            origin = typing.get_origin(tp)
+        choices = None
+        if isinstance(tp, type) and issubclass(tp, _enum.Enum):
+            kind = "enum"
+            choices = [m.value for m in tp]
+        elif tp is bool:
+            kind = "bool"
+        elif tp is int:
+            kind = "int"
+        elif tp is float:
+            kind = "float"
+        elif tp is str:
+            kind = "str"
+        else:
+            kind = "json"
+        out.append({
+            "name": f.name,
+            "kind": kind,
+            "choices": choices,
+            "default": _jsonify(getattr(defaults, f.name)),
+            "command": field_cmd.get(f.name),
+        })
+    return out
+
+
+def export_settings_schema() -> str:
+    return json.dumps(describe_settings(), indent=2)

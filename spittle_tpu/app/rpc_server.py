@@ -115,6 +115,52 @@ class AppRpcServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif self.path == "/settings_schema":
+                    from .bindings_export import export_settings_schema
+
+                    data = export_settings_schema().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/i18n":
+                    # The 17-locale table (config/data/tray_i18n.json)
+                    # localizes the console (reference src/i18n/).
+                    import os as _os
+
+                    path = _os.path.join(
+                        _os.path.dirname(_os.path.dirname(
+                            _os.path.abspath(__file__))),
+                        "config", "data", "tray_i18n.json",
+                    )
+                    with open(path, "rb") as f:
+                        data = f.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path.startswith("/history_audio"):
+                    # Serve a history entry's recording for the console's
+                    # playback button (reference history UI plays saved
+                    # takes). Path validated through the command surface.
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    try:
+                        entry_id = int(q.get("entry_id", ["-1"])[0])
+                        path = outer.commands.get_audio_file_path(entry_id)
+                        with open(path, "rb") as f:
+                            data = f.read()
+                    except Exception as e:  # noqa: BLE001
+                        self._json(404, {"ok": False, "error": str(e)})
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 elif self.path == "/healthz":
                     self._json(200, {"ok": True})
                 elif self.path in ("/", "/index.html"):

@@ -160,11 +160,13 @@ class AppServices:
         self.settings_store.save(settings)
 
     def update_settings(self, **changes) -> AppSettings:
+        from spittle_tpu.config.settings import coerce_setting
+
         with self._settings_lock:
             for k, v in changes.items():
                 if not hasattr(self._settings, k):
                     raise KeyError(k)
-                setattr(self._settings, k, v)
+                setattr(self._settings, k, coerce_setting(k, v))
             settings = self._settings
         self.settings_store.save(settings)
         return settings

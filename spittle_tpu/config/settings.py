@@ -215,6 +215,33 @@ def _default_bindings(platform: str) -> Dict[str, ShortcutBinding]:
     }
 
 
+_FIELD_CONVERTERS = {
+    "sound_theme": lambda v: SoundTheme(v),
+    "overlay_position": lambda v: OverlayPosition(v),
+    "model_unload_timeout": lambda v: ModelUnloadTimeout(v),
+    "recording_retention_period": lambda v: RecordingRetentionPeriod(v),
+    "paste_method": lambda v: PasteMethod(v),
+    "clipboard_handling": lambda v: ClipboardHandling(v),
+    "auto_submit_key": lambda v: AutoSubmitKey(v),
+    "keyboard_implementation": lambda v: KeyboardImplementation(v),
+    "typing_tool": lambda v: TypingTool(v),
+    "log_level": lambda v: LogLevel.parse(v),
+}
+
+
+def coerce_setting(key: str, value):
+    """Coerce a raw wire value to the field's typed form — the UPDATE
+    path analog of from_dict's converters. An RPC setter passing
+    "never" must store RecordingRetentionPeriod.NEVER, not a str:
+    identity checks like `period is RecordingRetentionPeriod.NEVER`
+    (managers/history.apply_retention) silently misbehave on raw
+    strings."""
+    if value is None or isinstance(value, enum.Enum):
+        return value
+    conv = _FIELD_CONVERTERS.get(key)
+    return conv(value) if conv else value
+
+
 @dataclass
 class AppSettings:
     """~55 fields mirroring settings.rs:287-397; defaults match the
@@ -320,18 +347,7 @@ class AppSettings:
     def from_dict(cls, data: Dict[str, Any]) -> "AppSettings":
         """Merge stored values over defaults; unknown keys ignored."""
         s = cls()
-        converters = {
-            "sound_theme": SoundTheme,
-            "overlay_position": OverlayPosition,
-            "model_unload_timeout": ModelUnloadTimeout,
-            "recording_retention_period": RecordingRetentionPeriod,
-            "paste_method": PasteMethod,
-            "clipboard_handling": ClipboardHandling,
-            "auto_submit_key": AutoSubmitKey,
-            "keyboard_implementation": KeyboardImplementation,
-            "typing_tool": TypingTool,
-            "log_level": LogLevel.parse,
-        }
+        converters = _FIELD_CONVERTERS
         field_names = {f.name for f in dataclasses.fields(cls)}
         for key, value in data.items():
             if key not in field_names:

@@ -1,0 +1,249 @@
+"""Console <-> command-surface contract (VERDICT r2 #7).
+
+The console (app/web/index.html) must drive the WHOLE surface:
+- /settings_schema covers every AppSettings field, each mapped to a
+  real update command (or explicitly structured/display-only),
+- every mapped settings command round-trips an actual settings change
+  over the RPC wire,
+- every exported command is reachable from the console: referenced
+  statically in the page, or through the generated settings pane
+  (schema commands), or through the commands pane that renders the
+  full /bindings surface,
+- /i18n serves all 17 locales and the console carries the i18n
+  machinery.
+"""
+
+import dataclasses
+import enum
+import json
+import os
+import re
+import typing
+import urllib.request
+
+import pytest
+
+from spittle_tpu.app.actions import ActionContext
+from spittle_tpu.app.bindings_export import (
+    describe_commands,
+    describe_settings,
+)
+from spittle_tpu.app.commands import Commands
+from spittle_tpu.app.rpc_server import AppRpcServer
+from spittle_tpu.app.services import AppServices
+from spittle_tpu.config.settings import AppSettings
+from spittle_tpu.pipeline import BufferTextOutput
+
+CONSOLE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spittle_tpu", "app", "web", "index.html",
+)
+
+
+@pytest.fixture(scope="module")
+def page():
+    with open(CONSOLE, encoding="utf-8") as f:
+        return f.read()
+
+
+class TestSettingsSchema:
+    def test_every_field_in_schema(self):
+        schema = {f["name"] for f in describe_settings()}
+        fields = {f.name for f in dataclasses.fields(AppSettings)}
+        assert schema == fields
+
+    def test_every_scalar_field_has_a_command(self):
+        # Scalar (bool/int/float/str/enum) fields must be editable; only
+        # structured fields may be display-only (they get dedicated
+        # editors: bindings table, prompts, jargon).
+        # paste_delay_ms has no setter in the reference either
+        # (settings.rs:369 field exists, no command touches it).
+        no_setter_parity = {"paste_delay_ms"}
+        missing = [
+            f["name"] for f in describe_settings()
+            if f["command"] is None and f["kind"] != "json"
+            and f["name"] not in no_setter_parity
+        ]
+        assert missing == [], f"uneditable scalar settings: {missing}"
+
+    def test_mapped_commands_exist_with_one_arg(self):
+        cmds = {c["name"]: c for c in describe_commands()}
+        for f in describe_settings():
+            if f["command"] is None:
+                continue
+            assert f["command"] in cmds, f
+            assert len(cmds[f["command"]]["params"]) >= 1, f
+
+    def test_enum_choices_nonempty(self):
+        for f in describe_settings():
+            if f["kind"] == "enum":
+                assert f["choices"], f
+
+
+@pytest.fixture
+def live(tmp_path):
+    services = AppServices(str(tmp_path), use_mock_engine=True)
+    actions = ActionContext(services, BufferTextOutput())
+    server = AppRpcServer(Commands(services, actions), port=0)
+    server.start()
+    try:
+        yield services, server
+    finally:
+        server.stop()
+        services.shutdown()
+
+
+def _post(server, payload):
+    host, port = server.address[:2]
+    req = urllib.request.Request(
+        f"http://{host}:{port}/rpc", data=json.dumps(payload).encode()
+    )
+    return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+
+def _get(server, path):
+    host, port = server.address[:2]
+    return urllib.request.urlopen(
+        f"http://{host}:{port}{path}", timeout=10
+    ).read()
+
+
+class TestSettingsRoundTrip:
+    def test_every_mapped_scalar_command_changes_its_field(self, live):
+        """Walk the generated schema exactly as the console does: for
+        every scalar field, invoke its mapped command with a changed
+        value and assert getAppSettings reflects it."""
+        services, server = live
+        hints = typing.get_type_hints(AppSettings)
+        cmds = {c["name"]: c for c in describe_commands()}
+        checked = 0
+        for f in describe_settings():
+            if f["command"] is None or f["kind"] == "json":
+                continue
+            if f["name"] in (
+                "keyboard_implementation",  # re-registers OS hooks;
+                # covered by the shortcuts tests
+                "selected_model",  # set_active_model validates the
+                # model exists on disk — covered by the model tests
+            ):
+                continue
+            arg_name = cmds[f["command"]]["params"][0]["name"]
+            tp = hints[f["name"]]
+            if f["kind"] == "bool":
+                new = not f["default"]
+            elif f["kind"] == "int":
+                new = (f["default"] or 0) + 7
+            elif f["kind"] == "float":
+                new = round((f["default"] or 0.0) + 0.25, 2)
+            elif f["kind"] == "enum":
+                choices = [c for c in f["choices"] if c != f["default"]]
+                new = choices[0] if choices else f["default"]
+            else:
+                new = "console-contract-value"
+            resp = _post(
+                server,
+                {"cmd": f["command"], "args": {arg_name: new}},
+            )
+            assert resp["ok"], (f["name"], resp)
+            got = _post(server, {"cmd": "get_app_settings"})["result"]
+            assert got[f["name"]] == new, (
+                f"{f['command']}({arg_name}={new!r}) did not update "
+                f"{f['name']} (got {got[f['name']]!r})"
+            )
+            checked += 1
+        assert checked >= 40, f"only {checked} scalar settings checked"
+
+
+class TestConsoleCoverage:
+    def test_every_command_reachable_from_console(self, page):
+        """Static references + schema-driven settings commands + the
+        generic commands pane must cover the full exported surface. The
+        commands pane renders ALL of /bindings, so coverage holds by
+        construction — this test pins that construction: the pane
+        machinery must exist, and the curated panes must reference
+        their commands statically so they don't silently regress to
+        invoker-only."""
+        # The dynamic panes' machinery.
+        assert "fetch(\"/bindings\")" in page
+        assert "fetch(\"/settings_schema\")" in page
+        assert "renderCommands" in page
+        assert "cmdTable" in page
+
+        schema_cmds = {
+            f["command"] for f in describe_settings() if f["command"]
+        }
+        static_missing = []
+        for cmd in describe_commands():
+            snake, cam = cmd["name"], cmd["camelName"]
+            if snake in page or cam in page or snake in schema_cmds:
+                continue
+            static_missing.append(snake)
+        # Anything left is reachable only through the generic invoker;
+        # keep that set pinned so new curated features stay wired.
+        allowed_invoker_only = {
+            "cancel_download", "change_post_process_base_url_setting", "check_apple_intelligence_available",
+            "check_custom_sounds", "copy_last_transcript",
+            "export_jargon_packs_json", "fetch_post_process_models",
+            "get_app_dir_path", "get_audio_file_path",
+            "get_clamshell_microphone", "get_default_settings",
+            "get_jargon_builtin_profiles", "get_jargon_packs",
+            "get_keyboard_implementation", "get_log_dir_path",
+            "get_microphone_mode", "get_model_info",
+            "get_model_load_status", "get_selected_microphone",
+            "get_selected_output_device", "import_jargon_packs_json",
+            "initialize_enigo", "initialize_shortcuts", "is_recording",
+            "resume_binding", "set_log_level",
+            "set_post_process_selected_prompt", "add_post_process_prompt",
+            "delete_post_process_prompt", "update_custom_words",
+            "update_jargon_custom_corrections",
+            "update_jargon_custom_terms", "update_jargon_packs",
+            "update_jargon_profiles",
+        }
+        unexpected = set(static_missing) - allowed_invoker_only
+        assert not unexpected, (
+            f"commands neither referenced by the console nor in the "
+            f"pinned invoker-only set: {sorted(unexpected)}"
+        )
+
+    def test_schema_and_i18n_served(self, live, page):
+        _services, server = live
+        schema = json.loads(_get(server, "/settings_schema"))
+        assert {f["name"] for f in schema} == {
+            f.name for f in dataclasses.fields(AppSettings)
+        }
+        i18n = json.loads(_get(server, "/i18n"))
+        assert len(i18n) == 17 and "en" in i18n and "zh-TW" in i18n
+        # The console's i18n machinery + locale picker.
+        assert "localeSel" in page and "data-i18n" in page
+        assert "fetch(\"/i18n\")" in page
+
+    def test_onboarding_flow_wiring(self, page):
+        # App.tsx:58-82 parity: the onboarding pane walks language ->
+        # mic check -> model download -> done, over real commands.
+        for needle in (
+            "tab-onboarding", "obCheckMic", "obDownload",
+            "getAvailableMicrophones", "downloadModel", "setActiveModel",
+            "hasAnyModelsAvailable", "hasAnyModelsOrDownloads",
+        ):
+            assert needle in page, needle
+
+    def test_history_pane_wiring(self, page):
+        for needle in (
+            "getHistoryEntries", "toggleHistoryEntrySaved",
+            "deleteHistoryEntry", "/history_audio", "histSearch",
+        ):
+            assert needle in page, needle
+
+    def test_history_audio_endpoint(self, live):
+        import numpy as np
+
+        services, server = live
+        services.history.save_transcription(
+            np.zeros(1600, np.float32), "t", "hello", None, None
+        )
+        entries = _post(server, {"cmd": "get_history_entries"})["result"]
+        assert entries
+        data = _get(
+            server, f"/history_audio?entry_id={entries[0]['id']}"
+        )
+        assert data[:4] == b"RIFF"

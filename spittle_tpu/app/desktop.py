@@ -34,11 +34,19 @@ class DesktopApp:
     registry: ShortcutRegistry
     rpc: AppRpcServer
     signals: SignalHandler
+    tray: object = None     # SniTray when a session bus exists
+    overlay: object = None  # X11Overlay when a display exists
 
     def shutdown(self) -> None:
         try:
             self.rpc.stop()
         finally:
+            for surface in (self.tray, self.overlay):
+                if surface is not None:
+                    try:
+                        surface.close()
+                    except Exception:
+                        pass
             for be in self.registry.backends.values():
                 close = getattr(be, "close", None)
                 if close:
@@ -115,10 +123,20 @@ def build_app(
     signals = SignalHandler(actions)
     signals.install()
 
+    # Real OS surfaces when the desktop offers them: a
+    # StatusNotifierItem tray on the session bus (tray.rs analog) and an
+    # X11 override-redirect recording overlay (overlay.rs analog).
+    from spittle_tpu.shell.tray_sni import attach_tray
+    from spittle_tpu.shell.x11_overlay import attach_overlay
+
+    tray = attach_tray(services, actions, ui)
+    overlay = attach_overlay(services)
+
     rpc = AppRpcServer(Commands(services, actions), port=port)
     return DesktopApp(
         services=services, actions=actions, ui=ui,
         registry=registry, rpc=rpc, signals=signals,
+        tray=tray, overlay=overlay,
     )
 
 

@@ -89,6 +89,8 @@ def cmd_transcribe(args) -> int:
         engine.load_model(args.model)
         if args.draft_model:
             engine.load_draft_model(args.draft_model)
+        elif getattr(args, "self_draft_stride", 0):
+            engine.load_self_draft(stride=args.self_draft_stride)
     params = TranscribeParams(
         language=args.language,
         translate=args.translate,
@@ -179,6 +181,8 @@ def cmd_serve(args) -> int:
     engine.load_model(args.model)
     if args.draft_model:
         engine.load_draft_model(args.draft_model)
+    elif getattr(args, "self_draft_stride", 0):
+        engine.load_self_draft(stride=args.self_draft_stride)
     server = BatchingTranscriptionServer(
         engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         fit_audio_ctx=args.fit_audio_ctx,
@@ -253,6 +257,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--words", action="store_true",
                    help="word-level timestamps (cross-attention DTW)")
     t.add_argument("--stats", action="store_true")
+    t.add_argument("--self-draft-stride", type=int, default=0,
+                   help="speculative decode with a layer-dropped draft "
+                        "of the SAME model (every Nth decoder layer); "
+                        "needs no second checkpoint")
     t.add_argument("--draft-model", default=None,
                    help="small same-vocab model for speculative decoding")
     t.add_argument("--no-condition", action="store_true",
@@ -291,6 +299,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("serve", help="batching HTTP transcription server")
     s.add_argument("--model", default="random:tiny.en")
+    s.add_argument("--self-draft-stride", type=int, default=0,
+                   help="layer-dropped self-draft speculative decoding")
     s.add_argument("--draft-model", default=None,
                    help="small same-vocab model for speculative decoding")
     s.add_argument("--host", default="127.0.0.1")

@@ -139,6 +139,7 @@ class WhisperEngine:
         self._space_token: Optional[int] = None
         self._non_speech: Optional[Tuple[int, ...]] = None
         self._frontend_fn = None  # jitted mel+encode, built per model
+        self._self_draft = False
 
     # -- lifecycle -------------------------------------------------------
 
@@ -223,6 +224,35 @@ class WhisperEngine:
         self.draft_cfg = draft_cfg
         self.draft_params = draft_params
 
+    def load_self_draft(self, stride: int = 2) -> None:
+        """Layer-dropped self-draft for speculative decoding: the draft
+        decoder is the MAIN model's decoder with every `stride`-th block
+        (always keeping the first and last), sharing its embeddings,
+        final LN, and — crucially — its encoder output, so drafting
+        costs ~1/stride of the per-token cross-KV + weight traffic and
+        needs no second checkpoint. Unlike a random draft (acceptance
+        ~0, ROUND_NOTES r2), a layer subset of the same weights is a
+        meaningful approximation of the full decoder, so accepted runs
+        amortize the bandwidth-bound decode (~1.5 GB/step cross-KV at
+        batch 48). Output tokens remain EXACTLY the main model's
+        (speculative.py verifies every draft token)."""
+        import dataclasses as _dc
+
+        assert self.is_loaded, "load the main model first"
+        n_layers = self.cfg.n_text_layer
+        idx = sorted(set(range(0, n_layers, max(stride, 1))) | {n_layers - 1})
+        take = np.asarray(idx)
+        draft = dict(self.params)
+        dec = dict(self.params["decoder"])
+        dec["blocks"] = jax.tree.map(lambda a: a[take], dec["blocks"])
+        draft["decoder"] = dec  # encoder/embeddings shared by reference
+        self.draft_params = draft
+        self.draft_cfg = _dc.replace(
+            self.cfg, name=f"{self.cfg.name}-selfdraft{stride}",
+            n_text_layer=len(idx),
+        )
+        self._self_draft = True
+
     def unload_model(self) -> None:
         self.cfg = None
         self.params = None
@@ -231,6 +261,7 @@ class WhisperEngine:
         self.draft_cfg = None
         self.draft_params = None
         self._frontend_fn = None
+        self._self_draft = False
 
     @property
     def is_loaded(self) -> bool:
@@ -387,11 +418,16 @@ class WhisperEngine:
             xa = self._frontend(windows)
             draft_xa = None
             if self.draft_params is not None:
-                draft_mel = log_mel_spectrogram(
-                    _pcm_f32(jnp.asarray(windows)),
-                    n_mels=self.draft_cfg.n_mels,
-                )
-                draft_xa = encode(self.draft_params, draft_mel, self.draft_cfg)
+                if self._self_draft:
+                    draft_xa = xa  # shared encoder: no second encode
+                else:
+                    draft_mel = log_mel_spectrogram(
+                        _pcm_f32(jnp.asarray(windows)),
+                        n_mels=self.draft_cfg.n_mels,
+                    )
+                    draft_xa = encode(
+                        self.draft_params, draft_mel, self.draft_cfg
+                    )
 
             lt = None
             if cfg.multilingual:
@@ -693,10 +729,16 @@ class WhisperEngine:
         xa = self._frontend(windows)
         draft_xa = None
         if self.draft_params is not None:
-            draft_mel = log_mel_spectrogram(
-                _pcm_f32(jnp.asarray(windows)), n_mels=self.draft_cfg.n_mels
-            )
-            draft_xa = encode(self.draft_params, draft_mel, self.draft_cfg)
+            if self._self_draft:
+                draft_xa = xa  # shared encoder: no second encode
+            else:
+                draft_mel = log_mel_spectrogram(
+                    _pcm_f32(jnp.asarray(windows)),
+                    n_mels=self.draft_cfg.n_mels,
+                )
+                draft_xa = encode(
+                    self.draft_params, draft_mel, self.draft_cfg
+                )
 
         languages: List[Optional[str]] = [params.language] * n
         lt = None

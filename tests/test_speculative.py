@@ -106,3 +106,69 @@ def test_vocab_mismatch_rejected(models):
             params, draft_params, xa, draft_xa, cfg, bad_cfg,
             DecodeOptions(),
         )
+
+
+class TestLayerDroppedSelfDraft:
+    """engine.load_self_draft: the draft is the main decoder's layer
+    subset sharing the encoder — exact-output invariant plus the
+    plumbing (shared xa, no second encode, stride/layer selection)."""
+
+    def _engine(self):
+        from spittle_tpu.engine.whisper_engine import WhisperEngine
+        from spittle_tpu.models.whisper.config import CONFIGS
+
+        CONFIGS.setdefault(
+            "selfdraft-test",
+            WhisperConfig(
+                name="selfdraft-test", n_mels=80, n_audio_ctx=60,
+                n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+                n_vocab=51865, n_text_ctx=48, n_text_state=64,
+                n_text_head=4, n_text_layer=4,
+            ),
+        )
+        eng = WhisperEngine()
+        eng.load_model("random:selfdraft-test")
+        return eng
+
+    def test_layer_selection(self):
+        eng = self._engine()
+        eng.load_self_draft(stride=2)
+        # layers {0, 2} + last {3}
+        assert eng.draft_cfg.n_text_layer == 3
+        assert eng.draft_params["decoder"]["blocks"]["wq"].shape[0] == 3
+        # shared encoder + embeddings by reference, not copies
+        assert eng.draft_params["encoder"] is eng.params["encoder"]
+        assert (
+            eng.draft_params["decoder"]["tok_emb"]
+            is eng.params["decoder"]["tok_emb"]
+        )
+        assert eng._self_draft
+
+    def test_exact_output_vs_greedy(self):
+        eng = self._engine()
+        cfg = eng.cfg
+        rng = np.random.default_rng(3)
+        mel = jnp.asarray(
+            rng.standard_normal(
+                (2, cfg.n_mels, cfg.n_audio_ctx * 2)
+            ).astype(np.float32)
+        )
+        xa = encode(eng.params, mel, cfg)
+        opts = DecodeOptions(timestamps=True, max_tokens=24)
+        ref = greedy_decode(eng.params, xa, cfg, opts)
+
+        eng.load_self_draft(stride=2)
+        out = speculative_greedy_decode(
+            eng.params, eng.draft_params, xa, xa, cfg, eng.draft_cfg,
+            opts, draft_k=4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["tokens"]), np.asarray(ref["tokens"])
+        )
+        assert int(out["accepted_total"]) >= 0  # reported for benches
+
+    def test_unload_clears_self_draft(self):
+        eng = self._engine()
+        eng.load_self_draft()
+        eng.unload_model()
+        assert eng.draft_params is None and not eng._self_draft

@@ -40,7 +40,7 @@ def test_parser_covers_all_subcommands():
         a for a in p._actions if a.__class__.__name__ == "_SubParsersAction"
     )
     assert set(subs.choices) == {
-        "transcribe", "record", "vad", "rolling", "catalog", "serve"
+        "transcribe", "record", "vad", "rolling", "catalog", "serve", "app"
     }
 
 

@@ -178,3 +178,120 @@ def test_prompt_selector_passes_eval_suite():
     # "update docs by Tuesday" routes to standup_update via its signature
     # token "update"). Gate at the measured deterministic floor.
     assert rate >= 0.80 - 1e-9, (rate, failures)
+
+
+# -- independent oracle of the reference scorer (VERDICT r2 weak #4) ----
+
+def _oracle_tokenize(text):
+    """Direct f32 reimplementation of domain_selector.rs:268-273:
+    split on non-(alphanumeric|+|#) — Rust's char::is_alphanumeric
+    excludes '_' — lowercase, keep tokens with BYTE length > 1."""
+    import re as _re
+
+    toks = set()
+    for tok in _re.split(r"[^\w+#]+|_+", text, flags=_re.UNICODE):
+        tok = tok.strip().lower()
+        if len(tok.encode()) > 1:
+            toks.add(tok)
+    return toks
+
+
+def _oracle_overlap(context, candidate):
+    import numpy as _np
+
+    if not candidate:
+        return _np.float32(0.0)
+    overlap = sum(1 for t in candidate if t in context)
+    return _np.float32(overlap) / _np.float32(len(candidate))
+
+
+def _oracle_score_profiles(profiles, text):
+    """domain_selector.rs:218-266 in numpy float32 (the Rust scorer is
+    f32; boundary cases like 1.5/32 vs min_score 0.08 must round the
+    same way)."""
+    import numpy as _np
+
+    f32 = _np.float32
+    context = _oracle_tokenize(text)
+    if not context:
+        return []
+    ranked = []
+    for pid, profile in profiles.items():
+        score = f32(0.0)
+        for term in profile.terms:
+            tt = _oracle_tokenize(term)
+            if not tt:
+                continue
+            score = f32(score + _oracle_overlap(context, tt) * f32(1.0))
+        for corr in profile.corrections:
+            ft = _oracle_tokenize(corr.from_)
+            if ft:
+                score = f32(score + _oracle_overlap(context, ft) * f32(1.2))
+            tt = _oracle_tokenize(corr.to)
+            if tt:
+                score = f32(score + _oracle_overlap(context, tt) * f32(1.0))
+        norm = max(
+            f32(f32(len(profile.terms)) + f32(len(profile.corrections)) * f32(1.5)),
+            f32(1.0),
+        )
+        normalized = min(max(f32(score / norm), f32(0.0)), f32(1.0))
+        if normalized > 0.0:
+            ranked.append((pid, normalized))
+    # sort_by desc score, then asc id (rs:259-265)
+    ranked.sort(key=lambda r: (-r[1], r[0]))
+    return ranked
+
+
+def test_eval_cap_confirmed_by_independent_oracle():
+    """The 17/23 gate was an argument ('the reference scorer caps at
+    17/23 on this data'); this makes it a measurement: a from-scratch
+    f32 reimplementation of the Rust scorer + selection (fresh state
+    per case, exactly like the reference eval runner) scores the suite
+    and must (a) reach exactly the same pass count and (b) select the
+    same profile ids as the package implementation on every case."""
+    from spittle_tpu.managers.domain_selector import build_profile_map
+
+    with open(os.path.join(DATA, "domain_selector_profiles_evals.json")) as f:
+        suite = json.load(f)
+    s = make_settings()
+    s.domain_selector_enabled = True
+    top_k = suite["settings"].get("top_k", 2)
+    min_score = suite["settings"].get("min_score", 0.08)
+    s.domain_selector_top_k = top_k
+    s.domain_selector_min_score = min_score
+    s.domain_selector_timeout_ms = 200
+    profiles = build_profile_map(s)
+
+    import numpy as _np
+
+    oracle_passed = total = 0
+    mismatches = []
+    for case in suite["cases"]:
+        # oracle selection (rs:73-80): min_score filter then top_k
+        ranked = _oracle_score_profiles(profiles, case["input"])
+        selected = [pid for pid, sc in ranked
+                    if sc >= _np.float32(min_score)][:top_k]
+        ids = selected
+
+        # package implementation, fresh manager per case
+        mgr = DomainSelectorManager()
+        pkg = mgr.select_profiles_with_timeout(
+            s, DomainContext(case["input"])
+        ) or []
+        if list(pkg) != ids:
+            mismatches.append((case["id"], ids, list(pkg)))
+
+        if case.get("track_only"):
+            continue
+        total += 1
+        has_forbidden = any(fb in ids for fb in case.get("forbid", []))
+        expect = case.get("expect_any_of", [])
+        has_expected = True if not expect else any(e in ids for e in expect)
+        ok = (not ids) if case.get("expect_none") else (
+            has_expected and not has_forbidden
+        )
+        if ok:
+            oracle_passed += 1
+
+    assert mismatches == [], f"package != oracle on: {mismatches}"
+    assert oracle_passed == 17 and total == 23, (oracle_passed, total)

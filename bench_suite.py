@@ -376,7 +376,12 @@ def _config12():
     eng.load_model("random:large-v3")
     rng = np.random.default_rng(0)
 
-    def make_batch(n=48):
+    # batch 16, not turbo's 48: large-v3's 32-layer decoder holds
+    # ~245 MB/item of cross-KV (1500 x 1280 x 2 x 32 x bf16) — batch 48
+    # needs ~11.8 GB of cross-KV alone and fails to fit (the compile
+    # helper rejects the program); 16 fits comfortably next to the
+    # 3.1 GB of weights.
+    def make_batch(n=16):
         return [
             (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
             for _ in range(n)
@@ -398,7 +403,7 @@ def _config12():
     dt = time.perf_counter() - t0
     report(
         "whisper-large-v3 (32-layer decoder) sustained engine-path RTFx "
-        f"({n_batches} x batch 48 x 30s, 96-token decode)",
+        f"({n_batches} x batch 16 x 30s, 96-token decode)",
         n_done * 30.0, dt,
     )
 
@@ -429,7 +434,7 @@ def _config13():
     rng = np.random.default_rng(0)
     batch = [
         (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
-        for _ in range(48)
+        for _ in range(16)  # see config 12: cross-KV HBM bound
     ]
     p = TranscribeParams(
         language="en", condition_on_previous_text=False,
@@ -438,9 +443,9 @@ def _config13():
     eng.transcribe_batch(batch, p)  # warmup/compile
     dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
     report(
-        "whisper-large-v3 batch 48 with layer-dropped self-draft "
+        "whisper-large-v3 batch 16 with layer-dropped self-draft "
         f"(stride 4 -> {eng.draft_cfg.n_text_layer} draft layers, k=4)",
-        48 * 30.0, dt,
+        16 * 30.0, dt,
     )
 
 

@@ -66,12 +66,13 @@ def decoder_cross_attention(
         xn = layer_norm(hcur, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // h
         cq = _split_heads(xn @ blk["cross_wq"] + blk["cross_bq"], h) * dh**-0.25
+        # ck/cv arrive in the decode layout [B, H, Dh, T] (time minor)
         scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", cq, ck * dh**-0.25,
+            "bhqd,bhdk->bhqk", cq, ck * dh**-0.25,
             preferred_element_type=jnp.float32,
         )
         probs = jax.nn.softmax(scores, axis=-1)
-        co = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cv.dtype), cv)
+        co = jnp.einsum("bhqk,bhdk->bhqd", probs.astype(cv.dtype), cv)
         hcur = hcur + _merge_heads(co) @ blk["cross_wo"] + blk["cross_bo"]
         hcur = hcur + _mlp(
             layer_norm(hcur, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk

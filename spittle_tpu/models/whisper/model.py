@@ -9,11 +9,18 @@ TPU-first:
   [L] axis and the layer loop is `lax.scan`, so compile time is O(1) in
   depth and XLA sees one fused block body;
 - attention uses the Pallas flash kernel on TPU (spittle_tpu.ops.attention);
-- the decoder runs with a static-shape KV cache [L, 2, B, n_ctx, H, Dh]
+- the decoder runs with a static-shape KV cache [L, 2, B, H, Dh, n_ctx]
   updated via dynamic_update_slice, so every decode step hits the same
   compiled program;
 - cross-attention K/V over the 1500-frame encoder output are precomputed
   once per segment;
+- decode-path K/V tensors are stored TRANSPOSED ([..., Dh, T] rather
+  than [..., T, Dh]): TPU tiles the two minor dims as (8, 128), so a
+  64-wide head dim in the minor position pads to 128 — a 2.0x memory
+  AND HBM-bandwidth tax on the tensors every decode step re-reads
+  (measured: the large-v3 batch-32 cross-KV held 7.3 GB padded vs
+  3.7 GB unpadded). With Dh second-minor (64 = 8k) and the time axis
+  minor (1500 -> 1536), padding overhead drops to 2.4%;
 - weights default to bfloat16 with float32 layernorms and logits.
 
 Parameter tree (all jnp arrays):
@@ -273,14 +280,20 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
 def precompute_cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig):
     """Per-layer cross-attention K/V from encoder output.
 
-    Returns (k, v) with shape [L, B, H, 1500, Dh] each.
+    Returns (k, v) with shape [L, B, H, Dh, 1500] each — the decode
+    layout (time minor; see module docstring): Dh=64 in the minor
+    position would tile-pad to 128 and double the HBM bytes every decode
+    step streams. The transpose is fused into the projection's output
+    layout by XLA and runs once per segment.
     """
     blocks = params["decoder"]["blocks"]
     h = cfg.n_text_head
 
     def body(_, blk):
-        k = _split_heads(xa @ blk["cross_wk"], h)
-        v = _split_heads(xa @ blk["cross_wv"] + blk["cross_bv"], h)
+        k = _split_heads(xa @ blk["cross_wk"], h).swapaxes(-1, -2)
+        v = _split_heads(
+            xa @ blk["cross_wv"] + blk["cross_bv"], h
+        ).swapaxes(-1, -2)
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, blocks)
@@ -289,20 +302,21 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig):
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
                   ctx: int = 0):
-    """Static self-attention cache: [L, 2, B, H, ctx, Dh].
+    """Static self-attention cache: [L, 2, B, H, Dh, ctx].
 
-    Head-major layout so decode steps read K/V in their attention layout
-    with no per-step transposes. ctx defaults to n_text_ctx; decode loops
-    with a smaller token budget pass it to cut per-step cache traffic
-    (every step reads the whole static cache)."""
+    Head-major, time-minor decode layout (see module docstring): with
+    Dh=64 second-minor the tile padding lands on the ctx axis (cheap)
+    instead of doubling the minor dim to 128. ctx defaults to
+    n_text_ctx; decode loops with a smaller token budget pass it to cut
+    per-step cache traffic (every step reads the whole static cache)."""
     return jnp.zeros(
         (
             cfg.n_text_layer,
             2,
             batch,
             cfg.n_text_head,
-            ctx or cfg.n_text_ctx,
             cfg.n_text_state // cfg.n_text_head,
+            ctx or cfg.n_text_ctx,
         ),
         dtype,
     )
@@ -311,11 +325,12 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
 def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
     """Cross-attention core shared by decode/verify/prefill paths.
 
-    cq: [Bq, H, q, Dh]; ck/cv: [Bc, H, T, Dh] (or int8 quant dicts) with
-    Bq % Bc == 0. Beam search shares one K/V across an item's beams, so
-    beams fold into the query axis (cross attention has no per-query
-    masking) and K/V stream from HBM once per ITEM instead of once per
-    beam. kv_len: real length when K/V are tile-padded (0 = full).
+    cq: [Bq, H, q, Dh]; ck/cv: [Bc, H, Dh, T] decode layout (or int8
+    quant dicts {qw [Bc,H,Dh,T], scale [Bc,H,T]}) with Bq % Bc == 0.
+    Beam search shares one K/V across an item's beams, so beams fold
+    into the query axis (cross attention has no per-query masking) and
+    K/V stream from HBM once per ITEM instead of once per beam.
+    kv_len: real length when K/V are tile-padded (0 = full).
     """
     bq, h, qlen, d = cq.shape
     bc = (ck["qw"] if is_quant(ck) else ck).shape[0]
@@ -328,30 +343,30 @@ def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
         )
     if is_quant(ck):
         cscores = jnp.einsum(
-            "bhqd,bhkd->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
+            "bhqd,bhdk->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
             preferred_element_type=jnp.float32,
         ) * ck["scale"][:, :, None, :]
         cprobs = jax.nn.softmax(cscores, axis=-1)
         co = jnp.einsum(
-            "bhqk,bhkd->bhqd",
+            "bhqk,bhdk->bhqd",
             (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
             cv["qw"].astype(cq.dtype),
         )
     elif use_decode_cross_kernel(cq, ck):
         co = decode_cross_attention(
-            cq * (dh**-0.5), ck, cv, kv_len=kv_len or ck.shape[-2]
+            cq * (dh**-0.5), ck, cv, kv_len=kv_len or ck.shape[-1]
         )
     else:
-        kvl = kv_len or ck.shape[-2]
+        kvl = kv_len or ck.shape[-1]
         cscores = jnp.einsum(
-            "bhqd,bhkd->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
+            "bhqd,bhdk->bhqk", cq * (dh**-0.25), ck * (dh**-0.25),
             preferred_element_type=jnp.float32,
         )
-        if kvl < ck.shape[-2]:  # padded K/V on the XLA fallback path
-            cmask = (jnp.arange(ck.shape[-2]) < kvl)[None, None, None, :]
+        if kvl < ck.shape[-1]:  # padded K/V on the XLA fallback path
+            cmask = (jnp.arange(ck.shape[-1]) < kvl)[None, None, None, :]
             cscores = jnp.where(cmask, cscores, -1e30)
         cprobs = jax.nn.softmax(cscores, axis=-1)
-        co = jnp.einsum("bhqk,bhkd->bhqd", cprobs.astype(cv.dtype), cv)
+        co = jnp.einsum("bhqk,bhdk->bhqd", cprobs.astype(cv.dtype), cv)
     if beams > 1:
         co = (
             co.reshape(bc, h, beams, qlen, d)
@@ -368,7 +383,7 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
     cross_kv_len: real cross-attention length when K/V were padded to a
     tile multiple for the Pallas decode kernel (0 = unpadded)."""
     scale = (x.shape[-1] // n_head) ** -0.25
-    n_ctx = kv_cache.shape[4]
+    n_ctx = kv_cache.shape[5]
 
     def body(carry, inputs):
         h, = carry
@@ -378,19 +393,21 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
         q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
         k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B, H, 1, Dh]
         v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
-        # cache layout [2, B, H, n_ctx, Dh]; write at pos (no transposes)
+        # cache layout [2, B, H, Dh, n_ctx] (time minor); write column pos
         cache_l = jax.lax.dynamic_update_slice(
-            cache_l, jnp.stack([k_new, v_new]), (0, 0, 0, pos, 0)
+            cache_l,
+            jnp.stack([k_new, v_new]).swapaxes(-1, -2),
+            (0, 0, 0, 0, pos),
         )
-        k_all = cache_l[0]  # [B, H, n_ctx, Dh]
+        k_all = cache_l[0]  # [B, H, Dh, n_ctx]
         v_all = cache_l[1]
         mask = (jnp.arange(n_ctx) <= pos)[None, None, None, :]
         scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k_all, preferred_element_type=jnp.float32
+            "bhqd,bhdk->bhqk", q, k_all, preferred_element_type=jnp.float32
         )
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
+        o = jnp.einsum("bhqk,bhdk->bhqd", probs, v_all)
         h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
 
         # cross-attention (precomputed K/V; optionally int8/beam-shared)
@@ -464,7 +481,7 @@ def decode_block(
     b, kk = tokens.shape
     n_head = cfg.n_text_head
     scale = (cfg.n_text_state // n_head) ** -0.25
-    n_ctx = kv_cache.shape[4]
+    n_ctx = kv_cache.shape[5]
 
     x = dec["tok_emb"][tokens]
     x = (x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, kk)[None]).astype(
@@ -479,20 +496,22 @@ def decode_block(
         k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,K,Dh]
         v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
         cache_l = jax.lax.dynamic_update_slice(
-            cache_l, jnp.stack([k_new, v_new]), (0, 0, 0, pos, 0)
+            cache_l,
+            jnp.stack([k_new, v_new]).swapaxes(-1, -2),
+            (0, 0, 0, 0, pos),
         )
-        k_all, v_all = cache_l[0], cache_l[1]
+        k_all, v_all = cache_l[0], cache_l[1]  # [B, H, Dh, n_ctx]
         # row j (position pos+j) may attend to cache cols <= pos+j
         mask = (
             jnp.arange(n_ctx)[None, :] <= pos + jnp.arange(kk)[:, None]
         )[None, None]
         scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k_all, preferred_element_type=jnp.float32
+            "bhqd,bhdk->bhqk", q, k_all, preferred_element_type=jnp.float32
         )
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
         h = h + mm(_merge_heads(
-            jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)), blk["wo"]
+            jnp.einsum("bhqk,bhdk->bhqd", probs, v_all)), blk["wo"]
         ) + blk["bo"]
 
         xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
@@ -515,7 +534,7 @@ def decode_block(
 def decoder_prefill(
     params: Params,
     tokens: jnp.ndarray,  # [B, P] prefix tokens
-    cross_kv,  # (k, v) [L, B, H, 1500, Dh] — plain or quantized
+    cross_kv,  # (k, v) [L, B, H, Dh, 1500] decode layout — plain or quantized
     cfg: WhisperConfig,
     ctx: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -525,9 +544,9 @@ def decoder_prefill(
     and the whole cross-KV once PER TOKEN — ~100x waste for the 224-token
     condition_on_previous_text prompts, whisper.cpp's prompt_past). One
     causal pass computes all P positions, returns per-position logits
-    [B, P, V] and a [L, 2, B, H, ctx, Dh] cache holding positions 0..P-1
+    [B, P, V] and a [L, 2, B, H, Dh, ctx] cache holding positions 0..P-1
     in exactly the layout decode_step expects (K pre-scaled by
-    head_dim**-0.25).
+    head_dim**-0.25, time minor).
     """
     dec = params["decoder"]
     b, p = tokens.shape
@@ -553,7 +572,8 @@ def decoder_prefill(
         hcur = hcur + _mlp(
             layer_norm(hcur, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk
         )
-        return hcur, jnp.stack([k, v])  # [2, B, H, P, Dh] per layer
+        # [2, B, H, Dh, P] per layer (decode layout, time minor)
+        return hcur, jnp.stack([k, v]).swapaxes(-1, -2)
 
     x, kv = jax.lax.scan(body, x, (dec["blocks"], cross_kv[0], cross_kv[1]))
     cache = init_kv_cache(cfg, b, dtype=x.dtype, ctx=ctx)
@@ -590,7 +610,11 @@ def decoder_forward(
         xn = layer_norm(hcur, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // h
         cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], h) * dh**-0.25
-        o = attention_reference(cq, ck * dh**-0.25, cv)
+        # cross K/V arrive in the decode layout [B, H, Dh, T]; the
+        # swapaxes here fuses into the attention dots (full-seq path).
+        o = attention_reference(
+            cq, ck.swapaxes(-1, -2) * dh**-0.25, cv.swapaxes(-1, -2)
+        )
         hcur = hcur + mm(_merge_heads(o), blk["cross_wo"]) + blk["cross_bo"]
         hcur = hcur + _mlp(
             layer_norm(hcur, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk

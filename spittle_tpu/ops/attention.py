@@ -248,12 +248,12 @@ def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     HBM exactly once — the decode step's dominant traffic — and does the
     [rows, Tk] softmax on a sublane-high tile instead of a 128-row block
     (the fullkv kernel's block_q padding would multiply VPU exp work by
-    16x for a single-token query)."""
-    tk = k_ref.shape[1]
-    s = jax.lax.dot_general(
-        q_ref[0], k_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    16x for a single-token query). K/V arrive in the decode layout
+    [D, Tk] (time minor), so the QK dot is a plain [rows,D]@[D,Tk] and
+    the PV dot contracts the minor axis of both operands."""
+    tk = k_ref.shape[2]
+    s = jax.lax.dot(
+        q_ref[0], k_ref[0], preferred_element_type=jnp.float32
     )  # [rows, Tk]
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
@@ -261,34 +261,36 @@ def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
         col = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
         p = p * (col < kv_len).astype(p.dtype)
     l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    )
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [rows, D]
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kv_len",))
 def decode_cross_attention(
     q: jnp.ndarray,  # [B, H, R, D], R <= 8 (decode/verify block)
-    k: jnp.ndarray,  # [B, H, Tk, D], Tk % 128 == 0 (pre-padded)
+    k: jnp.ndarray,  # [B, H, D, Tk] decode layout, Tk % 128 == 0 (pre-padded)
     v: jnp.ndarray,
     kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
     b, h, r, d = q.shape
-    tk = k.shape[2]
+    tk = k.shape[3]
     kv_len = tk if kv_len is None else kv_len
     rows = 8
     qp = q if r == rows else jnp.pad(q, ((0, 0), (0, 0), (0, rows - r), (0, 0)))
     qf = qp.reshape(b * h, rows, d)
-    kf = k.reshape(b * h, tk, d)
-    vf = v.reshape(b * h, tk, d)
+    kf = k.reshape(b * h, d, tk)
+    vf = v.reshape(b * h, d, tk)
     out = pl.pallas_call(
         functools.partial(_decode_cross_kernel, kv_len=kv_len),
         grid=(b * h,),
         in_specs=[
             pl.BlockSpec((1, rows, d), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, tk, d), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, tk, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, d, tk), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, d, tk), lambda bh: (bh, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, rows, d), lambda bh: (bh, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, rows, d), q.dtype),
@@ -316,31 +318,34 @@ def decode_cross_kernel_enabled() -> bool:
 
 
 def use_decode_cross_kernel(q, k) -> bool:
-    """Dispatch predicate for decode_cross_attention."""
+    """Dispatch predicate for decode_cross_attention.
+
+    k is in the decode layout [B, H, Dh, T] (time minor)."""
     return (
         decode_cross_kernel_enabled()
         and not DISABLE_PALLAS
         and _on_tpu()
+        and not isinstance(k, dict)
         and q.shape[2] <= 8
         and q.shape[3] in (64, 128)
-        and k.shape[2] % 128 == 0
-        and not isinstance(k, dict)
+        and k.shape[3] % 128 == 0
     )
 
 
 def pad_cross_kv(cross_kv, multiple: int = 128):
-    """Pad precomputed cross K/V ([L, B, H, T, Dh] each) along T to a tile
-    multiple so decode steps can use the Pallas cross-attention kernel.
-    Callers mask with the real kv_len (= n_audio_ctx). No-op unless the
-    kernel is enabled (see decode_cross_kernel_enabled)."""
+    """Pad precomputed cross K/V ([L, B, H, Dh, T] each, time minor)
+    along T to a tile multiple so decode steps can use the Pallas
+    cross-attention kernel. Callers mask with the real kv_len
+    (= n_audio_ctx). No-op unless the kernel is enabled (see
+    decode_cross_kernel_enabled)."""
     if not decode_cross_kernel_enabled():
         return cross_kv
     k, v = cross_kv
-    t = k.shape[-2]
+    t = k.shape[-1]
     pad = (-t) % multiple
     if pad == 0:
         return cross_kv
-    widths = [(0, 0)] * (k.ndim - 2) + [(0, pad), (0, 0)]
+    widths = [(0, 0)] * (k.ndim - 1) + [(0, pad)]
     return jnp.pad(k, widths), jnp.pad(v, widths)
 
 

@@ -92,20 +92,26 @@ def quantize_tree(tree: Any, keys: tuple = ()) -> Any:
 def quantize_kv(kv: jnp.ndarray) -> QuantW:
     """Per-position symmetric int8 for attention K/V tensors.
 
-    kv: [..., T, Dh]; one scale per (..., T) row. The scale factors out
-    of both attention dots exactly: scores = (q @ qK^T) * scale[t] and
-    out = (probs * scale[t]) @ qV, so the int8 tensors feed the MXU
-    directly and only cheap [T]-shaped rescales remain.
+    kv: [..., Dh, T] (decode layout: head dim second-minor, time minor —
+    see models/whisper/model.py header); one scale per (..., T) key/value
+    vector. The scale factors out of both attention dots exactly:
+    scores = (q @ qK) * scale[t] and out = (probs * scale[t]) @ qV^T, so
+    the int8 tensors feed the MXU directly and only cheap [T]-shaped
+    rescales remain.
     """
     kv32 = kv.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(kv32), axis=-1)
+    amax = jnp.max(jnp.abs(kv32), axis=-2)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(kv32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    q = jnp.clip(
+        jnp.round(kv32 / scale[..., None, :]), -127, 127
+    ).astype(jnp.int8)
     return {"qw": q, "scale": scale}
 
 
 def dequantize_kv(q: QuantW, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return (q["qw"].astype(jnp.float32) * q["scale"][..., None]).astype(dtype)
+    return (
+        q["qw"].astype(jnp.float32) * q["scale"][..., None, :]
+    ).astype(dtype)
 
 
 # Decoder weight leaves worth quantizing for Whisper (everything the

@@ -98,9 +98,11 @@ def test_quantize_kv_roundtrip():
     from spittle_tpu.ops.quant import dequantize_kv, quantize_kv
 
     rng = np.random.default_rng(5)
-    kv = jnp.asarray(rng.standard_normal((2, 1, 4, 10, 16)).astype(np.float32))
+    # decode layout [..., Dh, T]: one scale per (..., T) key/value vector
+    kv = jnp.asarray(rng.standard_normal((2, 1, 4, 16, 10)).astype(np.float32))
     q = quantize_kv(kv)
-    assert q["qw"].shape == kv.shape and q["scale"].shape == kv.shape[:-1]
+    assert q["qw"].shape == kv.shape
+    assert q["scale"].shape == kv.shape[:-2] + kv.shape[-1:]
     deq = np.asarray(dequantize_kv(q, jnp.float32))
     assert np.max(np.abs(deq - np.asarray(kv))) < np.max(np.abs(np.asarray(kv))) / 100
 

@@ -61,6 +61,18 @@ def guard(fn):
 def main():
     import sys
 
+    all_configs = {
+        "1": _config1, "2": _config2, "3": _config3, "4": _config4,
+        "5": _config5, "6": _config6, "7": _config7, "8": _config8,
+        "9": _config9, "9f": lambda: _config9(fit_audio_ctx=True),
+        "10": _config10, "11": _config11, "12": _config12,
+        "13": _config13, "14": _config14,
+    }
+    if "--only" in sys.argv:  # e.g. --only 12,13,14
+        picks = sys.argv[sys.argv.index("--only") + 1].split(",")
+        for p in picks:
+            guard(all_configs[p.strip()])
+        return
     guard(_config1)
     guard(_config2)
     guard(_config3)
@@ -328,10 +340,6 @@ def _config9(fit_audio_ctx: bool = False):
     )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _config10():
     # 10. moonshine-base greedy — ENGINE end-to-end (raw-waveform conv
     # stem; no mel). Reference slot: transcription.rs:298-319.
@@ -514,3 +522,7 @@ def _config14():
                 "n": int(len(lat)),
             },
         )
+
+
+if __name__ == "__main__":
+    main()

@@ -125,17 +125,14 @@ class AppRpcServer:
                     self.end_headers()
                     self.wfile.write(data)
                 elif self.path == "/i18n":
-                    # The 17-locale table (config/data/tray_i18n.json)
-                    # localizes the console (reference src/i18n/).
-                    import os as _os
+                    # The full 17-locale app table (392 keys/locale,
+                    # config/data/app_i18n.json) localizes the console
+                    # (reference src/i18n/locales/*/translation.json).
+                    from spittle_tpu.config.i18n import load_app_i18n
 
-                    path = _os.path.join(
-                        _os.path.dirname(_os.path.dirname(
-                            _os.path.abspath(__file__))),
-                        "config", "data", "tray_i18n.json",
-                    )
-                    with open(path, "rb") as f:
-                        data = f.read()
+                    data = json.dumps(
+                        load_app_i18n(), ensure_ascii=False
+                    ).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
                     self.send_header("Content-Length", str(len(data)))

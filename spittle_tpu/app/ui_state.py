@@ -25,12 +25,10 @@ import subprocess
 import sys
 from typing import Callable, Dict, Optional
 
+from spittle_tpu.config.i18n import get_language_code as _get_language_code
+from spittle_tpu.config.i18n import get_locale_table
 from spittle_tpu.config.settings import AppSettings, SoundTheme
 from spittle_tpu.events import EventBus, HIDE_OVERLAY, SHOW_OVERLAY
-
-_I18N = os.path.join(
-    os.path.dirname(__file__), "..", "config", "data", "tray_i18n.json"
-)
 
 
 class TrayIconState(enum.Enum):
@@ -40,21 +38,14 @@ class TrayIconState(enum.Enum):
 
 
 def get_language_code(locale: str) -> str:
-    for sep in ("-", "_"):
-        if sep in locale:
-            return locale.split(sep)[0]
-    return locale
+    return _get_language_code(locale)
 
 
 def get_tray_translations(locale: Optional[str] = None) -> Dict[str, str]:
-    """Localized tray labels; zh-TW preserved, otherwise language-code
-    lookup with English fallback (tray_i18n.rs:22-36)."""
-    with open(os.path.normpath(_I18N), encoding="utf-8") as f:
-        table = json.load(f)
-    if locale and locale in table:
-        return table[locale]
-    lang = get_language_code(locale) if locale else "en"
-    return table.get(lang, table["en"])
+    """Localized tray labels from the app-wide 17-locale table; zh-TW
+    preserved, otherwise language-code lookup with English fallback
+    (tray_i18n.rs:22-36; table: config/data/app_i18n.json "tray")."""
+    return dict(get_locale_table(locale)["tray"])
 
 
 class TrayController:

@@ -150,6 +150,73 @@ def export_dts() -> str:
     return "\n".join(lines) + "\n"
 
 
+# AppSettings fields whose reference UI string lives under a different
+# key than camelCase(field) (src/components/settings/ naming drift).
+_SETTINGS_I18N_ALIASES: Dict[str, str] = {
+    "autostart_enabled": "settings.advanced.autostart",
+    "update_checks_enabled": "settings.debug.updateChecks",
+    "selected_microphone": "settings.sound.microphone",
+    "selected_output_device": "settings.sound.outputDevice",
+    "selected_language": "settings.general.language",
+    "overlay_position": "settings.advanced.overlay",
+    "model_unload_timeout": "settings.advanced.modelUnload",
+    "recording_retention_period": "settings.debug.recordingRetention",
+    "audio_feedback_volume": "settings.sound.volume",
+    "experimental_enabled": "settings.advanced.experimentalToggle",
+    "paste_delay_ms": "settings.debug.pasteDelay",
+    "at_file_expansion_enabled": "settings.advanced.atFileExpansion",
+    "jargon_custom_terms": "settings.jargon.customTerms",
+    "jargon_custom_corrections": "settings.jargon.customCorrections",
+    "post_process_enabled": "settings.debug.postProcessingToggle",
+    "post_process_prompts": "settings.postProcessing.prompts",
+    "post_process_selected_prompt_id":
+        "settings.postProcessing.prompts.selectedPrompt",
+    "post_process_api_keys": "settings.postProcessing.api.apiKey",
+    "post_process_models": "settings.postProcessing.api.model",
+    "post_process_provider_id": "settings.postProcessing.api.provider",
+    "audio_segment_size_seconds": "settings.general.segmentOnSilence",
+    "auto_submit_key": "settings.advanced.autoSubmit",
+    "app_language": "appLanguage",
+    "debug_mode": "settings.debug",
+}
+
+
+def _settings_i18n_keys() -> Dict[str, str]:
+    """field name -> dot-path into the app i18n table whose node carries
+    the reference's label/title (+ description) for that setting. Exact
+    camelCase matches resolve automatically; naming drift goes through
+    _SETTINGS_I18N_ALIASES; unmatched fields get no key (the console
+    shows the raw field name, same as a reference-less setting)."""
+    from spittle_tpu.config.i18n import load_app_i18n
+
+    en = load_app_i18n()["en"]
+    index: Dict[str, str] = {}
+
+    def walk(tree: Dict[str, Any], path: str) -> None:
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "label" in v or "title" in v:
+                    index.setdefault(k, path + k)
+                walk(v, path + k + ".")
+
+    walk(en["settings"], "settings.")
+
+    import dataclasses as _dc
+
+    from spittle_tpu.config.settings import AppSettings
+
+    out: Dict[str, str] = {}
+    for f in _dc.fields(AppSettings):
+        if f.name in _SETTINGS_I18N_ALIASES:
+            out[f.name] = _SETTINGS_I18N_ALIASES[f.name]
+            continue
+        parts = f.name.split("_")
+        camel = parts[0] + "".join(p.title() for p in parts[1:])
+        if camel in index:
+            out[f.name] = index[camel]
+    return out
+
+
 def describe_settings() -> List[Dict[str, Any]]:
     """Settings-field schema for UI generation: every AppSettings field
     with its kind (bool/int/float/str/enum/json), enum choices, default
@@ -189,6 +256,7 @@ def describe_settings() -> List[Dict[str, Any]]:
 
     defaults = get_default_settings()
     hints = typing.get_type_hints(AppSettings)
+    i18n_keys = _settings_i18n_keys()
 
     def _jsonify(v):
         if isinstance(v, _enum.Enum):
@@ -230,6 +298,7 @@ def describe_settings() -> List[Dict[str, Any]]:
             "choices": choices,
             "default": _jsonify(getattr(defaults, f.name)),
             "command": field_cmd.get(f.name),
+            "i18n": i18n_keys.get(f.name),
         })
     return out
 

@@ -217,6 +217,32 @@ class TestConsoleCoverage:
         assert "localeSel" in page and "data-i18n" in page
         assert "fetch(\"/i18n\")" in page
 
+    def test_settings_schema_i18n_keys_resolve(self, live):
+        """Each schema field's i18n key must point at a real node with a
+        label/title (the reference's per-setting component strings), and
+        the mapping must cover most of the surface — a rename in either
+        AppSettings or the bundled table breaks this."""
+        _services, server = live
+        schema = json.loads(_get(server, "/settings_schema"))
+        from spittle_tpu.config.i18n import load_app_i18n
+
+        en = load_app_i18n()["en"]
+        keyed = [f for f in schema if f.get("i18n")]
+        assert len(keyed) >= 40, len(keyed)
+        for f in keyed:
+            node = en
+            for part in f["i18n"].split("."):
+                assert isinstance(node, dict) and part in node, (
+                    f["name"], f["i18n"])
+                node = node[part]
+            assert "label" in node or "title" in node, (
+                f["name"], f["i18n"])
+        # spot-check the naming-drift aliases
+        by_name = {f["name"]: f.get("i18n") for f in schema}
+        assert by_name["autostart_enabled"] == "settings.advanced.autostart"
+        assert by_name["app_language"] == "appLanguage"
+        assert by_name["push_to_talk"] == "settings.general.pushToTalk"
+
     def test_onboarding_flow_wiring(self, page):
         # App.tsx:58-82 parity: the onboarding pane walks language ->
         # mic check -> model download -> done, over real commands.

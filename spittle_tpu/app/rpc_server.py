@@ -160,15 +160,19 @@ class AppRpcServer:
                     self.wfile.write(data)
                 elif self.path == "/healthz":
                     self._json(200, {"ok": True})
-                elif self.path in ("/", "/index.html"):
-                    # The operator console (web/index.html): the
-                    # reference's React settings/history app served over
-                    # the same wire it drives.
+                elif self.path in ("/", "/index.html", "/overlay"):
+                    # The operator console (web/index.html) and the
+                    # dedicated recording-overlay view (web/overlay.html
+                    # — the reference renders RecordingOverlay.tsx in
+                    # its own webview window, overlay.rs): served over
+                    # the same wire they drive.
                     import os as _os
 
                     page = _os.path.join(
                         _os.path.dirname(_os.path.abspath(__file__)),
-                        "web", "index.html",
+                        "web",
+                        "overlay.html" if self.path == "/overlay"
+                        else "index.html",
                     )
                     try:
                         with open(page, "rb") as f:

@@ -243,6 +243,33 @@ class TestConsoleCoverage:
         assert by_name["app_language"] == "appLanguage"
         assert by_name["push_to_talk"] == "settings.general.pushToTalk"
 
+    def test_overlay_view_served_and_parity_wired(self, live):
+        """GET /overlay serves the dedicated recording-overlay view
+        (RecordingOverlay.tsx analog): SSE-driven show/hide, 9 smoothed
+        level bars with the reference's height/opacity formulas, the
+        localized transcribing/processing strings, and a cancel button
+        on the cancelOperation command."""
+        _services, server = live
+        ov = _get(server, "/overlay").decode("utf-8")
+        # Event wiring (events.py names) + the cancel command.
+        for marker in ("show-overlay", "hide-overlay", "mic-level",
+                       "cancelOperation", "EventSource(\"/events\")"):
+            assert marker in ov, marker
+        # RecordingOverlay.tsx constants: slice(0,9) bars, 0.7/0.3
+        # smoothing, min(20, 4+v^0.7*16) height, max(0.2, v*1.7)
+        # opacity; RTL app languages flip direction (lib/utils/rtl.ts).
+        assert "N_BARS = 9" in ov
+        assert "* 0.7 +" in ov and "* 0.3" in ov
+        assert "Math.min(20, 4 + Math.pow(v, 0.7) * 16)" in ov
+        assert "Math.max(0.2, v * 1.7)" in ov
+        assert "RTL_LANGS" in ov and '"ar"' in ov
+        # Locale re-synced from settings on every show
+        # (syncLanguageFromSettings analog).
+        assert "app_language" in ov and "overlay." in ov
+
+    def test_console_links_overlay_view(self, page):
+        assert "/overlay" in page
+
     def test_onboarding_flow_wiring(self, page):
         # App.tsx:58-82 parity: the onboarding pane walks language ->
         # mic check -> model download -> done, over real commands.

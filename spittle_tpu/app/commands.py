@@ -35,6 +35,10 @@ class Commands:
     def __init__(self, services: AppServices, actions: ActionContext):
         self.services = services
         self.actions = actions
+        # Console URL of the serving RPC front; set by AppRpcServer on
+        # start. show_main_window (single-instance callback target)
+        # reports it.
+        self.console_url: str = ""
 
     # -- settings helpers -------------------------------------------------
 
@@ -88,7 +92,16 @@ class Commands:
         self._update(start_hidden=enabled)
 
     def change_autostart_setting(self, enabled: bool) -> None:
+        # Store, then apply to the OS launcher immediately
+        # (shortcut/mod.rs:598-622: autolaunch enable/disable in the
+        # same command).
         self._update(autostart_enabled=enabled)
+        mgr = getattr(self.services, "autostart", None)
+        if mgr is not None:
+            if enabled:
+                mgr.enable()
+            else:
+                mgr.disable()
 
     def change_update_checks_setting(self, enabled: bool) -> None:
         self._update(update_checks_enabled=enabled)
@@ -346,6 +359,28 @@ class Commands:
 
     def open_app_data_dir(self) -> str:
         return self.services.data_dir
+
+    def show_main_window(self) -> str:
+        """Surface the main UI (lib.rs:96 show_main_window — the
+        single-instance plugin's callback and the tray's settings item
+        both route here). Our main window is the operator console:
+        best-effort open it with the system opener and return its URL."""
+        url = self.console_url
+        if url:
+            import shutil
+            import subprocess
+
+            opener = shutil.which("xdg-open") or shutil.which("open")
+            if opener:
+                try:
+                    subprocess.Popen(
+                        [opener, url],
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                    )
+                except OSError:
+                    pass
+        return url
 
     def check_apple_intelligence_available(self) -> bool:
         return False  # non-macOS builds report unavailable (reference stub)

@@ -64,6 +64,7 @@ def build_app(
     use_mock_engine: bool = False,
     backends=None,
     player=None,
+    autostart=None,
 ) -> DesktopApp:
     """Assemble the complete app graph. Every seam is injectable for
     tests; production defaults are the real OS surfaces (system text
@@ -129,10 +130,24 @@ def build_app(
     from spittle_tpu.shell.tray_sni import attach_tray
     from spittle_tpu.shell.x11_overlay import attach_overlay
 
-    tray = attach_tray(services, actions, ui)
+    commands = Commands(services, actions)
+    tray = attach_tray(services, actions, ui, commands=commands)
     overlay = attach_overlay(services)
 
-    rpc = AppRpcServer(Commands(services, actions), port=port)
+    # OS login launcher, reconciled with the persisted setting at boot
+    # (lib.rs:219-228) and applied immediately by
+    # change_autostart_setting (shortcut/mod.rs:598-622).
+    from spittle_tpu.shell.autostart import AutostartManager, default_exec_cmd
+
+    if autostart is None:
+        autostart = AutostartManager(default_exec_cmd(data_dir))
+    services.autostart = autostart
+    try:
+        autostart.reconcile(settings.autostart_enabled)
+    except OSError:
+        pass  # unwritable config dir: the setting still persists
+
+    rpc = AppRpcServer(commands, port=port)
     return DesktopApp(
         services=services, actions=actions, ui=ui,
         registry=registry, rpc=rpc, signals=signals,
@@ -146,8 +161,22 @@ def run_app(data_dir: str, port: int = 47890,
     import signal
     import threading
 
+    from .single_instance import SingleInstanceLock, notify_running_instance
+
+    # Single-instance guard (lib.rs:403-405 tauri_plugin_single_instance):
+    # a second launch surfaces the running instance's console and exits
+    # instead of double-grabbing the mic and the hotkeys.
+    lock = SingleInstanceLock(data_dir)
+    if not lock.acquire():
+        peer = lock.peer_port()
+        url = notify_running_instance(peer) if peer else None
+        print("spittle-tpu app: already running"
+              + (f" — console at {url}" if url else ""))
+        return 0
+
     app = build_app(data_dir, port=port, use_mock_engine=use_mock_engine)
     app.rpc.start()
+    lock.publish(app.rpc.address[1])
     stop = threading.Event()
 
     def on_term(_sig, _frm):
@@ -162,4 +191,5 @@ def run_app(data_dir: str, port: int = 47890,
         stop.wait()
     finally:
         app.shutdown()
+        lock.release()
     return 0

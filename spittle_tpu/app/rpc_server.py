@@ -304,6 +304,8 @@ class AppRpcServer:
         return f"http://{host}:{port}"
 
     def start(self) -> None:
+        host, port = self.address[:2]
+        self.commands.console_url = f"http://{host}:{port}/"
         self._thread = threading.Thread(
             target=self.httpd.serve_forever, daemon=True
         )

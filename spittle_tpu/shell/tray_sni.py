@@ -182,7 +182,8 @@ class SniTray:
         self.conn.close()
 
 
-def attach_tray(services, actions, ui, address: Optional[str] = None):
+def attach_tray(services, actions, ui, address: Optional[str] = None,
+                commands=None):
     """Wire an SniTray to the app graph: TrayController state changes
     drive the live icon, menu clicks drive the real commands
     (lib.rs menu handlers). Returns the tray or None when there is no
@@ -191,7 +192,12 @@ def attach_tray(services, actions, ui, address: Optional[str] = None):
         return None
 
     def on_menu(item_id: str) -> None:
-        if item_id == "cancel":
+        if item_id == "settings":
+            # Reference tray settings item shows the main window
+            # (lib.rs:164-166); ours surfaces the operator console.
+            if commands is not None:
+                commands.show_main_window()
+        elif item_id == "cancel":
             actions.cancel_current_operation()
         elif item_id == "unload_model":
             services.transcription.unload_model()

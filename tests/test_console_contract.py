@@ -192,7 +192,7 @@ class TestConsoleCoverage:
             "get_model_load_status", "get_selected_microphone",
             "get_selected_output_device", "import_jargon_packs_json",
             "initialize_enigo", "initialize_shortcuts", "is_recording",
-            "resume_binding", "set_log_level",
+            "resume_binding", "set_log_level", "show_main_window",
             "set_post_process_selected_prompt", "add_post_process_prompt",
             "delete_post_process_prompt", "update_custom_words",
             "update_jargon_custom_corrections",

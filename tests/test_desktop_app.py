@@ -18,6 +18,7 @@ from spittle_tpu.app.desktop import build_app
 from spittle_tpu.audio.recorder import QueueSource
 from spittle_tpu.config.settings import KeyboardImplementation
 from spittle_tpu.pipeline import BufferTextOutput
+from spittle_tpu.shell.autostart import AutostartManager
 from spittle_tpu.shell.evdev_keys import EvdevBackend, pack_key
 
 
@@ -44,6 +45,7 @@ def app(tmp_path):
         use_mock_engine=True,
         backends={KeyboardImplementation.HANDY_KEYS: be},
         player=lambda path, vol: None,
+        autostart=AutostartManager(home=str(tmp_path)),
     )
     a.services.transcription.load_model("mock", "/fake", "whisper")
     a.services.transcription._engine.canned_text = "typed by hotkey"

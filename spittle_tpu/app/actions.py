@@ -11,7 +11,6 @@ load, starts/stops the recorder, and runs the pipeline.
 
 from __future__ import annotations
 
-import threading
 from typing import Callable, Dict, Optional
 
 import numpy as np

@@ -19,6 +19,7 @@ from spittle_tpu.config.settings import (
     AppSettings,
     JargonCorrection,
     JargonPack,
+    KeyboardImplementation,
     LLMPrompt,
     get_default_settings,
 )
@@ -391,11 +392,28 @@ class Commands:
     def initialize_shortcuts(self) -> None:
         pass  # hotkey registration is owned by the desktop shell
 
-    def start_handy_keys_recording(self) -> None:
-        pass
+    def start_handy_keys_recording(self, binding_id: str = "") -> None:
+        """Enter key-capture mode: raw key events stream to the UI as
+        handy-keys-event while the user records a new hotkey for
+        binding_id (spittle-keys.rs:524-534 — errors unless handy-keys
+        is the active implementation)."""
+        settings = self.services.get_settings()
+        if settings.keyboard_implementation != KeyboardImplementation.HANDY_KEYS:
+            raise ValueError(
+                "handy-keys is not the active keyboard implementation")
+        if self.actions.registry is None:
+            raise ValueError("shortcut registry not initialized")
+        self.actions.registry.start_key_capture()
 
     def stop_handy_keys_recording(self) -> None:
-        pass
+        """Leave key-capture mode (spittle-keys.rs:539-549)."""
+        settings = self.services.get_settings()
+        if settings.keyboard_implementation != KeyboardImplementation.HANDY_KEYS:
+            raise ValueError(
+                "handy-keys is not the active keyboard implementation")
+        if self.actions.registry is None:
+            raise ValueError("shortcut registry not initialized")
+        self.actions.registry.stop_key_capture()
 
     def get_available_typing_tools(self) -> List[str]:
         import shutil

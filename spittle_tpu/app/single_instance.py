@@ -73,8 +73,10 @@ def notify_running_instance(port: int, timeout: float = 5.0) -> Optional[str]:
             data=json.dumps({"cmd": "show_main_window"}).encode(),
         )
         resp = json.loads(urllib.request.urlopen(req, timeout=timeout).read())
-        if resp.get("ok"):
+        if isinstance(resp, dict) and resp.get("ok"):
             return resp.get("result") or f"http://127.0.0.1:{port}/"
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers JSONDecodeError: a stale lock file can point
+        # at a port now owned by something that answers non-JSON.
         pass
     return None

@@ -76,6 +76,14 @@ class BatchingTranscriptionServer:
         self.max_wait = max_wait_ms / 1000.0
         self.buckets = tuple(buckets)
         self.mesh = mesh
+        if mesh is not None:
+            # Every compiled shape must divide the data axis or
+            # engine._place_windows falls back to replication — exactly
+            # on the full-load batches the mesh exists for. Round the
+            # cap up to a mesh multiple (filler rows are silence).
+            m = mesh.shape[mesh.axis_names[0]]
+            if self.max_batch % m:
+                self.max_batch = ((self.max_batch + m - 1) // m) * m
         if mesh is not None and hasattr(engine, "mesh"):
             # The engine places window batches with a NamedSharding over
             # the mesh's data axis (engine._place_windows), so the batch
@@ -166,11 +174,7 @@ class BatchingTranscriptionServer:
             bucket_list = [bucket_s]
         else:
             bucket_list = list(self.buckets)
-        sizes = [1]
-        while sizes[-1] * 2 < self.max_batch:
-            sizes.append(sizes[-1] * 2)
-        if sizes[-1] != self.max_batch:
-            sizes.append(self.max_batch)
+        sizes = self._ladder_sizes()
         for b in bucket_list:
             bucket_len = int(b * SAMPLE_RATE)
             run_params = self._fitted_params(
@@ -289,15 +293,24 @@ class BatchingTranscriptionServer:
         fresh multi-second compile mid-request — measured as 22 s p50
         under Poisson load. A static ladder keeps the shape set tiny
         (and warmup() pre-compiles it)."""
-        size = 1
+        for size in self._ladder_sizes():
+            if size >= n:
+                return size
+        return self.max_batch
+
+    def _ladder_sizes(self) -> List[int]:
+        """The full static shape ladder — warmup() compiles exactly
+        these. Starts at the mesh data-axis size when sharded (every
+        rung stays evenly shardable; __init__ rounded max_batch up)."""
+        base = 1
         if self.mesh is not None:
-            # Sharded placement needs rows divisible by the data axis;
-            # starting the ladder there keeps every compiled shape
-            # evenly shardable (filler rows are silence).
-            size = self.mesh.shape[self.mesh.axis_names[0]]
-        while size < n:
-            size *= 2
-        return min(size, self.max_batch)
+            base = self.mesh.shape[self.mesh.axis_names[0]]
+        sizes = [base]
+        while sizes[-1] * 2 < self.max_batch:
+            sizes.append(sizes[-1] * 2)
+        if sizes[-1] != self.max_batch:
+            sizes.append(self.max_batch)
+        return sizes
 
     def _pad_group(
         self, bucket_len: Optional[int], reqs: List[_Request]

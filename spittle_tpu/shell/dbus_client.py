@@ -340,6 +340,10 @@ class DBusConnection:
         self._auth()
         self._serial = 0
         self._serial_lock = threading.Lock()
+        # One message = one atomic write: call/emit_signal run on app
+        # threads while _reply runs on the reader thread; unserialized
+        # sendall could interleave frames and corrupt the stream.
+        self._write_lock = threading.Lock()
         self._replies: Dict[int, Any] = {}
         self._reply_cv = threading.Condition()
         self._buf = b""
@@ -397,7 +401,7 @@ class DBusConnection:
         ]
         data = _build_message(MSG_METHOD_CALL, serial, fields,
                               signature, args)
-        self.sock.sendall(data)
+        self._send(data)
         with self._reply_cv:
             ok = self._reply_cv.wait_for(
                 lambda: serial in self._replies, timeout=timeout
@@ -420,7 +424,7 @@ class DBusConnection:
         ]
         data = _build_message(MSG_SIGNAL, self._next_serial(), fields,
                               signature, args)
-        self.sock.sendall(data)
+        self._send(data)
 
     def request_name(self, name: str) -> int:
         return self.call(
@@ -511,6 +515,10 @@ class DBusConnection:
                 return
             obj.dispatch(msg)
 
+    def _send(self, data: bytes) -> None:
+        with self._write_lock:
+            self.sock.sendall(data)
+
     def _reply(self, msg: Message, signature: str = "",
                values: Tuple = ()) -> None:
         fields = [(H_REPLY_SERIAL, Variant("u", msg.serial))]
@@ -518,7 +526,7 @@ class DBusConnection:
             fields.append((H_DESTINATION, Variant("s", msg.sender)))
         data = _build_message(MSG_METHOD_RETURN, self._next_serial(),
                               fields, signature, values)
-        self.sock.sendall(data)
+        self._send(data)
 
     def _reply_error(self, msg: Message, name: str, text: str = "") -> None:
         fields = [
@@ -529,7 +537,7 @@ class DBusConnection:
             fields.append((H_DESTINATION, Variant("s", msg.sender)))
         data = _build_message(MSG_ERROR, self._next_serial(), fields,
                               "s", (text or name,))
-        self.sock.sendall(data)
+        self._send(data)
 
 
 class ExportedObject:

@@ -52,11 +52,46 @@ class XBackend:
     def __init__(self):
         path = ctypes.util.find_library("X11") or "libX11.so.6"
         self.x = ctypes.CDLL(path)
-        self.x.XOpenDisplay.restype = ctypes.c_void_p
-        self.x.XOpenDisplay.argtypes = [ctypes.c_char_p]
+        self._declare_prototypes()
         self.dpy = None
         self.win = None
         self.gc = None
+
+    def _declare_prototypes(self) -> None:
+        # Every libX11 call needs explicit argtypes/restype: Display*
+        # and GC are 64-bit pointers that ctypes would otherwise mask
+        # to 32-bit C ints (default restype is c_int), which segfaults
+        # on any real X server.
+        Disp = ctypes.c_void_p          # Display*
+        GC = ctypes.c_void_p            # GC (opaque pointer)
+        XID = ctypes.c_ulong            # Window / Drawable
+        c_int, c_uint, c_ulong = ctypes.c_int, ctypes.c_uint, ctypes.c_ulong
+        proto = {
+            "XOpenDisplay": (Disp, [ctypes.c_char_p]),
+            "XDefaultScreen": (c_int, [Disp]),
+            "XDisplayWidth": (c_int, [Disp, c_int]),
+            "XDisplayHeight": (c_int, [Disp, c_int]),
+            "XRootWindow": (XID, [Disp, c_int]),
+            "XCreateSimpleWindow": (XID, [Disp, XID, c_int, c_int, c_uint,
+                                          c_uint, c_uint, c_ulong, c_ulong]),
+            "XChangeWindowAttributes": (c_int, [Disp, XID, c_ulong,
+                                                ctypes.c_void_p]),
+            "XCreateGC": (GC, [Disp, XID, c_ulong, ctypes.c_void_p]),
+            "XSetWindowBackground": (c_int, [Disp, XID, c_ulong]),
+            "XClearWindow": (c_int, [Disp, XID]),
+            "XMapRaised": (c_int, [Disp, XID]),
+            "XUnmapWindow": (c_int, [Disp, XID]),
+            "XMoveWindow": (c_int, [Disp, XID, c_int, c_int]),
+            "XSetForeground": (c_int, [Disp, GC, c_ulong]),
+            "XFillRectangle": (c_int, [Disp, XID, GC, c_int, c_int,
+                                       c_uint, c_uint]),
+            "XFlush": (c_int, [Disp]),
+            "XCloseDisplay": (c_int, [Disp]),
+        }
+        for name, (restype, argtypes) in proto.items():
+            fn = getattr(self.x, name)
+            fn.restype = restype
+            fn.argtypes = argtypes
 
     def open(self) -> bool:
         self.dpy = self.x.XOpenDisplay(None)

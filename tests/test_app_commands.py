@@ -263,3 +263,46 @@ def test_empty_recording_resets_tray_to_idle(tmp_path):
         assert ui.tray.state is TrayIconState.IDLE
     finally:
         services.shutdown()
+
+
+class TestHandyKeysRecordingCommands:
+    """start/stop_handy_keys_recording really drive the registry's
+    key-capture mode (spittle-keys.rs:524-549: error unless handy-keys
+    is the active implementation)."""
+
+    def _with_registry(self, app):
+        from spittle_tpu.app.shortcuts import InMemoryBackend, ShortcutRegistry
+
+        services, actions, cmds, src, out = app
+        reg = ShortcutRegistry(
+            {KeyboardImplementation.HANDY_KEYS: InMemoryBackend()},
+            handler=lambda b, hk, p: None,
+            events=services.events,
+            implementation=KeyboardImplementation.HANDY_KEYS,
+        )
+        actions.registry = reg
+        return services, cmds, reg
+
+    def test_start_stop_toggle_capture(self, app):
+        services, cmds, reg = self._with_registry(app)
+        services.update_settings(
+            keyboard_implementation=KeyboardImplementation.HANDY_KEYS)
+        assert not reg._capture_active
+        cmds.start_handy_keys_recording(binding_id="transcribe")
+        assert reg._capture_active
+        # captured keys now stream to the UI event bus
+        got = []
+        services.events.listen("handy-keys-event", got.append)
+        reg.feed_captured_key("space", True, ["ctrl"])
+        assert got and got[0].key == "space"
+        cmds.stop_handy_keys_recording()
+        assert not reg._capture_active
+
+    def test_errors_when_not_handy_keys(self, app):
+        services, cmds, reg = self._with_registry(app)
+        services.update_settings(
+            keyboard_implementation=KeyboardImplementation.TAURI)
+        with pytest.raises(ValueError):
+            cmds.start_handy_keys_recording(binding_id="transcribe")
+        with pytest.raises(ValueError):
+            cmds.stop_handy_keys_recording()

@@ -143,3 +143,30 @@ class TestSingleInstance:
 
     def test_notify_dead_peer_returns_none(self):
         assert notify_running_instance(1, timeout=0.5) is None
+
+
+def test_notify_non_json_peer_returns_none():
+    """A stale lock can point at a port now owned by something that
+    answers 200 with non-JSON; the second launch must exit gracefully,
+    not traceback."""
+    import http.server
+    import threading
+
+    class Html(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = b"<html>not an rpc server</html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), Html)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert notify_running_instance(httpd.server_address[1]) is None
+    finally:
+        httpd.shutdown()

@@ -610,3 +610,31 @@ def test_mesh_sharded_placement_real_engine():
         )
     finally:
         srv.shutdown()
+
+
+def test_mesh_ladder_stays_shardable():
+    """A max_batch that is not a mesh multiple must not produce ragged
+    compiled shapes (engine._place_windows would silently replicate):
+    the cap rounds up and every ladder rung divides the data axis."""
+    import jax
+    from spittle_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(min(8, len(jax.devices())), tp=1)
+    m = mesh.shape["data"]
+
+    class NullEngine:
+        def transcribe_batch(self, batch, params=None):
+            return [TranscriptionResult(text="") for _ in batch]
+
+    srv = BatchingTranscriptionServer(
+        NullEngine(), mesh=mesh, max_batch=2 * m + 1
+    )
+    try:
+        assert srv.max_batch == 3 * m
+        sizes = srv._ladder_sizes()
+        assert sizes[0] == m and sizes[-1] == srv.max_batch
+        assert all(s % m == 0 for s in sizes)
+        assert srv._ladder_size(2 * m + 1) == 3 * m
+        assert srv._ladder_size(1) == m
+    finally:
+        srv.shutdown()

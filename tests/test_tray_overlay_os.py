@@ -351,3 +351,34 @@ class TestX11Overlay:
             assert not ov.active
         finally:
             services.shutdown()
+
+
+def test_xbackend_declares_64bit_safe_prototypes():
+    """Display*/GC are 64-bit pointers: without explicit restype ctypes
+    truncates them to c_int and any real X session segfaults. Every
+    libX11 function the backend calls must carry argtypes + restype."""
+    import ctypes
+    import ctypes.util
+
+    if not ctypes.util.find_library("X11"):
+        pytest.skip("libX11 not present")
+    from spittle_tpu.shell.x11_overlay import XBackend
+
+    b = XBackend()
+    pointer_returning = ("XOpenDisplay", "XCreateGC")
+    xid_returning = ("XRootWindow", "XCreateSimpleWindow")
+    used = [
+        "XOpenDisplay", "XDefaultScreen", "XDisplayWidth",
+        "XDisplayHeight", "XRootWindow", "XCreateSimpleWindow",
+        "XChangeWindowAttributes", "XCreateGC", "XSetWindowBackground",
+        "XClearWindow", "XMapRaised", "XUnmapWindow", "XMoveWindow",
+        "XSetForeground", "XFillRectangle", "XFlush", "XCloseDisplay",
+    ]
+    for name in used:
+        fn = getattr(b.x, name)
+        assert fn.argtypes is not None, f"{name} missing argtypes"
+        assert fn.restype is not None, f"{name} missing restype"
+    for name in pointer_returning:
+        assert getattr(b.x, name).restype is ctypes.c_void_p, name
+    for name in xid_returning:
+        assert getattr(b.x, name).restype is ctypes.c_ulong, name

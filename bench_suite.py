@@ -66,7 +66,7 @@ def main():
         "5": _config5, "6": _config6, "7": _config7, "8": _config8,
         "9": _config9, "9f": lambda: _config9(fit_audio_ctx=True),
         "10": _config10, "11": _config11, "12": _config12,
-        "13": _config13, "14": _config14,
+        "13": _config13, "14": _config14, "15": _config15,
     }
     if "--only" in sys.argv:  # e.g. --only 12,13,14
         picks = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -450,9 +450,13 @@ def _config13():
     )
     eng.transcribe_batch(batch, p)  # warmup/compile
     dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+    stats = eng.last_spec_stats or {}
+    tpr = stats.get("emitted", 0.0) / max(stats.get("rounds", 1.0), 1.0)
     report(
         "whisper-large-v3 batch 16 with layer-dropped self-draft "
-        f"(stride 4 -> {eng.draft_cfg.n_text_layer} draft layers, k=4)",
+        f"(stride 4 -> {eng.draft_cfg.n_text_layer} draft layers, k=4; "
+        f"{tpr:.2f} tokens/round — 1.0 means zero draft acceptance: "
+        "the batched min-advance emits the verify pass's own token)",
         16 * 30.0, dt,
     )
 
@@ -522,6 +526,39 @@ def _config14():
                 "n": int(len(lat)),
             },
         )
+
+
+def _config15():
+    # 15. large-v3 with int8 decoder weights + int8 cross-KV
+    # (quantize_decoder=True -> DecodeOptions.quant_kv). Config 12
+    # showed bf16 large-v3 is cross-KV-bandwidth-bound (~245 MB/row per
+    # step); int8 halves those bytes IF the convert doesn't materialize.
+    # The reference's own large-v3 catalog artifact is q5_0-quantized
+    # (resources/model_catalog.json), so a quantized variant is the
+    # like-for-like comparison. Set SPITTLE_DECODE_CROSS_KERNEL=1 to
+    # additionally route through the in-kernel-dequant Pallas kernel.
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    eng = WhisperEngine(dtype=jnp.bfloat16, quantize_decoder=True)
+    eng.load_model("random:large-v3")
+    rng = np.random.default_rng(0)
+    batch = [
+        (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+        for _ in range(16)
+    ]
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=96, temperatures=(0.0,),
+    )
+    eng.transcribe_batch(batch, p)  # warmup/compile
+    dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+    kernel = os.environ.get("SPITTLE_DECODE_CROSS_KERNEL", "0") == "1"
+    report(
+        "whisper-large-v3 batch 16, int8 decoder weights + int8 cross-KV"
+        + (" (Pallas in-kernel dequant)" if kernel else " (XLA path)"),
+        16 * 30.0, dt,
+    )
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ like whisper.cpp's segment output.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +140,9 @@ class WhisperEngine:
         self._non_speech: Optional[Tuple[int, ...]] = None
         self._frontend_fn = None  # jitted mel+encode, built per model
         self._self_draft = False
+        # Speculative-decode telemetry from the most recent decode call
+        # (mean rounds / accepted draft tokens / emitted length).
+        self.last_spec_stats: Optional[Dict[str, float]] = None
 
     # -- lifecycle -------------------------------------------------------
 
@@ -877,11 +880,25 @@ class WhisperEngine:
                 speculative_greedy_decode,
             )
 
-            return speculative_greedy_decode(
+            out = speculative_greedy_decode(
                 self.params, self.draft_params, xa, draft_xa,
                 self.cfg, self.draft_cfg, opts,
                 lang_tokens=lt, prompt_tokens=prompt_tokens,
             )
+            # Host-side acceptance telemetry: rounds/accepted_total are
+            # already outputs of the compiled loop, so fetching them
+            # costs one extra transfer and no recompile. Benches report
+            # acceptance so speculative earns (or loses) its number on
+            # evidence.
+            rounds, accepted, length = jax.device_get(
+                (out["rounds"], out["accepted_total"], out["length"])
+            )
+            self.last_spec_stats = {
+                "rounds": float(np.mean(rounds)),
+                "accepted_total": float(np.mean(accepted)),
+                "emitted": float(np.mean(length)),
+            }
+            return out
         return greedy_decode(
             self.params, xa, self.cfg, opts,
             lang_tokens=lt, prompt_tokens=prompt_tokens,

@@ -76,10 +76,9 @@ def _beam_loop(
     # decoder_prefill: token-by-token prefill re-reads weights per token).
     all_logits, cache = decoder_prefill(params, prefix_k, cross_kv, cfg, ctx)
     pre_logits = all_logits.transpose(1, 0, 2)  # [P, B*K, V]
-    if not opts.quant_kv:
-        from spittle_tpu.ops.attention import pad_cross_kv
+    from spittle_tpu.ops.attention import pad_cross_kv
 
-        cross_kv = pad_cross_kv(cross_kv)
+    cross_kv = pad_cross_kv(cross_kv)
 
     tokens = jnp.concatenate(
         [prefix_k, jnp.full((bk, max_len - prefix_len), cfg.eot, jnp.int32)],

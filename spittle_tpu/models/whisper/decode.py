@@ -211,12 +211,12 @@ def _greedy_loop(
     # once per prompt token).
     all_logits, cache = decoder_prefill(params, prefix, cross_kv, cfg, ctx)
     pre_logits = all_logits.transpose(1, 0, 2)  # [P, B, V]
-    if not opts.quant_kv:
-        from spittle_tpu.ops.attention import pad_cross_kv
+    # Tile-align cross K/V so decode steps hit the Pallas kernel
+    # (bf16 or int8 in-kernel-dequant variant); decode_step masks with
+    # cfg.n_audio_ctx.
+    from spittle_tpu.ops.attention import pad_cross_kv
 
-        # Tile-align cross K/V so decode steps hit the Pallas kernel;
-        # decode_step masks with cfg.n_audio_ctx.
-        cross_kv = pad_cross_kv(cross_kv)
+    cross_kv = pad_cross_kv(cross_kv)
 
     tokens = jnp.concatenate(
         [prefix, jnp.full((b, max_len - prefix_len), cfg.eot, jnp.int32)], axis=1

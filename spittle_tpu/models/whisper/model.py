@@ -46,8 +46,10 @@ import numpy as np
 from spittle_tpu.ops.attention import (
     attention_reference,
     decode_cross_attention,
+    decode_cross_attention_q8,
     multihead_attention,
     use_decode_cross_kernel,
+    use_decode_cross_kernel_q8,
 )
 from spittle_tpu.ops.quant import is_quant, mm
 from .config import WhisperConfig
@@ -342,16 +344,29 @@ def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
             .reshape(bc, h, beams * qlen, d)
         )
     if is_quant(ck):
-        cscores = jnp.einsum(
-            "bhqd,bhdk->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
-            preferred_element_type=jnp.float32,
-        ) * ck["scale"][:, :, None, :]
-        cprobs = jax.nn.softmax(cscores, axis=-1)
-        co = jnp.einsum(
-            "bhqk,bhdk->bhqd",
-            (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
-            cv["qw"].astype(cq.dtype),
-        )
+        if use_decode_cross_kernel_q8(cq, ck):
+            # In-kernel dequant: int8 K/V stream from HBM at HALF the
+            # bf16 bytes and convert in VMEM (the XLA path below
+            # materializes converted copies, paying the saving back).
+            co = decode_cross_attention_q8(
+                cq * (dh**-0.5), ck["qw"], ck["scale"],
+                cv["qw"], cv["scale"], kv_len=kv_len or ck["qw"].shape[-1],
+            )
+        else:
+            cscores = jnp.einsum(
+                "bhqd,bhdk->bhqk", cq * (dh**-0.5), ck["qw"].astype(cq.dtype),
+                preferred_element_type=jnp.float32,
+            ) * ck["scale"][:, :, None, :]
+            kvl = kv_len or ck["qw"].shape[-1]
+            if kvl < ck["qw"].shape[-1]:  # tile-padded quantized K/V
+                cmask = (jnp.arange(ck["qw"].shape[-1]) < kvl)[None, None, None, :]
+                cscores = jnp.where(cmask, cscores, -1e30)
+            cprobs = jax.nn.softmax(cscores, axis=-1)
+            co = jnp.einsum(
+                "bhqk,bhdk->bhqd",
+                (cprobs * cv["scale"][:, :, None, :]).astype(cq.dtype),
+                cv["qw"].astype(cq.dtype),
+            )
     elif use_decode_cross_kernel(cq, ck):
         co = decode_cross_attention(
             cq * (dh**-0.5), ck, cv, kv_len=kv_len or ck.shape[-1]

@@ -303,6 +303,100 @@ def decode_cross_attention(
     return out.reshape(b, h, rows, d)[:, :, :r]
 
 
+def _decode_cross_q8_kernel(q_ref, qk_ref, ks_ref, qv_ref, vs_ref, o_ref,
+                            *, kv_len: int):
+    """int8 cross-attention with IN-KERNEL dequantization.
+
+    The XLA int8 path (quant_kv) measured speed-neutral: the int8->bf16
+    convert does not fuse into the dot, so XLA materializes converted
+    copies and the halved HBM read is paid back as write-and-reread traffic.
+    Here the int8 K/V tiles land in VMEM (HALF the HBM bytes of bf16 —
+    the decode step's dominant traffic) and the convert happens on-chip.
+
+    Scale algebra (ops/quant.py quantize_kv): K ≈ qK * ks[t], V ≈ qV *
+    vs[t], so scores = (q @ qK) * ks and out = (p * vs) @ qV^T — the
+    scales factor out of both dots exactly; only [1, Tk] rescales remain.
+    """
+    tk = qk_ref.shape[2]
+    s = jax.lax.dot(
+        q_ref[0], qk_ref[0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * ks_ref[0]  # [rows, Tk] * [1, Tk]
+    if kv_len < tk:
+        # Mask BEFORE the max: quantized pad columns carry scales, so a
+        # post-exp multiply-mask (the bf16 kernel's zero-pad shortcut)
+        # would let garbage dominate m and underflow every real column.
+        # The tile is only [rows<=8, Tk]; the extra where is free next
+        # to the K/V stream this kernel exists to halve.
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p * vs_ref[0]).astype(jnp.bfloat16), qv_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [rows, D]
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kv_len", "interpret"))
+def decode_cross_attention_q8(
+    q: jnp.ndarray,   # [B, H, R, D] (pre-scaled by dh**-0.5), R <= 8
+    qk: jnp.ndarray,  # int8 [B, H, D, Tk] decode layout, Tk % 128 == 0
+    ks: jnp.ndarray,  # f32 [B, H, Tk] per-position K scales
+    qv: jnp.ndarray,
+    vs: jnp.ndarray,
+    kv_len: Optional[int] = None,
+    interpret: bool = False,  # CPU numerics tests (no TPU in CI)
+) -> jnp.ndarray:
+    b, h, r, d = q.shape
+    tk = qk.shape[3]
+    kv_len = tk if kv_len is None else kv_len
+    rows = 8
+    qp = q if r == rows else jnp.pad(q, ((0, 0), (0, 0), (0, rows - r), (0, 0)))
+    qf = qp.reshape(b * h, rows, d)
+    kf = qk.reshape(b * h, d, tk)
+    vf = qv.reshape(b * h, d, tk)
+    ksf = ks.reshape(b * h, 1, tk).astype(jnp.float32)
+    vsf = vs.reshape(b * h, 1, tk).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_decode_cross_q8_kernel, kv_len=kv_len),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, rows, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, d, tk), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, d, tk), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk), lambda bh: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, d), lambda bh: (bh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, rows, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * rows * tk * d,
+            bytes_accessed=kf.size + vf.size + (ksf.size + vsf.size) * 4,
+            transcendentals=b * h * rows * tk,
+        ),
+        interpret=interpret,
+    )(qf, kf, ksf, vf, vsf)
+    return out.reshape(b, h, rows, d)[:, :, :r]
+
+
+def use_decode_cross_kernel_q8(q, ck) -> bool:
+    """Dispatch predicate for the int8 decode cross-attention kernel:
+    quantized K/V dict in decode layout, tile-padded T, decode-sized q."""
+    return (
+        decode_cross_kernel_enabled()
+        and not DISABLE_PALLAS
+        and _on_tpu()
+        and isinstance(ck, dict)
+        and q.shape[2] <= 8
+        and q.shape[3] in (64, 128)
+        and ck["qw"].shape[-1] % 128 == 0
+    )
+
+
 def decode_cross_kernel_enabled() -> bool:
     """Experimental opt-in (SPITTLE_DECODE_CROSS_KERNEL=1).
 
@@ -341,6 +435,21 @@ def pad_cross_kv(cross_kv, multiple: int = 128):
     if not decode_cross_kernel_enabled():
         return cross_kv
     k, v = cross_kv
+    if isinstance(k, dict):  # int8 quant dicts {qw [...,Dh,T], scale [...,T]}
+        t = k["qw"].shape[-1]
+        pad = (-t) % multiple
+        if pad == 0:
+            return cross_kv
+
+        def _padq(q):
+            qw = jnp.pad(q["qw"], [(0, 0)] * (q["qw"].ndim - 1) + [(0, pad)])
+            sc = jnp.pad(
+                q["scale"], [(0, 0)] * (q["scale"].ndim - 1) + [(0, pad)],
+                constant_values=1.0,  # avoid 0-scales; masked by kv_len
+            )
+            return {"qw": qw, "scale": sc}
+
+        return _padq(k), _padq(v)
     t = k.shape[-1]
     pad = (-t) % multiple
     if pad == 0:

@@ -1,0 +1,97 @@
+"""Pallas attention kernel numerics (interpret mode — no TPU in CI).
+
+The decode-time cross-attention kernels must match the XLA reference
+attention bit-for-bit in structure (same softmax algebra) and closely in
+value. The int8 variant additionally checks the in-kernel dequant scale
+algebra against the XLA quant path (ops/quant.py: scores = (q@qK)*ks,
+out = (p*vs)@qV^T)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spittle_tpu.ops.attention import (
+    attention_reference,
+    decode_cross_attention_q8,
+)
+from spittle_tpu.ops.quant import dequantize_kv, quantize_kv
+
+
+def _mk(b=2, h=3, r=1, d=64, t=256, seed=0):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(kq, (b, h, r, d), jnp.float32)
+    # decode layout [B, H, Dh, T]
+    k = jax.random.normal(kk, (b, h, d, t), jnp.float32)
+    v = jax.random.normal(kv, (b, h, d, t), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("r", [1, 5, 8])
+@pytest.mark.parametrize("kv_len", [256, 200])
+def test_q8_kernel_matches_xla_quant_path(r, kv_len):
+    q, k, v = _mk(r=r)
+    dh = q.shape[-1]
+    qk, qv = quantize_kv(k), quantize_kv(v)
+
+    out = decode_cross_attention_q8(
+        q * (dh**-0.5), qk["qw"], qk["scale"], qv["qw"], qv["scale"],
+        kv_len=kv_len, interpret=True,
+    )
+
+    # Oracle: dequantize, run plain attention in time-major layout.
+    kd = dequantize_kv(qk, jnp.float32).transpose(0, 1, 3, 2)
+    vd = dequantize_kv(qv, jnp.float32).transpose(0, 1, 3, 2)
+    # attention_reference computes q@k directly with no internal scaling;
+    # the kernel input was pre-scaled by dh**-0.5, so scale identically.
+    want = attention_reference(q * (dh**-0.5), kd, vd, kv_len=kv_len)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_q8_kernel_padded_tail_is_masked():
+    q, k, v = _mk(t=200)  # will pad 200 -> 256
+    dh = q.shape[-1]
+    qk, qv = quantize_kv(k), quantize_kv(v)
+    pad = 56
+    qkp = {
+        "qw": jnp.pad(qk["qw"], ((0, 0), (0, 0), (0, 0), (0, pad)),
+                      constant_values=127),  # garbage in the pad region
+        "scale": jnp.pad(qk["scale"], ((0, 0), (0, 0), (0, pad)),
+                         constant_values=9.0),
+    }
+    qvp = {
+        "qw": jnp.pad(qv["qw"], ((0, 0), (0, 0), (0, 0), (0, pad)),
+                      constant_values=-127),
+        "scale": jnp.pad(qv["scale"], ((0, 0), (0, 0), (0, pad)),
+                         constant_values=9.0),
+    }
+    out_pad = decode_cross_attention_q8(
+        q * (dh**-0.5), qkp["qw"], qkp["scale"], qvp["qw"], qvp["scale"],
+        kv_len=200, interpret=True,
+    )
+    kd = dequantize_kv(qk, jnp.float32).transpose(0, 1, 3, 2)
+    vd = dequantize_kv(qv, jnp.float32).transpose(0, 1, 3, 2)
+    want = attention_reference(q * (dh**-0.5), kd, vd)
+    np.testing.assert_allclose(
+        np.asarray(out_pad), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_pad_cross_kv_handles_quant_dicts(monkeypatch):
+    monkeypatch.setenv("SPITTLE_DECODE_CROSS_KERNEL", "1")
+    from spittle_tpu.ops.attention import pad_cross_kv
+
+    k = jnp.ones((2, 3, 4, 64, 200), jnp.float32)  # [L,B,H,Dh,T]
+    qk, qv = quantize_kv(k), quantize_kv(k * 2)
+    pk, pv = pad_cross_kv((qk, qv))
+    assert pk["qw"].shape[-1] == 256 and pk["scale"].shape[-1] == 256
+    assert pv["qw"].shape[-1] == 256
+    # pad region: zero qw, scale 1.0 (no zero-divide anywhere downstream)
+    assert np.all(np.asarray(pk["qw"][..., 200:]) == 0)
+    assert np.all(np.asarray(pk["scale"][..., 200:]) == 1.0)
+    # plain tensors still pad
+    pk2, pv2 = pad_cross_kv((k, k))
+    assert pk2.shape[-1] == 256

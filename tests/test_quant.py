@@ -171,3 +171,27 @@ def test_whisper_greedy_decode_runs_quantized(tiny):
     np.testing.assert_array_equal(
         np.asarray(encode(params, mel, cfg)), np.asarray(xa)
     )
+
+
+def test_whisper_greedy_quant_kv_padded_matches_unpadded(tiny, monkeypatch):
+    """With the decode-cross kernel flag on, quantized cross-KV is
+    tile-padded (pad_cross_kv on quant dicts) and the XLA fallback masks
+    the pad with kv_len — tokens must not change. (On CPU the Pallas
+    kernel never dispatches; this exercises the padded-quant XLA path.)"""
+    import dataclasses
+
+    cfg, params = tiny
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(
+            np.float32
+        )
+    )
+    xa = encode(params, mel, cfg)
+    opts = DecodeOptions(timestamps=False, max_tokens=8, quant_kv=True)
+    ref = greedy_decode(params, xa, cfg, opts)
+    monkeypatch.setenv("SPITTLE_DECODE_CROSS_KERNEL", "1")
+    got = greedy_decode(params, xa, cfg, opts)
+    np.testing.assert_array_equal(
+        np.asarray(ref["tokens"]), np.asarray(got["tokens"])
+    )

@@ -109,8 +109,19 @@ class BatchingTranscriptionServer:
         self.batch_sizes: List[int] = []  # observability
         self._threads: List[threading.Thread] = []
         if self.overlap_transfers:
-            self._stage_q: "queue.Queue" = queue.Queue(maxsize=4)
+            # At most TWO groups in flight: one computing, one staging.
+            # Deeper pipelines removed the natural backpressure that
+            # lets requests ACCUMULATE into batches while a group
+            # computes — measured at 16 req/s fit_audio_ctx load as p50
+            # 155 ms (no pipeline) vs 530 ms (depth-4 stage queue, mean
+            # batch collapsing 2.1 -> 1.4). _in_flight gates _collect so
+            # the accumulation window extends to the PREVIOUS group's
+            # completion, exactly like the sequential path, while group
+            # k+1's host assembly + h2d still overlaps group k's compute.
+            self._stage_q: "queue.Queue" = queue.Queue(maxsize=1)
             self._run_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+            self._in_flight = 0
+            self._in_flight_lock = threading.Lock()
             self._threads.append(threading.Thread(
                 target=self._stage_loop, daemon=True, name="serving-stager"
             ))
@@ -248,6 +259,16 @@ class BatchingTranscriptionServer:
         while not self._shutdown.is_set():
             batch = []
             try:
+                if self.overlap_transfers:
+                    # Wait for pipeline room BEFORE collecting, so
+                    # arrivals pool into the next batch instead of being
+                    # collected into tiny groups that queue behind the
+                    # pipeline (see _in_flight comment in __init__).
+                    while not self._shutdown.is_set():
+                        with self._in_flight_lock:
+                            if self._in_flight < 2:
+                                break
+                        time.sleep(0.001)
                 batch = self._collect()
                 if not batch:
                     continue
@@ -260,6 +281,8 @@ class BatchingTranscriptionServer:
                         # Stager + runner threads pipeline the groups:
                         # group k+1's assembly/transfer overlaps group
                         # k's compute. Blocking put = backpressure.
+                        with self._in_flight_lock:
+                            self._in_flight += 1
                         self._stage_q.put((bucket_len, reqs))
                     else:
                         self._run_group(bucket_len, reqs)
@@ -362,6 +385,8 @@ class BatchingTranscriptionServer:
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
+                with self._in_flight_lock:
+                    self._in_flight -= 1
                 continue
             self._run_q.put((bucket_len, reqs, padded, run_params, staged))
 
@@ -370,39 +395,44 @@ class BatchingTranscriptionServer:
             item = self._run_q.get()
             if item is None:
                 return
-            bucket_len, reqs, padded, run_params, staged = item
-            self.batch_sizes.append(len(reqs))
-            queue_ms = max(
-                (time.monotonic() - r.enqueued_at) * 1000 for r in reqs
-            )
             try:
-                with span("serving.batch", size=len(reqs),
-                          bucket=bucket_len, queue_ms=round(queue_ms, 1)):
-                    if staged is not None:
-                        if self.mesh is not None:
-                            with self.mesh:
-                                results = self.engine.transcribe_staged(
-                                    staged
-                                )
-                        else:
-                            results = self.engine.transcribe_staged(staged)
-                    elif self.mesh is not None:
+                self._run_staged_item(item)
+            finally:
+                with self._in_flight_lock:
+                    self._in_flight -= 1
+
+    def _run_staged_item(self, item) -> None:
+        bucket_len, reqs, padded, run_params, staged = item
+        self.batch_sizes.append(len(reqs))
+        queue_ms = max(
+            (time.monotonic() - r.enqueued_at) * 1000 for r in reqs
+        )
+        try:
+            with span("serving.batch", size=len(reqs),
+                      bucket=bucket_len, queue_ms=round(queue_ms, 1)):
+                if staged is not None:
+                    if self.mesh is not None:
                         with self.mesh:
-                            results = self.engine.transcribe_batch(
-                                padded, run_params
-                            )
+                            results = self.engine.transcribe_staged(staged)
                     else:
+                        results = self.engine.transcribe_staged(staged)
+                elif self.mesh is not None:
+                    with self.mesh:
                         results = self.engine.transcribe_batch(
                             padded, run_params
                         )
-            except Exception as e:
-                _log.exception("serving staged run failed")
-                for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
-                continue
-            for r, res in zip(reqs, results):
-                r.future.set_result(res)
+                else:
+                    results = self.engine.transcribe_batch(
+                        padded, run_params
+                    )
+        except Exception as e:
+            _log.exception("serving staged run failed")
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
+            return
+        for r, res in zip(reqs, results):
+            r.future.set_result(res)
 
     def _run_group(
         self, bucket_len: Optional[int], reqs: List[_Request]

@@ -556,9 +556,13 @@ def _config15():
     eng = WhisperEngine(dtype=jnp.bfloat16, quantize_decoder=True)
     eng.load_model("random:large-v3")
     rng = np.random.default_rng(0)
+    # int8 cross-KV halves the per-row HBM footprint, so batches beyond
+    # config 12's bf16 limit of 16 fit; larger batches amortize the
+    # weight reads (BENCH_LV3_BATCH to sweep).
+    bsz = int(os.environ.get("BENCH_LV3_BATCH", "16"))
     batch = [
         (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
-        for _ in range(16)
+        for _ in range(bsz)
     ]
     p = TranscribeParams(
         language="en", condition_on_previous_text=False,
@@ -568,9 +572,9 @@ def _config15():
     dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
     kernel = os.environ.get("SPITTLE_DECODE_CROSS_KERNEL", "0") == "1"
     report(
-        "whisper-large-v3 batch 16, int8 decoder weights + int8 cross-KV"
+        f"whisper-large-v3 batch {bsz}, int8 decoder weights + int8 cross-KV"
         + (" (Pallas in-kernel dequant)" if kernel else " (XLA path)"),
-        16 * 30.0, dt,
+        bsz * 30.0, dt,
     )
 
 

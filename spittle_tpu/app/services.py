@@ -34,18 +34,18 @@ def default_engine_factory(engine_type: str):
 
     TPU-serving extras are env-gated (they have no reference-settings
     counterpart): SPITTLE_QUANTIZE_DECODER=1 turns on int8 decoder
-    weights + cross-KV; SPITTLE_DRAFT_MODEL=<path> loads a speculative
-    draft after the main model.
+    weights + cross-KV; SPITTLE_QUANTIZE_ENCODER=1 turns on W8A8 int8
+    encoder GEMMs (2x-rate MXU int8 mode); SPITTLE_WIRE=mulaw ships audio
+    host->device as companded 8-bit (audio/mulaw.py) instead of int16;
+    SPITTLE_DRAFT_MODEL=<path> loads a speculative draft after the main
+    model.
     """
     import os
 
     if engine_type == "whisper":
         from spittle_tpu.engine.whisper_engine import WhisperEngine
 
-        engine = WhisperEngine(
-            quantize_decoder=os.environ.get(
-                "SPITTLE_QUANTIZE_DECODER", "0") == "1",
-        )
+        engine = WhisperEngine.from_env()
         draft = os.environ.get("SPITTLE_DRAFT_MODEL")
         if draft:
             _load = engine.load_model

@@ -84,7 +84,7 @@ def cmd_transcribe(args) -> int:
 
         audio = np.asarray(resample(normalize_pcm(audio), rate, 16000))
 
-    engine = WhisperEngine()
+    engine = WhisperEngine.from_env()
     with tracer.span("model_load"):
         engine.load_model(args.model)
         if args.draft_model:
@@ -177,7 +177,7 @@ def cmd_serve(args) -> int:
     from spittle_tpu.parallel.http_server import TranscriptionHTTPServer
     from spittle_tpu.parallel.serving import BatchingTranscriptionServer
 
-    engine = WhisperEngine()
+    engine = WhisperEngine.from_env()
     engine.load_model(args.model)
     if args.draft_model:
         engine.load_draft_model(args.draft_model)

@@ -56,14 +56,19 @@ FRAMES_PER_SECOND = 100
 
 
 def _pcm_f32(w: jnp.ndarray) -> jnp.ndarray:
-    """Device-side PCM normalize: int16 wire format -> float32 [-1, 1).
+    """Device-side PCM normalize: wire format -> float32 [-1, 1).
 
     Audio ships to the device as int16 (the mic's native format) because
     the host->device link is the scarce resource in serving — int16
-    halves the bytes of the dominant transfer; the convert fuses into the
-    mel program."""
+    halves the bytes of the dominant transfer; uint8 is the opt-in mu-law
+    wire (audio/mulaw.py), one byte per sample. Either convert fuses into
+    the mel program."""
     if w.dtype == jnp.int16:
         return w.astype(jnp.float32) / 32768.0
+    if w.dtype == jnp.uint8:
+        from spittle_tpu.audio.mulaw import mulaw_decode_jnp
+
+        return mulaw_decode_jnp(w)
     return w.astype(jnp.float32)
 
 
@@ -114,15 +119,26 @@ class WhisperEngine:
         dtype=jnp.float32,
         suppress_non_speech: bool = False,
         quantize_decoder: bool = False,
+        quantize_encoder: bool = False,
+        wire: str = "auto",
     ):
         """suppress_non_speech mirrors whisper.cpp's
         suppress_non_speech_tokens (default false there too).
         quantize_decoder: weight-only int8 on the decoder blocks — halves
         per-token HBM weight traffic (the whisper.cpp-q8 analog, served
-        TPU-native; see ops/quant.py)."""
+        TPU-native; see ops/quant.py).
+        quantize_encoder: W8A8 int8 on the encoder block GEMMs — runs the
+        compute-bound encoder on the MXU's 2x-rate int8 mode with dynamic
+        activation quantization (ops/quant.py:_mm_w8a8).
+        wire: host->device audio wire format — "auto" ships the input's
+        own dtype (int16 in, int16 across; the lossless default) or
+        "mulaw" companded 8-bit (audio/mulaw.py; halves transfer again
+        for transfer-bound links)."""
         self.dtype = dtype
         self.suppress_non_speech = suppress_non_speech
         self.quantize_decoder = quantize_decoder
+        self.quantize_encoder = quantize_encoder
+        self.wire = wire
         self.draft_cfg: Optional[WhisperConfig] = None
         self.draft_params = None
         # Model-specific DTW heads (alignment_heads.json sidecar); None ->
@@ -143,6 +159,23 @@ class WhisperEngine:
         # Speculative-decode telemetry from the most recent decode call
         # (mean rounds / accepted draft tokens / emitted length).
         self.last_spec_stats: Optional[Dict[str, float]] = None
+
+    @classmethod
+    def from_env(cls, **overrides) -> "WhisperEngine":
+        """Engine with serving options from SPITTLE_* env flags.
+
+        The CLI and the app factory share these TPU-serving knobs (they
+        have no reference-settings counterpart): SPITTLE_QUANTIZE_DECODER,
+        SPITTLE_QUANTIZE_ENCODER, SPITTLE_WIRE (auto|mulaw)."""
+        opts = dict(
+            quantize_decoder=os.environ.get(
+                "SPITTLE_QUANTIZE_DECODER", "0") == "1",
+            quantize_encoder=os.environ.get(
+                "SPITTLE_QUANTIZE_ENCODER", "0") == "1",
+            wire=os.environ.get("SPITTLE_WIRE", "auto"),
+        )
+        opts.update(overrides)
+        return cls(**opts)
 
     # -- lifecycle -------------------------------------------------------
 
@@ -190,6 +223,10 @@ class WhisperEngine:
             from spittle_tpu.ops.quant import quantize_whisper_decoder
 
             self.params = quantize_whisper_decoder(self.params)
+        if self.quantize_encoder:
+            from spittle_tpu.ops.quant import quantize_whisper_encoder_w8a8
+
+            self.params = quantize_whisper_encoder_w8a8(self.params)
         space = self.tokenizer.encode(" ")
         self._space_token = space[0] if space else None
 
@@ -320,6 +357,10 @@ class WhisperEngine:
             if chunk.dtype == np.int16 and not all_i16:
                 chunk = chunk.astype(np.float32) / 32768.0
             windows[wi, : len(chunk)] = chunk
+        if self.wire == "mulaw":
+            from spittle_tpu.audio.mulaw import mulaw_encode
+
+            return mulaw_encode(windows)
         return windows
 
     def _frontend(self, windows: np.ndarray) -> jnp.ndarray:

@@ -35,6 +35,10 @@ def is_quant(w: Any) -> bool:
     return isinstance(w, dict) and "qw" in w and "scale" in w
 
 
+def is_quant_w8a8(w: Any) -> bool:
+    return isinstance(w, dict) and "qw8" in w and "scale" in w
+
+
 def quantize_weight(w: jnp.ndarray) -> QuantW:
     """Symmetric per-output-channel int8: w ≈ qw * scale[None, :]."""
     w32 = jnp.asarray(w, jnp.float32)
@@ -45,30 +49,73 @@ def quantize_weight(w: jnp.ndarray) -> QuantW:
 
 
 def dequantize_weight(q: QuantW, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return (q["qw"].astype(jnp.float32) * q["scale"][None, :]).astype(dtype)
+    qw = q["qw8"] if "qw8" in q else q["qw"]
+    return (qw.astype(jnp.float32) * q["scale"][None, :]).astype(dtype)
+
+
+def quantize_weight_w8a8(w: jnp.ndarray) -> QuantW:
+    """Symmetric per-output-channel int8 tagged for the W8A8 compute path.
+
+    Same numbers as quantize_weight, different dict key ("qw8") so `mm`
+    dispatches to the int8xint8 MXU dot with dynamic activation
+    quantization instead of the weight-only convert-and-dot. Kept as a
+    distinct representation because the trade is different: weight-only
+    halves weight HBM traffic (memory-bound decode), W8A8 doubles MXU
+    throughput (compute-bound encoder) at the cost of ~0.5% activation
+    rounding error per matmul.
+    """
+    q = quantize_weight(w)
+    return {"qw8": q["qw"], "scale": q["scale"]}
+
+
+def _mm_w8a8(x: jnp.ndarray, w: QuantW) -> jnp.ndarray:
+    """Dynamically quantize activations per row and run an int8 MXU dot.
+
+    x [..., K] @ qw8 [K, N]: per-row symmetric scales factor out of the
+    dot exactly — y = (qx @ qw) * sx[..., None] * sw[None, :]. The int8
+    dot runs the MXU in int8 mode (2x the bf16 FLOP rate on v5e-class
+    chips); amax/round/clip are cheap VPU work fused around it.
+    """
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    qx = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        qx, w["qw8"],
+        dimension_numbers=(((qx.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * sx * w["scale"]).astype(x.dtype)
 
 
 def mm(x: jnp.ndarray, w: WeightLike) -> jnp.ndarray:
     """x @ w for plain or quantized weights.
 
-    Quantized path: int8 -> x.dtype convert feeding straight into the
+    Weight-only path: int8 -> x.dtype convert feeding straight into the
     dot (fused by XLA), then a per-column rescale folded into the
-    epilogue. Scaling after the matmul keeps the MXU operands compact.
+    epilogue. W8A8 path ("qw8" key): dynamic activation quant + int8 MXU
+    dot (see _mm_w8a8). Plain float trees trace to byte-identical
+    programs as before.
     """
+    if is_quant_w8a8(w):
+        return _mm_w8a8(x, w)
     if not is_quant(w):
         return x @ w
     y = x @ w["qw"].astype(x.dtype)
     return y * w["scale"].astype(x.dtype)
 
 
-def quantize_tree(tree: Any, keys: tuple = ()) -> Any:
+def quantize_tree(tree: Any, keys: tuple = (), mode: str = "weight") -> Any:
     """Quantize selected weight leaves of a param tree.
 
     keys: leaf names to quantize (e.g. ("wq","wk","wv","wo","fc1_w",...)).
     Matching leaves must be 2-D [in, out] or stacked 3-D [L, in, out]
     (per-layer scales are computed independently via vmap).
+    mode: "weight" (weight-only int8, memory saver) or "w8a8" (int8 MXU
+    compute path; see quantize_weight_w8a8).
     """
     kset = set(keys)
+    quant = quantize_weight_w8a8 if mode == "w8a8" else quantize_weight
 
     def walk(node):
         if isinstance(node, dict):
@@ -76,9 +123,9 @@ def quantize_tree(tree: Any, keys: tuple = ()) -> Any:
             for name, child in node.items():
                 if name in kset and hasattr(child, "ndim"):
                     if child.ndim == 2:
-                        out[name] = quantize_weight(child)
+                        out[name] = quant(child)
                     elif child.ndim == 3:
-                        out[name] = jax.vmap(quantize_weight)(child)
+                        out[name] = jax.vmap(quant)(child)
                     else:
                         out[name] = child
                 else:
@@ -121,6 +168,30 @@ WHISPER_DECODER_QUANT_KEYS = (
     "cross_wq", "cross_wo",
     "fc1_w", "fc2_w",
 )
+
+
+# Encoder block leaves worth quantizing for W8A8 compute: every GEMM the
+# 1500-frame forward runs per layer. The conv stem and layernorms stay
+# bf16/f32 (tiny share of the FLOPs; conv quality is disproportionately
+# sensitive).
+WHISPER_ENCODER_QUANT_KEYS = ("wq", "wk", "wv", "wo", "fc1_w", "fc2_w")
+
+
+def quantize_whisper_encoder_w8a8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """W8A8-quantize the encoder block GEMMs of a Whisper param tree.
+
+    Unlike the decoder (memory-bound: weight-only int8 halves HBM reads),
+    the encoder is compute-bound at batch serving shapes — the win is the
+    int8 MXU mode's 2x FLOP rate, which needs BOTH operands int8, hence
+    dynamic activation quantization inside `mm` (see _mm_w8a8).
+    """
+    out = dict(params)
+    enc = dict(params["encoder"])
+    enc["blocks"] = quantize_tree(
+        enc["blocks"], WHISPER_ENCODER_QUANT_KEYS, mode="w8a8"
+    )
+    out["encoder"] = enc
+    return out
 
 
 def quantize_whisper_decoder(params: Dict[str, Any]) -> Dict[str, Any]:

@@ -195,3 +195,106 @@ def test_whisper_greedy_quant_kv_padded_matches_unpadded(tiny, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(ref["tokens"]), np.asarray(got["tokens"])
     )
+
+
+# ---------------------------------------------------------------------------
+# W8A8 (int8 MXU compute path) — encoder quantization
+# ---------------------------------------------------------------------------
+
+
+def test_mm_w8a8_matches_plain_within_quant_error():
+    from spittle_tpu.ops.quant import is_quant_w8a8, quantize_weight_w8a8
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((6, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+    q = quantize_weight_w8a8(w)
+    assert is_quant_w8a8(q) and not is_quant(q)
+    assert q["qw8"].dtype == jnp.int8
+    exact = np.asarray(x @ w)
+    approx = np.asarray(mm(x, q))
+    rel = np.linalg.norm(approx - exact) / np.linalg.norm(exact)
+    # both operands carry int8 rounding; budget ~2x the weight-only error
+    assert rel < 3e-2
+
+
+def test_mm_w8a8_batched_3d_activations():
+    from spittle_tpu.ops.quant import quantize_weight_w8a8
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    got = np.asarray(mm(x, quantize_weight_w8a8(w)))
+    ref = np.asarray(x @ w)
+    assert got.shape == ref.shape
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 3e-2
+
+
+def test_mm_w8a8_zero_rows_finite():
+    """All-zero activation rows must not divide by zero."""
+    from spittle_tpu.ops.quant import quantize_weight_w8a8
+
+    x = jnp.zeros((3, 16), jnp.float32)
+    w = jnp.asarray(
+        np.random.default_rng(9).standard_normal((16, 8)).astype(np.float32)
+    )
+    out = np.asarray(mm(x, quantize_weight_w8a8(w)))
+    assert np.all(out == 0)
+
+
+def test_quantize_tree_w8a8_stacked_layers():
+    from spittle_tpu.ops.quant import is_quant_w8a8
+
+    rng = np.random.default_rng(10)
+    tree = {
+        "fc1_w": jnp.asarray(
+            rng.standard_normal((3, 16, 8)).astype(np.float32)
+        ),
+        "bq": jnp.zeros((3, 8)),
+    }
+    out = quantize_tree(tree, ("fc1_w",), mode="w8a8")
+    assert is_quant_w8a8(out["fc1_w"])
+    assert out["fc1_w"]["qw8"].shape == (3, 16, 8)
+    assert out["fc1_w"]["scale"].shape == (3, 8)
+
+
+def test_whisper_encoder_w8a8_output_close(tiny):
+    from spittle_tpu.ops.quant import quantize_whisper_encoder_w8a8
+
+    cfg, params = tiny
+    qparams = quantize_whisper_encoder_w8a8(params)
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(
+            np.float32
+        )
+    )
+    ref = np.asarray(encode(params, mel, cfg))
+    got = np.asarray(encode(qparams, mel, cfg))
+    assert got.shape == ref.shape
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-2
+
+
+def test_whisper_greedy_encoder_w8a8_runs(tiny):
+    """End-to-end: greedy decode over a W8A8 encoder produces valid tokens
+    (sequence content may legitimately differ from bf16 on a random model;
+    the decode itself must run and terminate)."""
+    from spittle_tpu.ops.quant import quantize_whisper_encoder_w8a8
+
+    cfg, params = tiny
+    qparams = quantize_whisper_encoder_w8a8(params)
+    rng = np.random.default_rng(12)
+    mel = jnp.asarray(
+        rng.standard_normal((1, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(
+            np.float32
+        )
+    )
+    xa = encode(qparams, mel, cfg)
+    out = greedy_decode(
+        qparams, xa, cfg, DecodeOptions(max_tokens=8, language="en")
+    )
+    toks = np.asarray(out["tokens"])
+    assert toks.shape[0] == 1
+    assert np.all((toks >= 0) & (toks < cfg.n_vocab))

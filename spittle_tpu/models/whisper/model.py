@@ -48,6 +48,7 @@ from spittle_tpu.ops.attention import (
     decode_cross_attention,
     decode_cross_attention_q8,
     multihead_attention,
+    multihead_attention_packed,
     use_decode_cross_kernel,
     use_decode_cross_kernel_q8,
 )
@@ -190,13 +191,20 @@ def init_params(
 
 
 def _attn_full(x, blk, n_head, causal):
-    """Self-attention over a full sequence (encoder / teacher-forced)."""
+    """Self-attention over a full sequence (encoder / teacher-forced).
+
+    q/k/v stay in the packed [B, T, H*Dh] projection layout end to end:
+    the head split happens inside the attention kernel's BlockSpec index
+    maps (ops/attention.py:multihead_attention_packed), so no transposed
+    copies of the 184 MB-per-tensor activations hit HBM at the headline
+    shape. Scaling by head_dim**-0.25 commutes with the (pure reshape)
+    head split, so numerics are unchanged."""
     scale = (x.shape[-1] // n_head) ** -0.25
-    q = _split_heads(mm(x, blk["wq"]) + blk["bq"], n_head) * scale
-    k = _split_heads(mm(x, blk["wk"]), n_head) * scale
-    v = _split_heads(mm(x, blk["wv"]) + blk["bv"], n_head)
-    o = multihead_attention(q, k, v, causal=causal)
-    return mm(_merge_heads(o), blk["wo"]) + blk["bo"]
+    q = (mm(x, blk["wq"]) + blk["bq"]) * scale
+    k = mm(x, blk["wk"]) * scale
+    v = mm(x, blk["wv"]) + blk["bv"]
+    o = multihead_attention_packed(q, k, v, n_head, causal=causal)
+    return mm(o, blk["wo"]) + blk["bo"]
 
 
 def _mlp(x, blk):

@@ -161,7 +161,7 @@ def flash_attention(
 
 
 def _fullkv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, causal: bool,
-                   block_q: int):
+                   block_q: int, q_axis: int = 1):
     """Single-pass attention with the whole K/V resident in VMEM.
 
     For encoder-scale sequences (1536 x 64 per head: K+V = 384 KB bf16) the
@@ -185,7 +185,7 @@ def _fullkv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, causal: bool,
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     if causal:
-        qi = pl.program_id(1)
+        qi = pl.program_id(q_axis)  # grid axis carrying the q-block index
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
         keep = (row >= col) & (col < kv_len)
@@ -239,6 +239,114 @@ def flash_attention_fullkv(
         ),
     )(qf, kf, vf)
     return out.reshape(b, h, tq, d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "causal", "kv_len", "block_q", "interpret"),
+)
+def flash_attention_fullkv_packed(
+    q: jnp.ndarray,  # [B, T, H*D] packed heads (raw projection layout)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_head: int,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+    block_q: int = 512,
+    interpret: bool = False,  # CPU numerics tests (no TPU in CI)
+) -> jnp.ndarray:
+    """Full-KV attention over PACKED heads: q/k/v stay [B, T, H*D].
+
+    The [B, T, H*D] -> [B, H, T, D] head split is pure data movement, but
+    a Pallas custom call pins its operands' physical layout, so feeding
+    the split tensors materializes three transposed copies (and the merge
+    a fourth) — ~4 x 184 MB of HBM round-trips per layer at the headline
+    shape (turbo batch 48). Here the head slice happens in the BlockSpec
+    index map instead: program (b, h, qi) reads block [1, block_q, D] at
+    column offset h*D straight out of the projection output, and writes
+    its output block to the same packed layout the wo matmul consumes.
+    Zero transposes touch HBM.
+
+    Grid order (B, H, num_q) iterates qi fastest, so consecutive programs
+    reuse the same resident K/V block (Pallas skips the re-DMA when the
+    block index is unchanged)."""
+    b, tq, hd = q.shape
+    d = hd // n_head
+    tk = k.shape[1]
+    assert tq % block_q == 0, (tq, block_q)
+    kv_len = tk if kv_len is None else kv_len
+    kernel = functools.partial(
+        _fullkv_kernel, kv_len=kv_len, causal=causal, block_q=block_q,
+        q_axis=2,  # grid is (b, h, qi)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_head, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bb, h, qi: (bb, qi, h)),
+            pl.BlockSpec((1, tk, d), lambda bb, h, qi: (bb, 0, h)),
+            pl.BlockSpec((1, tk, d), lambda bb, h, qi: (bb, 0, h)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bb, h, qi: (bb, qi, h)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tq, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_head * tq * tk * d,
+            bytes_accessed=(q.size * 2 + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * n_head * tq * tk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def multihead_attention_packed(
+    q: jnp.ndarray,  # [B, T, H*D] packed heads, q/k pre-scaled
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_head: int,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Packed-heads dispatch: fullkv Pallas kernel on TPU without ever
+    splitting heads in HBM; falls back to split + multihead_attention
+    elsewhere. Returns [B, T, H*D]."""
+    b, tq, hd = q.shape
+    d = hd // n_head
+    tk = k.shape[1]
+    if (
+        DISABLE_PALLAS
+        or not _on_tpu()
+        or d not in (64, 128)
+        or tq < 128
+        or tk > _FULLKV_MAX_KV
+    ):
+        def split(x):
+            return x.reshape(b, -1, n_head, d).transpose(0, 2, 1, 3)
+
+        o = multihead_attention(
+            split(q), split(k), split(v), causal=causal, kv_len=kv_len
+        )
+        return o.transpose(0, 2, 1, 3).reshape(b, tq, hd)
+
+    real_kv = kv_len if kv_len is not None else tk
+    if tq % 768 == 0 or tq > 1024:
+        block_q = 768
+    elif tq >= 512:
+        block_q = 512
+    else:
+        block_q = 128
+    pq = (-tq) % block_q
+    pk = (-tk) % 128
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+    out = flash_attention_fullkv_packed(
+        q, k, v, n_head, causal=causal, kv_len=real_kv, block_q=block_q
+    )
+    return out[:, :tq]
 
 
 def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):

@@ -67,6 +67,7 @@ def main():
         "9": _config9, "9f": lambda: _config9(fit_audio_ctx=True),
         "10": _config10, "11": _config11, "12": _config12,
         "13": _config13, "14": _config14, "15": _config15,
+        "16": _config16, "17": _config17, "18": _config18,
     }
     if "--only" in sys.argv:  # e.g. --only 12,13,14
         picks = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -576,6 +577,113 @@ def _config15():
         + (" (Pallas in-kernel dequant)" if kernel else " (XLA path)"),
         bsz * 30.0, dt,
     )
+
+
+
+def _config16():
+    # 16. Turbo headline shape A/B: W8A8 int8 encoder GEMMs
+    # (quantize_encoder=True) vs bf16. The encoder is the compute-bound
+    # stage of the headline batch (1417 ms of ~2.1 s at batch 48); the
+    # int8 MXU mode doubles the FLOP rate if XLA lowers the dynamic-quant
+    # dot to it (scripts/probe_int8_gemm.py measures the primitive).
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_TURBO_BATCH", "48"))
+    batch = [
+        (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+        for _ in range(bsz)
+    ]
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=96, temperatures=(0.0,),
+    )
+    for qenc in (False, True):
+        eng = WhisperEngine(dtype=jnp.bfloat16, quantize_encoder=qenc)
+        eng.load_model("random:large-v3-turbo")
+        eng.transcribe_batch(batch, p)  # warmup/compile
+        dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+        report(
+            f"whisper-large-v3-turbo batch {bsz}, encoder "
+            + ("W8A8 int8" if qenc else "bf16 (A/B baseline)"),
+            bsz * 30.0, dt,
+        )
+
+
+def _config17():
+    # 17. Wire-format A/B at the sustained headline shape: int16 vs
+    # 8-bit mu-law (audio/mulaw.py). The tunneled h2d link caps the
+    # headline at ~(bytes/bandwidth); mu-law halves the bytes. Uses
+    # transcribe_stream so the transfer overlap is in play — exactly the
+    # headline's pipeline.
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_TURBO_BATCH", "48"))
+    n_batches = 3
+
+    def make_batch():
+        return [
+            (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+            for _ in range(bsz)
+        ]
+
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=96, temperatures=(0.0,),
+    )
+    for wire in ("auto", "mulaw"):
+        eng = WhisperEngine(dtype=jnp.bfloat16, wire=wire)
+        eng.load_model("random:large-v3-turbo")
+        for _ in eng.transcribe_stream([make_batch()], p):
+            pass
+        t0 = time.perf_counter()
+        n_done = 0
+        for results in eng.transcribe_stream(
+            [make_batch() for _ in range(n_batches)], p
+        ):
+            n_done += len(results)
+        dt = time.perf_counter() - t0
+        report(
+            f"whisper-large-v3-turbo sustained {n_batches} x batch {bsz}, "
+            + ("mu-law 8-bit wire" if wire == "mulaw" else "int16 wire (A/B baseline)"),
+            n_done * 30.0, dt,
+        )
+
+
+
+def _config18():
+    # 18. Turbo decode-quant A/B at the headline batch: int8 decoder
+    # weights + int8 cross-KV vs bf16. Per decode step at batch 48 the
+    # chip reads ~1.5 GB of cross-KV + ~0.2 GB weights (76% cross-KV) —
+    # the same HBM-bound structure that made int8 win on large-v3
+    # (config 15: 274x vs 230x). Earlier turbo measurements predate the
+    # time-minor KV layout; re-measure.
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_TURBO_BATCH", "48"))
+    batch = [
+        (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+        for _ in range(bsz)
+    ]
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=96, temperatures=(0.0,),
+    )
+    for qdec in (False, True):
+        eng = WhisperEngine(dtype=jnp.bfloat16, quantize_decoder=qdec)
+        eng.load_model("random:large-v3-turbo")
+        eng.transcribe_batch(batch, p)  # warmup/compile
+        dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+        report(
+            f"whisper-large-v3-turbo batch {bsz}, decoder "
+            + ("int8 W+KV" if qdec else "bf16 (A/B baseline)"),
+            bsz * 30.0, dt,
+        )
 
 
 if __name__ == "__main__":

@@ -357,7 +357,8 @@ class WhisperEngine:
             if chunk.dtype == np.int16 and not all_i16:
                 chunk = chunk.astype(np.float32) / 32768.0
             windows[wi, : len(chunk)] = chunk
-        if self.wire == "mulaw":
+        # getattr: duck-typed stubs (tests) borrow this method unbound
+        if getattr(self, "wire", "auto") == "mulaw":
             from spittle_tpu.audio.mulaw import mulaw_encode
 
             return mulaw_encode(windows)

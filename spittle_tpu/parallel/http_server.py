@@ -6,8 +6,8 @@ apps POST audio here and the BatchingTranscriptionServer coalesces
 concurrent sessions into device batches.
 
 Endpoints:
-  POST /transcribe   body: WAV bytes, raw f32 PCM, or raw s16le PCM
-                     (X-PCM-Format: s16le; X-Sample-Rate for raw) ->
+  POST /transcribe   body: WAV bytes, raw f32 PCM, raw s16le, or mu-law PCM
+                     (X-PCM-Format: s16le | mulaw; X-Sample-Rate for raw) ->
                      {"text", "language", "segments": [...]}
   GET  /healthz      {"ok": true, "batches": [...recent batch sizes...]}
 
@@ -35,10 +35,13 @@ def _parse_audio(
     sample_rate: Optional[int],
     pcm_format: str = "",
 ):
-    """WAV bytes, raw f32le, or raw s16le (X-PCM-Format: s16le).
+    """WAV bytes, raw f32le, raw s16le, or 8-bit mu-law
+    (X-PCM-Format: s16le | mulaw).
 
     int16 stays int16 when no resample is needed — it is the engine's
-    wire format (half the host->device bytes, normalized on device)."""
+    wire format (half the host->device bytes, normalized on device).
+    mu-law (audio/mulaw.py) halves the CLIENT->server bytes too; it
+    decodes to int16 here so the device wire stays compact."""
     from spittle_tpu.audio.resample import resample
     from spittle_tpu.audio.wav import load_wav_file
     import tempfile, os
@@ -51,6 +54,13 @@ def _parse_audio(
             audio, rate = load_wav_file(path, keep_int16=True)
         finally:
             os.unlink(path)
+    elif pcm_format == "mulaw":
+        from spittle_tpu.audio.mulaw import mulaw_decode_np
+
+        audio = (
+            mulaw_decode_np(np.frombuffer(body, np.uint8)) * 32767.0
+        ).astype(np.int16)
+        rate = sample_rate or 16000
     elif pcm_format == "s16le":
         audio = np.frombuffer(body, "<i2")
         rate = sample_rate or 16000

@@ -161,6 +161,16 @@ class TestHttpFront:
         payload = json.loads(resp.read())
         assert payload["text"] == "len=16000"  # 1 s -> 16000-bucket
 
+        # 8-bit mu-law wire (X-PCM-Format: mulaw): one byte per sample
+        from spittle_tpu.audio.mulaw import mulaw_encode
+        mu = mulaw_encode(np.ones(16000, np.float32) * 0.1).tobytes()
+        assert len(mu) == 16000
+        conn.request("POST", "/transcribe", mu,
+                     headers={"X-PCM-Format": "mulaw"})
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert payload["text"] == "len=16000"
+
         conn.request("GET", "/healthz")
         resp = conn.getresponse()
         health = json.loads(resp.read())

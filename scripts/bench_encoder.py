@@ -128,6 +128,30 @@ def main():
     print(f"ref gemm fc1-shape  {t*1e3:8.1f} ms   "
           f"{flops/t/1e12:6.1f} TF/s", flush=True)
 
+    # int8 ceiling at the same shape (the W8A8 path's MXU mode)
+    xi = jnp.asarray(rng.integers(-127, 128, xx.shape), jnp.int8)
+    wi = jnp.asarray(rng.integers(-127, 128, w.shape), jnp.int8)
+
+    @jax.jit
+    def gemm_i8(xi):
+        return jax.lax.dot(xi, wi, preferred_element_type=jnp.int32)
+
+    t = timed(lambda: gemm_i8(xi))
+    print(f"ref gemm int8       {t*1e3:8.1f} ms   "
+          f"{flops/t/1e12:6.1f} TOP/s", flush=True)
+
+    # W8A8-quantized block stack (mm dispatches to the int8 dot)
+    from spittle_tpu.ops.quant import (
+        WHISPER_ENCODER_QUANT_KEYS, quantize_tree,
+    )
+
+    qblocks = quantize_tree(
+        enc["blocks"], WHISPER_ENCODER_QUANT_KEYS, mode="w8a8"
+    )
+    t = timed(lambda: _encoder_blocks(qblocks, x, cfg.n_audio_head))
+    print(f"blocks scan W8A8    {t*1e3:8.1f} ms   "
+          f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -120,3 +120,25 @@ def test_engine_mulaw_wire_end_to_end():
     assert [s.text for r in got for s in r.segments] == [
         s.text for r in ref for s in r.segments
     ]
+
+
+def test_transcribe_stream_mulaw_staged_path():
+    """The prefetch/staging pipeline (stage_batch -> transcribe_staged)
+    must carry uint8 mu-law windows to the device and decode there."""
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    t = np.arange(16000 * 3) / 16000.0
+    mk = lambda f: (np.sin(2 * np.pi * f * t) * 0.3 * 32768).astype(np.int16)
+    eng = WhisperEngine(wire="mulaw")
+    eng.load_model("random:tiny")
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=8, temperatures=(0.0,),
+    )
+    batches = [[mk(300), mk(500)], [mk(700)]]
+    out = list(eng.transcribe_stream(batches, p))
+    assert [len(r) for r in out] == [2, 1]
+    for group in out:
+        for r in group:
+            assert r.segments is not None

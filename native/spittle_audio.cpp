@@ -12,6 +12,7 @@
 // C ABI for ctypes; no dependencies beyond the C++17 standard library.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <new>
@@ -261,6 +262,50 @@ int64_t resampler_pending_out(const Resampler* r) {
 // Rust (audio_toolkit/text.rs); this is the same O(n*m) single-row DP over
 // Unicode codepoints, called from text/filters.py for every (n-gram,
 // custom-word) pair. Inputs are UTF-32 arrays prepared by the Python side.
+
+// -- mu-law wire encode hot path ---------------------------------------------
+//
+// Serving's 8-bit audio wire (spittle_tpu/audio/mulaw.py): the encode runs
+// on the host assembly thread for every outgoing batch (~23M samples per
+// batch-48 group), where the numpy expression costs ~5 full passes over
+// the buffer. One branchless fused pass here; decode stays on-device.
+// Continuous mu-law curve (mu = 255), codes = round((y+1)*127.5) like the
+// Python reference — outputs must match it bit-for-bit (tested).
+
+static inline uint8_t mulaw_code(float x) {
+    // Bit-exact with the numpy reference requires mirroring its MIXED
+    // precision chain: np.log1p(MU*|x|) stays float32 (python-float
+    // scalars are weak in numpy 2), the divide by np.log1p(MU) (a
+    // float64 scalar) promotes to float64, and np.round rounds half to
+    // even in float64. Knife-edge codes (x.4999999…) flip otherwise.
+    float ax = x < 0.0f ? -x : x;
+    if (ax > 1.0f) ax = 1.0f;
+    float num = std::log1pf(255.0f * ax);            // f32, like numpy
+    double y = (double)num / 5.5451774444795623;      // f64 np.log1p(255.0)
+    double s = x < 0.0f ? -y : y;
+    double code = (s + 1.0) * 127.5;
+    double r = std::nearbyint(code);                  // half-to-even
+    return (uint8_t)r;
+}
+
+void mulaw_encode_f32(const float* src, int64_t n, uint8_t* dst) {
+    for (int64_t i = 0; i < n; ++i) dst[i] = mulaw_code(src[i]);
+}
+
+void mulaw_encode_i16(const int16_t* src, int64_t n, uint8_t* dst) {
+    // int16 has only 65536 values: precompute the exact code table once
+    // (same formula), then encoding is one gather per sample (~20x the
+    // per-sample log1pf loop; the encode sits on the serving stager
+    // thread next to a transfer it exists to halve).
+    static const uint8_t* table = [] {  // magic static: thread-safe init
+        static uint8_t t[65536];
+        const float k = 1.0f / 32768.0f;
+        for (int v = -32768; v < 32768; ++v)
+            t[(uint16_t)(int16_t)v] = mulaw_code((int16_t)v * k);
+        return t;
+    }();
+    for (int64_t i = 0; i < n; ++i) dst[i] = table[(uint16_t)src[i]];
+}
 
 int64_t levenshtein_u32(const uint32_t* a, int64_t n,
                         const uint32_t* b, int64_t m) {

@@ -27,14 +27,56 @@ MU = 255.0
 
 
 def mulaw_encode(audio: np.ndarray) -> np.ndarray:
-    """f32 [-1,1] or int16 PCM -> uint8 mu-law codes."""
+    """f32 [-1,1] or int16 PCM -> uint8 mu-law codes.
+
+    Encode sits on the host batch-assembly thread (~23M samples per
+    headline batch group), so it prefers the single-pass native loop
+    (native/spittle_audio.cpp mulaw_encode_*, bit-identical to the numpy
+    expression below); numpy is the fallback when g++ is unavailable."""
     x = np.asarray(audio)
+    out = _mulaw_encode_native(x)
+    if out is not None:
+        return out
     if x.dtype == np.int16:
         x = x.astype(np.float32) / 32768.0
     else:
         x = np.clip(x.astype(np.float32), -1.0, 1.0)
     y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
     return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def _mulaw_encode_native(x: np.ndarray):
+    """Native one-pass encode, or None when the library isn't available."""
+    import ctypes
+
+    from spittle_tpu.native.ringbuffer import load_native
+
+    lib = load_native()
+    if lib is None or x.dtype not in (np.int16, np.float32):
+        return None
+    if not hasattr(lib, "_mulaw_bound"):
+        lib.mulaw_encode_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.mulaw_encode_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib._mulaw_bound = True
+    flat = np.ascontiguousarray(x).reshape(-1)
+    out = np.empty(flat.shape, np.uint8)
+    n = ctypes.c_int64(flat.size)
+    dst = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if flat.dtype == np.int16:
+        lib.mulaw_encode_i16(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n, dst
+        )
+    else:
+        lib.mulaw_encode_f32(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, dst
+        )
+    return out.reshape(x.shape)
 
 
 def mulaw_decode_np(codes: np.ndarray) -> np.ndarray:

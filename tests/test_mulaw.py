@@ -142,3 +142,28 @@ def test_transcribe_stream_mulaw_staged_path():
     for group in out:
         for r in group:
             assert r.segments is not None
+
+
+def test_native_encode_bit_exact_full_domain():
+    """The native one-pass/table encoder (native/spittle_audio.cpp) must
+    match the numpy reference over the ENTIRE int16 domain and a dense
+    f32 sweep (knife-edge rounding is precision-chain-sensitive)."""
+    from spittle_tpu.audio.mulaw import _mulaw_encode_native
+
+    def np_ref(x):
+        if x.dtype == np.int16:
+            xf = x.astype(np.float32) / 32768.0
+        else:
+            xf = np.clip(x.astype(np.float32), -1.0, 1.0)
+        y = np.sign(xf) * np.log1p(MU * np.abs(xf)) / np.log1p(MU)
+        return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+    nat = _mulaw_encode_native
+    allv = np.arange(-32768, 32768, dtype=np.int32).astype(np.int16)
+    got = nat(allv)
+    if got is None:
+        pytest.skip("native lib unavailable (no g++)")
+    np.testing.assert_array_equal(got, np_ref(allv))
+
+    f = np.linspace(-1.2, 1.2, 2_000_001).astype(np.float32)
+    np.testing.assert_array_equal(nat(f), np_ref(f))

@@ -53,6 +53,19 @@ def _capture_from_mic(seconds: float, device=None, tool=None):
     return np.asarray(audio, np.float32)
 
 
+def _engine_overrides(args) -> dict:
+    """CLI flags -> WhisperEngine.from_env overrides (flags win over env;
+    absent flags defer to SPITTLE_* / defaults)."""
+    ov = {}
+    if getattr(args, "wire", None):
+        ov["wire"] = args.wire
+    if getattr(args, "quantize_encoder", False):
+        ov["quantize_encoder"] = True
+    if getattr(args, "quantize_decoder", False):
+        ov["quantize_decoder"] = True
+    return ov
+
+
 def cmd_transcribe(args) -> int:
     import numpy as np
 
@@ -84,7 +97,7 @@ def cmd_transcribe(args) -> int:
 
         audio = np.asarray(resample(normalize_pcm(audio), rate, 16000))
 
-    engine = WhisperEngine.from_env()
+    engine = WhisperEngine.from_env(**_engine_overrides(args))
     with tracer.span("model_load"):
         engine.load_model(args.model)
         if args.draft_model:
@@ -177,7 +190,7 @@ def cmd_serve(args) -> int:
     from spittle_tpu.parallel.http_server import TranscriptionHTTPServer
     from spittle_tpu.parallel.serving import BatchingTranscriptionServer
 
-    engine = WhisperEngine.from_env()
+    engine = WhisperEngine.from_env(**_engine_overrides(args))
     engine.load_model(args.model)
     if args.draft_model:
         engine.load_draft_model(args.draft_model)
@@ -263,6 +276,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "needs no second checkpoint")
     t.add_argument("--draft-model", default=None,
                    help="small same-vocab model for speculative decoding")
+    t.add_argument("--wire", default=None, choices=["auto", "mulaw"],
+                   help="host->device audio wire format (default: "
+                        "SPITTLE_WIRE or auto)")
+    t.add_argument("--quantize-encoder", action="store_true",
+                   help="W8A8 int8 encoder GEMMs (int8 MXU mode)")
+    t.add_argument("--quantize-decoder", action="store_true",
+                   help="int8 decoder weights + int8 cross-KV")
     t.add_argument("--no-condition", action="store_true",
                    help="disable condition_on_previous_text prompt carry")
     t.add_argument("--audio-ctx", type=int, default=None,
@@ -303,6 +323,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="layer-dropped self-draft speculative decoding")
     s.add_argument("--draft-model", default=None,
                    help="small same-vocab model for speculative decoding")
+    s.add_argument("--wire", default=None, choices=["auto", "mulaw"])
+    s.add_argument("--quantize-encoder", action="store_true")
+    s.add_argument("--quantize-decoder", action="store_true")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8090)
     s.add_argument("--max-batch", type=int, default=32)

@@ -232,6 +232,55 @@ def _moe_mlp(x: jnp.ndarray, blk) -> jnp.ndarray:
     return out.reshape(b, t, d)
 
 
+def _moe_mlp_aux(x: jnp.ndarray, blk):
+    """MoE FFN returning (out, Switch load-balancing aux loss)."""
+    from spittle_tpu.parallel.expert_parallel import moe_ffn
+
+    b, t, d = x.shape
+    out, aux = moe_ffn(
+        {
+            "router_w": blk["moe_router"],
+            "w_in": blk["moe_w_in"],
+            "w_out": blk["moe_w_out"],
+        },
+        x.reshape(-1, d),
+    )
+    return out.reshape(b, t, d), aux["aux_loss"]
+
+
+def encoder_block_body_aux(h: jnp.ndarray, blk, n_head: int):
+    """encoder_block_body returning (h, aux_loss) — the training-path
+    variant. Kept separate from encoder_block_body so the inference
+    encode program's jaxpr (and its persistent compile cache entry) is
+    untouched; dense blocks report aux 0."""
+    h = h + _attn_full(layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"]),
+                       blk, n_head, causal=False)
+    xn = layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"])
+    if "moe_w_in" in blk:
+        out, aux = _moe_mlp_aux(xn, blk)
+    else:
+        out, aux = _mlp(xn, blk), jnp.asarray(0.0, jnp.float32)
+    return h + out, aux
+
+
+def encode_with_aux(params: Params, mel: jnp.ndarray, cfg: WhisperConfig):
+    """encode() that also returns the mean per-layer MoE aux loss.
+
+    Use in training objectives for MoE-variant configs (Switch eq. 4:
+    total = ce + alpha * aux); 0.0 for dense configs. Inference keeps
+    calling encode(), whose compiled program carries no aux arithmetic.
+    """
+    enc = params["encoder"]
+    x = _encoder_stem(enc, mel, cfg)
+
+    def body(h, blk):
+        h, aux = encoder_block_body_aux(h, blk, cfg.n_audio_head)
+        return h, aux
+
+    x, aux = jax.lax.scan(body, x, enc["blocks"])
+    return layer_norm(x, enc["ln_g"], enc["ln_b"]), jnp.mean(aux)
+
+
 def encoder_block_body(h: jnp.ndarray, blk, n_head: int) -> jnp.ndarray:
     """One encoder block (pre-LN attention + MLP residuals).
 
@@ -255,9 +304,8 @@ def _encoder_blocks(blocks, x, n_head: int):
     return x
 
 
-def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
-    """mel [B, n_mels, 3000] -> audio features [B, 1500, D]."""
-    enc = params["encoder"]
+def _encoder_stem(enc, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """Conv stem + positions: mel [B, n_mels, frames] -> [B, T, D]."""
     x = jax.lax.conv_general_dilated(
         mel.astype(enc["conv1_w"].dtype), enc["conv1_w"],
         window_strides=(1,), padding=[(1, 1)],
@@ -277,7 +325,13 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     # Reduced audio context (whisper.cpp params.audio_ctx analog): a mel
     # shorter than the full 30 s window encodes with the FIRST T
     # positions, so short utterances skip padded-frame compute entirely.
-    x = x + pos[None, : x.shape[1]]
+    return x + pos[None, : x.shape[1]]
+
+
+def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """mel [B, n_mels, 3000] -> audio features [B, 1500, D]."""
+    enc = params["encoder"]
+    x = _encoder_stem(enc, mel, cfg)
     x = _encoder_blocks(enc["blocks"], x, cfg.n_audio_head)
     return layer_norm(x, enc["ln_g"], enc["ln_b"])
 

@@ -6,11 +6,12 @@ for dictation jargon) and to exercise the full dp+tp sharded compute path:
 encoder + teacher-forced decoder + cross-entropy + AdamW, jitted over a
 ('data', 'model') mesh with parameters sharded per parallel.mesh rules.
 
-MoE-variant configs (cfg.moe_experts > 0) train through this step too —
-routing gradients flow via the gate probability (Switch semantics) — but
-the load-balancing aux loss is not yet added to the objective; add
-parallel.expert_parallel.moe_ffn's aux_loss to the loss before any long
-MoE fine-tune, or routing will collapse onto few experts.
+MoE-variant configs (cfg.moe_experts > 0) train through this step too:
+routing gradients flow via the gate probability (Switch semantics), and
+the objective adds the Switch load-balancing aux loss
+(parallel.expert_parallel.moe_ffn aux_loss, mean over layers, weighted
+by moe_aux_weight — Switch Transformer's alpha=0.01 default) so routing
+does not collapse onto few experts during long fine-tunes.
 """
 
 from __future__ import annotations
@@ -23,7 +24,11 @@ import jax.numpy as jnp
 import optax
 
 from spittle_tpu.models.whisper.config import WhisperConfig
-from spittle_tpu.models.whisper.model import decoder_forward, encode
+from spittle_tpu.models.whisper.model import (
+    decoder_forward,
+    encode,
+    encode_with_aux,
+)
 
 
 def cross_entropy_loss(
@@ -35,8 +40,10 @@ def cross_entropy_loss(
     cfg: WhisperConfig,
     seq_sharding=None,  # NamedSharding for encoder activations (sp)
     remat: bool = False,
+    moe_aux_weight: float = 0.01,  # Switch Transformer alpha
 ) -> jnp.ndarray:
-    enc_fn = encode
+    moe = bool(cfg.moe_experts)
+    enc_fn = encode_with_aux if moe else encode
     dec_fn = decoder_forward
     if remat:
         # Rematerialization: save only the encoder/decoder boundary
@@ -44,9 +51,12 @@ def cross_entropy_loss(
         # ~1 extra forward of FLOPs for activation memory that no longer
         # scales with depth — the standard TPU recipe for fitting larger
         # batches/models (HBM is the constraint, MXU FLOPs are cheap).
-        enc_fn = jax.checkpoint(encode, static_argnums=(2,))
+        enc_fn = jax.checkpoint(enc_fn, static_argnums=(2,))
         dec_fn = jax.checkpoint(decoder_forward, static_argnums=(3,))
-    xa = enc_fn(params, mel, cfg)
+    if moe:
+        xa, aux = enc_fn(params, mel, cfg)
+    else:
+        xa, aux = enc_fn(params, mel, cfg), jnp.asarray(0.0, jnp.float32)
     if seq_sharding is not None:
         # Sequence parallelism: encoder output sharded along time; GSPMD
         # inserts the gathers the decoder's cross-attention needs.
@@ -54,7 +64,8 @@ def cross_entropy_loss(
     logits = dec_fn(params, tokens, xa, cfg)  # [B, T, V]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    ce = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return ce + moe_aux_weight * aux
 
 
 def make_train_step(

@@ -97,3 +97,90 @@ def test_moe_encoder_sharded_matches_single_device():
             jax.jit(lambda p, m: encode(p, m, TINY_MOE))(sp, mel_s)
         )
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_encode_with_aux_matches_encode_and_reports_loss():
+    """encode_with_aux must produce the same features as encode and a
+    positive Switch aux loss for MoE configs; dense configs report 0."""
+    import jax
+    import numpy as np
+
+    from spittle_tpu.models.whisper.model import (
+        encode,
+        encode_with_aux,
+        init_params,
+    )
+
+    rng = np.random.default_rng(0)
+    params = init_params(TINY_MOE, jax.random.PRNGKey(0))
+    mel = jnp.asarray(
+        rng.standard_normal(
+            (2, TINY_MOE.n_mels, TINY_MOE.n_audio_ctx * 2)
+        ).astype(np.float32)
+    )
+    xa = np.asarray(encode(params, mel, TINY_MOE))
+    xa2, aux = encode_with_aux(params, mel, TINY_MOE)
+    np.testing.assert_allclose(np.asarray(xa2), xa, atol=1e-5)
+    aux = float(aux)
+    # Switch aux loss is >= 1.0 at perfect balance and ~E when collapsed
+    assert 0.5 < aux < TINY_MOE.moe_experts + 1, aux
+
+    from spittle_tpu.models.whisper.config import CONFIGS
+
+    dense = CONFIGS["tiny"]
+    dparams = init_params(dense, jax.random.PRNGKey(0))
+    dmel = jnp.asarray(
+        rng.standard_normal((1, dense.n_mels, 40)).astype(np.float32)
+    )
+    _, daux = encode_with_aux(dparams, dmel, dense)
+    assert float(daux) == 0.0
+
+
+def test_train_step_moe_aux_in_objective():
+    """The MoE training objective must include the aux term: the loss at
+    alpha=0 differs from alpha>0 by exactly alpha * aux, and a step runs
+    (routing gradients flow) without error."""
+    import jax
+    import numpy as np
+
+    from spittle_tpu.models.whisper.model import encode_with_aux, init_params
+    from spittle_tpu.train.step import cross_entropy_loss, make_train_step
+
+    rng = np.random.default_rng(1)
+    params = init_params(TINY_MOE, jax.random.PRNGKey(0))
+    b, t = 2, 6
+    mel = jnp.asarray(
+        rng.standard_normal(
+            (b, TINY_MOE.n_mels, TINY_MOE.n_audio_ctx * 2)
+        ).astype(np.float32)
+    )
+    tokens = jnp.asarray(
+        rng.integers(0, TINY_MOE.n_vocab, (b, t)), jnp.int32
+    )
+    targets = jnp.asarray(
+        rng.integers(0, TINY_MOE.n_vocab, (b, t)), jnp.int32
+    )
+    mask = jnp.ones((b, t), jnp.float32)
+
+    l0 = float(cross_entropy_loss(
+        params, mel, tokens, targets, mask, TINY_MOE, moe_aux_weight=0.0
+    ))
+    l1 = float(cross_entropy_loss(
+        params, mel, tokens, targets, mask, TINY_MOE, moe_aux_weight=0.01
+    ))
+    _, aux = encode_with_aux(params, mel, TINY_MOE)
+    np.testing.assert_allclose(l1 - l0, 0.01 * float(aux), rtol=1e-3)
+
+    init_opt, step = make_train_step(TINY_MOE, learning_rate=1e-4)
+    opt = init_opt(params)
+    # train_step donates params/opt_state: snapshot the router first
+    router_before = np.asarray(params["encoder"]["blocks"]["moe_router"])
+    p2, opt, loss = step(params, opt, dict(
+        mel=mel, tokens=tokens, targets=targets, mask=mask
+    ))
+    assert np.isfinite(float(loss))
+    # router weights must receive gradient (Switch gate term)
+    delta = np.abs(
+        np.asarray(p2["encoder"]["blocks"]["moe_router"]) - router_before
+    ).max()
+    assert delta > 0

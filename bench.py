@@ -50,12 +50,43 @@ MAX_TOKENS = 96
 WINDOW_SECONDS = 30.0
 
 
+def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
+    """Block until the TPU backend initializes (or max_wait_s elapses).
+
+    The tunneled axon backend has multi-hour outages ("UNAVAILABLE: TPU
+    backend setup/compile error"); a failed probe takes minutes to
+    raise. Retrying here means a round-end bench run during a transient
+    outage records the real headline instead of a crash. Probes run in a
+    SUBPROCESS: jax caches backend-init failures per process, so only a
+    fresh interpreter can observe recovery (and only the first in-process
+    jax.devices() after a successful probe initializes for real)."""
+    import subprocess
+    import sys
+
+    probe = "import jax; jax.devices()"
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True
+        )
+        if r.returncode == 0:
+            return
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"TPU backend unavailable for {max_wait_s:.0f}s: "
+                + r.stderr.strip().splitlines()[-1]
+            )
+        print("# backend unavailable; retrying in 60s", flush=True)
+        time.sleep(60)
+
+
 def main():
     import jax.numpy as jnp
 
     from spittle_tpu.engine.base import TranscribeParams
     from spittle_tpu.engine.whisper_engine import WhisperEngine
 
+    _wait_for_backend()
     engine = WhisperEngine(dtype=jnp.bfloat16)
     engine.load_model("random:large-v3-turbo")
 

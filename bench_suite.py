@@ -634,16 +634,19 @@ def _config17():
         language="en", condition_on_previous_text=False,
         parallel_windows=True, max_tokens=96, temperatures=(0.0,),
     )
+    # Batches are built BEFORE the timed region: host RNG for 3 x 48 x
+    # 30 s of float64 samples is ~1 s of work — the same order as the
+    # transfer delta this A/B measures.
+    warm = make_batch()
+    timed_batches = [make_batch() for _ in range(n_batches)]
     for wire in ("auto", "mulaw"):
         eng = WhisperEngine(dtype=jnp.bfloat16, wire=wire)
         eng.load_model("random:large-v3-turbo")
-        for _ in eng.transcribe_stream([make_batch()], p):
+        for _ in eng.transcribe_stream([warm], p):
             pass
         t0 = time.perf_counter()
         n_done = 0
-        for results in eng.transcribe_stream(
-            [make_batch() for _ in range(n_batches)], p
-        ):
+        for results in eng.transcribe_stream(timed_batches, p):
             n_done += len(results)
         dt = time.perf_counter() - t0
         report(

@@ -152,6 +152,26 @@ def main():
     print(f"blocks scan W8A8    {t*1e3:8.1f} ms   "
           f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
 
+    # Packed-heads attention sweep (SPITTLE_PACKED_ATTENTION): '0' is
+    # the split-head fullkv baseline, '1' the one-head 64-wide-block
+    # variant (UNVALIDATED Mosaic lane alignment — may fail to lower),
+    # 'pair' the 128-lane-aligned head-pair variant. The dispatch env is
+    # read at trace time, so each mode gets a FRESH jit wrapper. A
+    # lowering failure prints instead of killing the sweep.
+    for mode in ("0", "1", "pair"):
+        os.environ["SPITTLE_PACKED_ATTENTION"] = mode
+        f = jax.jit(
+            lambda blocks, xx: _encoder_blocks(blocks, xx, cfg.n_audio_head)
+        )
+        try:
+            t = timed(lambda: f(enc["blocks"], x))
+            print(f"blocks scan packed={mode:<4} {t*1e3:8.1f} ms   "
+                  f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
+        except Exception as e:
+            msg = str(e).replace("\n", " ")[:160]
+            print(f"blocks scan packed={mode:<4} FAILED: {msg}", flush=True)
+    os.environ.pop("SPITTLE_PACKED_ATTENTION", None)
+
 
 if __name__ == "__main__":
     main()

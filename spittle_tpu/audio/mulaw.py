@@ -38,10 +38,15 @@ def mulaw_encode(audio: np.ndarray) -> np.ndarray:
     if out is not None:
         return out
     if x.dtype == np.int16:
-        x = x.astype(np.float32) / 32768.0
+        x = x.astype(np.float32) / np.float32(32768.0)
     else:
         x = np.clip(x.astype(np.float32), -1.0, 1.0)
-    y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
+    # Promotions spelled out so the result is identical under numpy 1
+    # (value-based casting) and numpy 2 (NEP 50): log1p in f32, then a
+    # f64 divide/round — the exact chain the native encoder mirrors
+    # (native/spittle_audio.cpp mulaw_code).
+    num = np.log1p(np.float32(MU) * np.abs(x)).astype(np.float64)
+    y = np.sign(x).astype(np.float64) * (num / np.log1p(MU))
     return np.round((y + 1.0) * 127.5).astype(np.uint8)
 
 

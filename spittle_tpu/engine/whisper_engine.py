@@ -138,6 +138,13 @@ class WhisperEngine:
         self.suppress_non_speech = suppress_non_speech
         self.quantize_decoder = quantize_decoder
         self.quantize_encoder = quantize_encoder
+        if wire not in ("auto", "mulaw"):
+            # Fail loudly: the env path (SPITTLE_WIRE, the production
+            # config surface) would otherwise silently treat a typo like
+            # "mu-law" as "auto" and drop the transfer optimization.
+            raise ValueError(
+                f"wire must be 'auto' or 'mulaw', got {wire!r}"
+            )
         self.wire = wire
         self.draft_cfg: Optional[WhisperConfig] = None
         self.draft_params = None

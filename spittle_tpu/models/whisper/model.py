@@ -264,11 +264,14 @@ def encoder_block_body_aux(h: jnp.ndarray, blk, n_head: int):
 
 
 def encode_with_aux(params: Params, mel: jnp.ndarray, cfg: WhisperConfig):
-    """encode() that also returns the mean per-layer MoE aux loss.
+    """encode() that also returns the MoE aux loss SUMMED over layers.
 
-    Use in training objectives for MoE-variant configs (Switch eq. 4:
-    total = ce + alpha * aux); 0.0 for dense configs. Inference keeps
-    calling encode(), whose compiled program carries no aux arithmetic.
+    Use in training objectives for MoE-variant configs (Switch eq. 4
+    applies alpha to each layer's loss and the per-layer losses add into
+    the total, so alpha=0.01 weights each layer fully — a mean would
+    dilute the balancing pressure by 1/L on deep stacks); 0.0 for dense
+    configs. Inference keeps calling encode(), whose compiled program
+    carries no aux arithmetic.
     """
     enc = params["encoder"]
     x = _encoder_stem(enc, mel, cfg)
@@ -278,7 +281,7 @@ def encode_with_aux(params: Params, mel: jnp.ndarray, cfg: WhisperConfig):
         return h, aux
 
     x, aux = jax.lax.scan(body, x, enc["blocks"])
-    return layer_norm(x, enc["ln_g"], enc["ln_b"]), jnp.mean(aux)
+    return layer_norm(x, enc["ln_g"], enc["ln_b"]), jnp.sum(aux)
 
 
 def encoder_block_body(h: jnp.ndarray, blk, n_head: int) -> jnp.ndarray:

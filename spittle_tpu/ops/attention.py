@@ -300,6 +300,95 @@ def flash_attention_fullkv_packed(
     )(q, k, v)
 
 
+def _fullkv_pair_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
+                        causal: bool, block_q: int, d: int):
+    """Two heads per program: blocks are 2*d = 128 lanes wide (aligned to
+    Mosaic's lane tiling, unlike the one-head variant's interior 64-wide
+    DMA), and the head split happens on VMEM-resident data instead.
+    Static two-iteration unroll; each head runs the same lean softmax as
+    _fullkv_kernel."""
+    tk = k_ref.shape[1]
+    for i in range(2):
+        sl = slice(i * d, (i + 1) * d)
+        s = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, Tk]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        if causal:
+            qi = pl.program_id(2)  # grid (b, h_pairs, num_q)
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, p.shape, 0
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            keep = (row >= col) & (col < kv_len)
+            p = p * keep.astype(p.dtype)
+        elif kv_len < tk:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+            p = p * (col < kv_len).astype(p.dtype)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, :, sl],
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "causal", "kv_len", "block_q", "interpret"),
+)
+def flash_attention_fullkv_packed_pair(
+    q: jnp.ndarray,  # [B, T, H*D] packed heads (raw projection layout)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_head: int,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+    block_q: int = 512,
+    interpret: bool = False,  # CPU numerics tests (no TPU in CI)
+) -> jnp.ndarray:
+    """Packed-heads full-KV attention with 128-lane-ALIGNED blocks.
+
+    Same zero-HBM-transpose goal as flash_attention_fullkv_packed, but
+    each block spans a PAIR of d=64 heads (2*64 = 128 lanes, so every
+    DMA offset/width is lane-tile aligned); the kernel splits the pair
+    on-chip. n_head must be even (every Whisper config is: 6/8/12/16/20).
+    Dispatch via SPITTLE_PACKED_ATTENTION=pair."""
+    b, tq, hd = q.shape
+    d = hd // n_head
+    assert n_head % 2 == 0, n_head
+    tk = k.shape[1]
+    assert tq % block_q == 0, (tq, block_q)
+    kv_len = tk if kv_len is None else kv_len
+    kernel = functools.partial(
+        _fullkv_pair_kernel, kv_len=kv_len, causal=causal,
+        block_q=block_q, d=d,
+    )
+    w = 2 * d
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_head // 2, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, w), lambda bb, hp, qi: (bb, qi, hp)),
+            pl.BlockSpec((1, tk, w), lambda bb, hp, qi: (bb, 0, hp)),
+            pl.BlockSpec((1, tk, w), lambda bb, hp, qi: (bb, 0, hp)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, w), lambda bb, hp, qi: (bb, qi, hp)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tq, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_head * tq * tk * d,
+            bytes_accessed=(q.size * 2 + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * n_head * tq * tk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def multihead_attention_packed(
     q: jnp.ndarray,  # [B, T, H*D] packed heads, q/k pre-scaled
     k: jnp.ndarray,
@@ -314,8 +403,11 @@ def multihead_attention_packed(
     b, tq, hd = q.shape
     d = hd // n_head
     tk = k.shape[1]
+    mode = packed_attention_mode()
     if (
-        DISABLE_PALLAS
+        mode not in ("1", "pair")
+        or (mode == "pair" and (n_head % 2 or d != 64))
+        or DISABLE_PALLAS
         or not _on_tpu()
         or d not in (64, 128)
         or tq < 128
@@ -343,10 +435,30 @@ def multihead_attention_packed(
     if pk:
         k = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
-    out = flash_attention_fullkv_packed(
-        q, k, v, n_head, causal=causal, kv_len=real_kv, block_q=block_q
+    fn = (
+        flash_attention_fullkv_packed_pair
+        if mode == "pair"
+        else flash_attention_fullkv_packed
     )
+    out = fn(q, k, v, n_head, causal=causal, kv_len=real_kv, block_q=block_q)
     return out[:, :tq]
+
+
+def packed_attention_mode() -> str:
+    """SPITTLE_PACKED_ATTENTION: '0' (off, default), '1' (one-head
+    64-wide blocks), or 'pair' (128-lane-aligned head-pair blocks).
+
+    Opt-in until validated on hardware: the one-head BlockSpec slices
+    D=64-wide blocks at column offset h*64 inside the [B, T, H*D] minor
+    dimension; Mosaic's lane tiling is 128-wide, and interpret-mode
+    tests (the only runs so far — the kernel landed during a TPU tunnel
+    outage) cannot catch a tiling-alignment rejection. Default OFF so
+    the production encoder path cannot hit an unvalidated Mosaic
+    lowering; flip after an on-TPU compile + in-loop A/B of both
+    variants."""
+    import os
+
+    return os.environ.get("SPITTLE_PACKED_ATTENTION", "0")
 
 
 def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):

@@ -46,15 +46,11 @@ def _parse_audio(
     from spittle_tpu.audio.wav import load_wav_file
     import tempfile, os
 
-    if body[:4] == b"RIFF":
-        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-            f.write(body)
-            path = f.name
-        try:
-            audio, rate = load_wav_file(path, keep_int16=True)
-        finally:
-            os.unlink(path)
-    elif pcm_format == "mulaw":
+    # An explicit X-PCM-Format outranks content sniffing: raw PCM can
+    # legitimately start with the bytes "RIFF" (for the 8-bit mu-law wire
+    # that is just four mid-amplitude samples), so sniffing first would
+    # misparse declared-PCM bodies as WAV.
+    if pcm_format == "mulaw":
         from spittle_tpu.audio.mulaw import mulaw_decode_np
 
         audio = (
@@ -64,6 +60,14 @@ def _parse_audio(
     elif pcm_format == "s16le":
         audio = np.frombuffer(body, "<i2")
         rate = sample_rate or 16000
+    elif body[:4] == b"RIFF":
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            f.write(body)
+            path = f.name
+        try:
+            audio, rate = load_wav_file(path, keep_int16=True)
+        finally:
+            os.unlink(path)
     else:
         audio = np.frombuffer(body, np.float32)
         rate = sample_rate or 16000

@@ -9,9 +9,9 @@ encoder + teacher-forced decoder + cross-entropy + AdamW, jitted over a
 MoE-variant configs (cfg.moe_experts > 0) train through this step too:
 routing gradients flow via the gate probability (Switch semantics), and
 the objective adds the Switch load-balancing aux loss
-(parallel.expert_parallel.moe_ffn aux_loss, mean over layers, weighted
-by moe_aux_weight — Switch Transformer's alpha=0.01 default) so routing
-does not collapse onto few experts during long fine-tunes.
+(parallel.expert_parallel.moe_ffn aux_loss, summed over layers, each
+weighted by moe_aux_weight — Switch Transformer's alpha=0.01 default)
+so routing does not collapse onto few experts during long fine-tunes.
 """
 
 from __future__ import annotations
@@ -73,6 +73,7 @@ def make_train_step(
     learning_rate: float = 1e-5,
     sequence_parallel_mesh=None,
     remat: bool = False,
+    moe_aux_weight: float = 0.01,
 ):
     """Returns (init_opt_state, train_step).
 
@@ -99,7 +100,7 @@ def make_train_step(
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(cross_entropy_loss)(
             params, batch["mel"], batch["tokens"], batch["targets"],
-            batch["mask"], cfg, seq_sharding, remat,
+            batch["mask"], cfg, seq_sharding, remat, moe_aux_weight,
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -147,6 +147,56 @@ def test_packed_fullkv_kernel_kv_len_mask():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_pair_kernel_matches_reference(causal):
+    """flash_attention_fullkv_packed_pair (128-lane-aligned head-pair
+    blocks, in-kernel lane split) must match split-head attention."""
+    from spittle_tpu.ops.attention import (
+        attention_reference,
+        flash_attention_fullkv_packed_pair,
+    )
+
+    rng = np.random.default_rng(6)
+    b, t, h, d = 2, 256, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+
+    got = flash_attention_fullkv_packed_pair(
+        q, k, v, h, causal=causal, block_q=128, interpret=True
+    )
+
+    def split(x):
+        return x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+    ref = attention_reference(split(q), split(k), split(v), causal=causal)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_pair_kernel_kv_len_mask():
+    from spittle_tpu.ops.attention import (
+        attention_reference,
+        flash_attention_fullkv_packed_pair,
+    )
+
+    rng = np.random.default_rng(7)
+    b, t, h, d = 1, 128, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    got = flash_attention_fullkv_packed_pair(
+        q, k, v, h, kv_len=77, block_q=128, interpret=True
+    )
+
+    def split(x):
+        return x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+    ref = attention_reference(split(q), split(k), split(v), kv_len=77)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_packed_dispatch_cpu_fallback_matches_split():
     """multihead_attention_packed off-TPU must equal the split-head path
     bit-for-bit (same ops, different tensor plumbing)."""

@@ -167,3 +167,12 @@ def test_native_encode_bit_exact_full_domain():
 
     f = np.linspace(-1.2, 1.2, 2_000_001).astype(np.float32)
     np.testing.assert_array_equal(nat(f), np_ref(f))
+
+
+def test_engine_rejects_unknown_wire():
+    """SPITTLE_WIRE typos (e.g. 'mu-law') must fail loudly instead of
+    silently degrading to the 'auto' wire."""
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    with pytest.raises(ValueError, match="wire"):
+        WhisperEngine(wire="mu-law")

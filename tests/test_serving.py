@@ -182,6 +182,23 @@ class TestHttpFront:
         srv.shutdown()
 
 
+def test_parse_audio_explicit_format_beats_riff_sniff():
+    """An explicit X-PCM-Format outranks RIFF byte-sniffing: 8-bit
+    mu-law (or s16le) audio whose first samples happen to encode as the
+    bytes 'RIFF' must parse as raw PCM, not as a WAV file."""
+    from spittle_tpu.parallel.http_server import _parse_audio
+
+    codes = np.full(16000, 128, np.uint8)
+    codes[:4] = [0x52, 0x49, 0x46, 0x46]  # b"RIFF"
+    audio = _parse_audio(codes.tobytes(), "", None, pcm_format="mulaw")
+    assert audio.dtype == np.int16 and audio.size == 16000
+
+    s16 = np.zeros(8000, "<i2")
+    s16[0], s16[1] = 0x4952, 0x4646  # little-endian b"RIFF"
+    audio = _parse_audio(s16.tobytes(), "", None, pcm_format="s16le")
+    assert audio.dtype == np.int16 and audio.size == 8000
+
+
 def test_server_with_real_whisper_engine_concurrent():
     """End-to-end: concurrent sessions through the batching server into
     the real (random-weight) Whisper engine; every future resolves with a

@@ -68,6 +68,7 @@ def main():
         "10": _config10, "11": _config11, "12": _config12,
         "13": _config13, "14": _config14, "15": _config15,
         "16": _config16, "17": _config17, "18": _config18,
+        "19": _config19,
     }
     if "--only" in sys.argv:  # e.g. --only 12,13,14
         picks = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -685,6 +686,43 @@ def _config18():
         report(
             f"whisper-large-v3-turbo batch {bsz}, decoder "
             + ("int8 W+KV" if qdec else "bf16 (A/B baseline)"),
+            bsz * 30.0, dt,
+        )
+
+
+def _config19():
+    # 19. large-v3 cross-KV width ladder: bf16 vs int8 vs int4 at the
+    # same batch. Config 12/15 established large-v3 decode is
+    # cross-KV-bandwidth-bound (~245 MB/row/step bf16) and int8 won
+    # (274x vs 230x at b32); int4 packs two values per byte (ops/quant.py
+    # quantize_kv_int4) cutting the stream to a quarter — if bytes ≈
+    # time holds, the remaining gap to the 500x north star shrinks by
+    # another cross-KV half. SPITTLE_DECODE_CROSS_KERNEL=1 additionally
+    # routes int8/int4 through the in-kernel-dequant Pallas kernels.
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_LV3_BATCH", "32"))
+    batch = [
+        (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+        for _ in range(bsz)
+    ]
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=96, temperatures=(0.0,),
+    )
+    kernel = os.environ.get("SPITTLE_DECODE_CROSS_KERNEL", "0") == "1"
+    for qdec in (False, "int8", "int4"):
+        eng = WhisperEngine(dtype=jnp.bfloat16, quantize_decoder=qdec)
+        eng.load_model("random:large-v3")
+        eng.transcribe_batch(batch, p)  # warmup/compile
+        dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+        label = {False: "bf16 (A/B baseline)", "int8": "int8 W+KV",
+                 "int4": "int8 W + int4 cross-KV"}[qdec]
+        report(
+            f"whisper-large-v3 batch {bsz}, decoder {label}"
+            + (" (Pallas in-kernel dequant)" if kernel and qdec else ""),
             bsz * 30.0, dt,
         )
 

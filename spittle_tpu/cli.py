@@ -61,8 +61,8 @@ def _engine_overrides(args) -> dict:
         ov["wire"] = args.wire
     if getattr(args, "quantize_encoder", False):
         ov["quantize_encoder"] = True
-    if getattr(args, "quantize_decoder", False):
-        ov["quantize_decoder"] = True
+    if getattr(args, "quantize_decoder", None):
+        ov["quantize_decoder"] = args.quantize_decoder
     return ov
 
 
@@ -281,8 +281,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "SPITTLE_WIRE or auto)")
     t.add_argument("--quantize-encoder", action="store_true",
                    help="W8A8 int8 encoder GEMMs (int8 MXU mode)")
-    t.add_argument("--quantize-decoder", action="store_true",
-                   help="int8 decoder weights + int8 cross-KV")
+    t.add_argument("--quantize-decoder", nargs="?", const="int8",
+                   default=None, choices=["int8", "int4"],
+                   help="int8 decoder weights + int8/int4 cross-KV "
+                        "(bare flag = int8)")
     t.add_argument("--no-condition", action="store_true",
                    help="disable condition_on_previous_text prompt carry")
     t.add_argument("--audio-ctx", type=int, default=None,
@@ -325,7 +327,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="small same-vocab model for speculative decoding")
     s.add_argument("--wire", default=None, choices=["auto", "mulaw"])
     s.add_argument("--quantize-encoder", action="store_true")
-    s.add_argument("--quantize-decoder", action="store_true")
+    s.add_argument("--quantize-decoder", nargs="?", const="int8",
+                   default=None, choices=["int8", "int4"])
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8090)
     s.add_argument("--max-batch", type=int, default=32)

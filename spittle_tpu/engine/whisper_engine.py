@@ -118,15 +118,18 @@ class WhisperEngine:
         self,
         dtype=jnp.float32,
         suppress_non_speech: bool = False,
-        quantize_decoder: bool = False,
+        quantize_decoder=False,
         quantize_encoder: bool = False,
         wire: str = "auto",
     ):
         """suppress_non_speech mirrors whisper.cpp's
         suppress_non_speech_tokens (default false there too).
-        quantize_decoder: weight-only int8 on the decoder blocks — halves
-        per-token HBM weight traffic (the whisper.cpp-q8 analog, served
-        TPU-native; see ops/quant.py).
+        quantize_decoder: False, True/"int8", or "int4" — weight-only
+        int8 on the decoder blocks (halves per-token HBM weight traffic;
+        the whisper.cpp-q8 analog, served TPU-native) plus quantized
+        cross-attention K/V at the given width; "int4" packs cross-KV
+        two-per-byte, a quarter of bf16 bytes for the 32-layer large-v3
+        decode's dominant stream (see ops/quant.py).
         quantize_encoder: W8A8 int8 on the encoder block GEMMs — runs the
         compute-bound encoder on the MXU's 2x-rate int8 mode with dynamic
         activation quantization (ops/quant.py:_mm_w8a8).
@@ -136,6 +139,13 @@ class WhisperEngine:
         for transfer-bound links)."""
         self.dtype = dtype
         self.suppress_non_speech = suppress_non_speech
+        if quantize_decoder is True:
+            quantize_decoder = "int8"
+        if quantize_decoder not in (False, "int8", "int4"):
+            raise ValueError(
+                "quantize_decoder must be False, True/'int8', or 'int4',"
+                f" got {quantize_decoder!r}"
+            )
         self.quantize_decoder = quantize_decoder
         self.quantize_encoder = quantize_encoder
         if wire not in ("auto", "mulaw"):
@@ -172,11 +182,17 @@ class WhisperEngine:
         """Engine with serving options from SPITTLE_* env flags.
 
         The CLI and the app factory share these TPU-serving knobs (they
-        have no reference-settings counterpart): SPITTLE_QUANTIZE_DECODER,
-        SPITTLE_QUANTIZE_ENCODER, SPITTLE_WIRE (auto|mulaw)."""
+        have no reference-settings counterpart): SPITTLE_QUANTIZE_DECODER
+        (0|1|int8|int4), SPITTLE_QUANTIZE_ENCODER, SPITTLE_WIRE
+        (auto|mulaw)."""
+        qd = os.environ.get("SPITTLE_QUANTIZE_DECODER", "0")
+        if qd not in ("0", "1", "int8", "int4"):
+            raise ValueError(
+                "SPITTLE_QUANTIZE_DECODER must be 0, 1, int8 or int4,"
+                f" got {qd!r}"
+            )
         opts = dict(
-            quantize_decoder=os.environ.get(
-                "SPITTLE_QUANTIZE_DECODER", "0") == "1",
+            quantize_decoder=qd if qd in ("int8", "int4") else qd == "1",
             quantize_encoder=os.environ.get(
                 "SPITTLE_QUANTIZE_ENCODER", "0") == "1",
             wire=os.environ.get("SPITTLE_WIRE", "auto"),
@@ -405,7 +421,8 @@ class WhisperEngine:
             timestamps=timestamps,
             space_token=self._space_token,
             suppress_tokens=suppress,
-            quant_kv=self.quantize_decoder,
+            quant_kv=bool(self.quantize_decoder),
+            quant_kv_bits=4 if self.quantize_decoder == "int4" else 8,
             # whisper.cpp splits the text context: half for the carried
             # prompt, half for the window's decode. Bounding max_tokens
             # also halves the static KV cache the decode loop re-reads

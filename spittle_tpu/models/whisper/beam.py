@@ -66,9 +66,10 @@ def _beam_loop(
     # (model.py:_cross_attention).
     cross_kv = precompute_cross_kv(params, xa, cfg)
     if opts.quant_kv:
-        from spittle_tpu.ops.quant import quantize_kv
+        from spittle_tpu.ops.quant import quantize_kv, quantize_kv_int4
 
-        cross_kv = (quantize_kv(cross_kv[0]), quantize_kv(cross_kv[1]))
+        qf = quantize_kv_int4 if opts.quant_kv_bits == 4 else quantize_kv
+        cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
     ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)
     prefix_k = _expand_beams(prefix, k)
 

@@ -48,9 +48,11 @@ class DecodeOptions:
     max_tokens: int = 0  # 0 -> n_text_ctx
     temperature: float = 0.0  # 0 = argmax; >0 = categorical sampling
     seed: int = 0  # PRNG seed for temperature sampling
-    # int8 cross-attention K/V (per-position scales): halves the dominant
-    # HBM traffic of batched decode steps. See ops/quant.py.
+    # Quantized cross-attention K/V (per-position scales): cuts the
+    # dominant HBM traffic of batched decode steps to 1/2 (int8) or 1/4
+    # (int4) of bf16. See ops/quant.py.
     quant_kv: bool = False
+    quant_kv_bits: int = 8  # 8 or 4; only read when quant_kv is True
 
 
 def sot_sequence(
@@ -196,9 +198,10 @@ def _greedy_loop(
     )
     cross_kv = precompute_cross_kv(params, xa, cfg)
     if opts.quant_kv:
-        from spittle_tpu.ops.quant import quantize_kv
+        from spittle_tpu.ops.quant import quantize_kv, quantize_kv_int4
 
-        cross_kv = (quantize_kv(cross_kv[0]), quantize_kv(cross_kv[1]))
+        qf = quantize_kv_int4 if opts.quant_kv_bits == 4 else quantize_kv
+        cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
     # Cache sized to the decode budget (sublane-aligned): a short decode
     # reads max_len-wide K/V per step instead of n_text_ctx-wide.
     ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)

@@ -46,13 +46,15 @@ import numpy as np
 from spittle_tpu.ops.attention import (
     attention_reference,
     decode_cross_attention,
+    decode_cross_attention_q4,
     decode_cross_attention_q8,
     multihead_attention,
     multihead_attention_packed,
     use_decode_cross_kernel,
+    use_decode_cross_kernel_q4,
     use_decode_cross_kernel_q8,
 )
-from spittle_tpu.ops.quant import is_quant, mm
+from spittle_tpu.ops.quant import is_quant, is_quant_kv4, mm, unpack_kv_int4
 from .config import WhisperConfig
 
 Params = Dict[str, Any]
@@ -400,7 +402,9 @@ def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
     kv_len: real length when K/V are tile-padded (0 = full).
     """
     bq, h, qlen, d = cq.shape
-    bc = (ck["qw"] if is_quant(ck) else ck).shape[0]
+    bc = (
+        ck["qw4"] if is_quant_kv4(ck) else ck["qw"] if is_quant(ck) else ck
+    ).shape[0]
     beams = bq // bc
     if beams > 1:
         cq = (
@@ -408,7 +412,21 @@ def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
             .transpose(0, 2, 1, 3, 4)
             .reshape(bc, h, beams * qlen, d)
         )
-    if is_quant(ck):
+    q4_kernel = is_quant_kv4(ck) and use_decode_cross_kernel_q4(cq, ck)
+    if is_quant_kv4(ck) and not q4_kernel:
+        # XLA path: unpack to int8 (shifts + concat, fused elementwise;
+        # the HBM reads stay quarter-width) and fall into the int8 math.
+        ck = {"qw": unpack_kv_int4(ck["qw4"]), "scale": ck["scale"]}
+        cv = {"qw": unpack_kv_int4(cv["qw4"]), "scale": cv["scale"]}
+    if q4_kernel:
+        # In-kernel unpack+dequant: int4 K/V stream from HBM at a QUARTER
+        # of the bf16 bytes and widen in VMEM.
+        co = decode_cross_attention_q4(
+            cq * (dh**-0.5), ck["qw4"], ck["scale"],
+            cv["qw4"], cv["scale"],
+            kv_len=kv_len or ck["qw4"].shape[-1],
+        )
+    elif is_quant(ck):
         if use_decode_cross_kernel_q8(cq, ck):
             # In-kernel dequant: int8 K/V stream from HBM at HALF the
             # bf16 bytes and convert in VMEM (the XLA path below

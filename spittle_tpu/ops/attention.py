@@ -603,6 +603,102 @@ def decode_cross_attention_q8(
     return out.reshape(b, h, rows, d)[:, :, :r]
 
 
+def _decode_cross_q4_kernel(q_ref, qk_ref, ks_ref, qv_ref, vs_ref, o_ref,
+                            *, kv_len: int):
+    """int4 cross-attention with IN-KERNEL unpack + dequantization.
+
+    Same structure as _decode_cross_q8_kernel but K/V stream from HBM at
+    a QUARTER of the bf16 bytes: two int4 values per byte, packed along
+    the head dim's halves (ops/quant.py quantize_kv_int4), unpacked here
+    by shifts + one sublane concatenate on VMEM-resident data. At
+    large-v3 scale this cuts the decode step's dominant stream from
+    ~245 MB/row (bf16) to ~61 MB/row.
+    """
+    tk = qk_ref.shape[2]
+
+    def unpack(p):  # int8 [Dh/2, Tk] -> bf16 [Dh, Tk], values -7..7
+        x = p.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(x, 28), 28)
+        hi = jnp.right_shift(jnp.left_shift(x, 24), 28)
+        return jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+
+    s = jax.lax.dot(
+        q_ref[0], unpack(qk_ref[0]),
+        preferred_element_type=jnp.float32,
+    ) * ks_ref[0]  # [rows, Tk] * [1, Tk]
+    if kv_len < tk:
+        # Mask BEFORE the max (see _decode_cross_q8_kernel: quantized pad
+        # columns carry nonzero scales).
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p * vs_ref[0]).astype(jnp.bfloat16), unpack(qv_ref[0]),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [rows, D]
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kv_len", "interpret"))
+def decode_cross_attention_q4(
+    q: jnp.ndarray,   # [B, H, R, D] (pre-scaled by dh**-0.5), R <= 8
+    qk: jnp.ndarray,  # int8-packed int4 [B, H, D/2, Tk], Tk % 128 == 0
+    ks: jnp.ndarray,  # f32 [B, H, Tk] per-position K scales
+    qv: jnp.ndarray,
+    vs: jnp.ndarray,
+    kv_len: Optional[int] = None,
+    interpret: bool = False,  # CPU numerics tests (no TPU in CI)
+) -> jnp.ndarray:
+    b, h, r, d = q.shape
+    tk = qk.shape[3]
+    kv_len = tk if kv_len is None else kv_len
+    rows = 8
+    qp = q if r == rows else jnp.pad(q, ((0, 0), (0, 0), (0, rows - r), (0, 0)))
+    qf = qp.reshape(b * h, rows, d)
+    kf = qk.reshape(b * h, d // 2, tk)
+    vf = qv.reshape(b * h, d // 2, tk)
+    ksf = ks.reshape(b * h, 1, tk).astype(jnp.float32)
+    vsf = vs.reshape(b * h, 1, tk).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_decode_cross_q4_kernel, kv_len=kv_len),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, rows, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, d // 2, tk), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, d // 2, tk), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk), lambda bh: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, d), lambda bh: (bh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, rows, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * rows * tk * d,
+            bytes_accessed=kf.size + vf.size + (ksf.size + vsf.size) * 4,
+            transcendentals=b * h * rows * tk,
+        ),
+        interpret=interpret,
+    )(qf, kf, ksf, vf, vsf)
+    return out.reshape(b, h, rows, d)[:, :, :r]
+
+
+def use_decode_cross_kernel_q4(q, ck) -> bool:
+    """Dispatch predicate for the int4 decode cross-attention kernel:
+    int4-packed K/V dict in decode layout, tile-padded T, decode-sized q."""
+    return (
+        decode_cross_kernel_enabled()
+        and not DISABLE_PALLAS
+        and _on_tpu()
+        and isinstance(ck, dict)
+        and "qw4" in ck
+        and q.shape[2] <= 8
+        and q.shape[3] in (64, 128)
+        and ck["qw4"].shape[-1] % 128 == 0
+    )
+
+
 def use_decode_cross_kernel_q8(q, ck) -> bool:
     """Dispatch predicate for the int8 decode cross-attention kernel:
     quantized K/V dict in decode layout, tile-padded T, decode-sized q."""
@@ -611,6 +707,7 @@ def use_decode_cross_kernel_q8(q, ck) -> bool:
         and not DISABLE_PALLAS
         and _on_tpu()
         and isinstance(ck, dict)
+        and "qw" in ck
         and q.shape[2] <= 8
         and q.shape[3] in (64, 128)
         and ck["qw"].shape[-1] % 128 == 0
@@ -655,19 +752,20 @@ def pad_cross_kv(cross_kv, multiple: int = 128):
     if not decode_cross_kernel_enabled():
         return cross_kv
     k, v = cross_kv
-    if isinstance(k, dict):  # int8 quant dicts {qw [...,Dh,T], scale [...,T]}
-        t = k["qw"].shape[-1]
+    if isinstance(k, dict):  # int8/int4 quant dicts {qw|qw4 [...], scale}
+        key = "qw4" if "qw4" in k else "qw"
+        t = k[key].shape[-1]
         pad = (-t) % multiple
         if pad == 0:
             return cross_kv
 
         def _padq(q):
-            qw = jnp.pad(q["qw"], [(0, 0)] * (q["qw"].ndim - 1) + [(0, pad)])
+            qw = jnp.pad(q[key], [(0, 0)] * (q[key].ndim - 1) + [(0, pad)])
             sc = jnp.pad(
                 q["scale"], [(0, 0)] * (q["scale"].ndim - 1) + [(0, pad)],
                 constant_values=1.0,  # avoid 0-scales; masked by kv_len
             )
-            return {"qw": qw, "scale": sc}
+            return {key: qw, "scale": sc}
 
         return _padq(k), _padq(v)
     t = k.shape[-1]

@@ -161,6 +161,60 @@ def dequantize_kv(q: QuantW, dtype=jnp.bfloat16) -> jnp.ndarray:
     ).astype(dtype)
 
 
+def is_quant_kv4(w: Any) -> bool:
+    return isinstance(w, dict) and "qw4" in w and "scale" in w
+
+
+def quantize_kv_int4(kv: jnp.ndarray) -> QuantW:
+    """Per-position symmetric int4 for attention K/V, two values per byte.
+
+    Quarter the bytes of bf16 (vs int8's half) for the decode step's
+    dominant HBM stream — at large-v3 scale the 32-layer cross-KV is
+    ~245 MB/row/step in bf16 (docs/PERFORMANCE.md), and decode throughput
+    is bandwidth-bound, so bytes ≈ time. Values clip to -7..7 with one f32
+    scale per (..., T) position, same exact-factoring algebra as
+    quantize_kv.
+
+    Packing puts the head dim's two HALVES in the two nibbles (rows
+    [0:Dh/2] in the low nibble, [Dh/2:Dh] in the high) rather than
+    interleaving pairs: unpacking is then shifts + one concatenate — no
+    lane/sublane shuffles — which both XLA and a Pallas kernel handle
+    cheaply.
+    """
+    kv32 = kv.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kv32), axis=-2)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(
+        jnp.round(kv32 / scale[..., None, :]), -7, 7
+    ).astype(jnp.int32)
+    d = q.shape[-2]
+    assert d % 2 == 0, d
+    lo = q[..., : d // 2, :]
+    hi = q[..., d // 2 :, :]
+    packed = ((hi & 0xF) << 4) | (lo & 0xF)  # bits only; sign lives in nibble
+    return {"qw4": packed.astype(jnp.int8), "scale": scale}
+
+
+def unpack_kv_int4(qw4: jnp.ndarray) -> jnp.ndarray:
+    """Packed int8 [..., Dh/2, T] -> int8 [..., Dh, T] (values in -7..7).
+
+    Arithmetic-shift sign extension of each nibble; works on the int32
+    widening of the storage byte so the byte's own sign bit is harmless.
+    """
+    x = qw4.astype(jnp.int32)
+    # jnp.right_shift is arithmetic for signed dtypes (numpy semantics).
+    lo = jnp.right_shift(jnp.left_shift(x, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(x, 24), 28)
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+
+
+def dequantize_kv_int4(q: QuantW, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (
+        unpack_kv_int4(q["qw4"]).astype(jnp.float32)
+        * q["scale"][..., None, :]
+    ).astype(dtype)
+
+
 # Decoder weight leaves worth quantizing for Whisper (everything the
 # per-token step reads except embeddings/norms/biases).
 WHISPER_DECODER_QUANT_KEYS = (

@@ -678,14 +678,15 @@ def _config18():
         language="en", condition_on_previous_text=False,
         parallel_windows=True, max_tokens=96, temperatures=(0.0,),
     )
-    for qdec in (False, True):
+    for qdec in (False, "int8", "int4"):
         eng = WhisperEngine(dtype=jnp.bfloat16, quantize_decoder=qdec)
         eng.load_model("random:large-v3-turbo")
         eng.transcribe_batch(batch, p)  # warmup/compile
         dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+        label = {False: "bf16 (A/B baseline)", "int8": "int8 W+KV",
+                 "int4": "int8 W + int4 cross-KV"}[qdec]
         report(
-            f"whisper-large-v3-turbo batch {bsz}, decoder "
-            + ("int8 W+KV" if qdec else "bf16 (A/B baseline)"),
+            f"whisper-large-v3-turbo batch {bsz}, decoder {label}",
             bsz * 30.0, dt,
         )
 

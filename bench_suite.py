@@ -68,7 +68,7 @@ def main():
         "10": _config10, "11": _config11, "12": _config12,
         "13": _config13, "14": _config14, "15": _config15,
         "16": _config16, "17": _config17, "18": _config18,
-        "19": _config19,
+        "19": _config19, "20": _config20,
     }
     if "--only" in sys.argv:  # e.g. --only 12,13,14
         picks = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -714,16 +714,54 @@ def _config19():
         parallel_windows=True, max_tokens=96, temperatures=(0.0,),
     )
     kernel = os.environ.get("SPITTLE_DECODE_CROSS_KERNEL", "0") == "1"
-    for qdec in (False, "int8", "int4"):
-        eng = WhisperEngine(dtype=jnp.bfloat16, quantize_decoder=qdec)
+    for qdec, qcache in (
+        (False, False), ("int8", False), ("int4", False), ("int4", True)
+    ):
+        eng = WhisperEngine(
+            dtype=jnp.bfloat16, quantize_decoder=qdec, quantize_cache=qcache
+        )
         eng.load_model("random:large-v3")
         eng.transcribe_batch(batch, p)  # warmup/compile
         dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
         label = {False: "bf16 (A/B baseline)", "int8": "int8 W+KV",
                  "int4": "int8 W + int4 cross-KV"}[qdec]
+        if qcache:
+            label += " + int8 self-cache"
         report(
             f"whisper-large-v3 batch {bsz}, decoder {label}"
             + (" (Pallas in-kernel dequant)" if kernel and qdec else ""),
+            bsz * 30.0, dt,
+        )
+
+
+def _config20():
+    # 20. Turbo self-cache A/B at the headline batch: int8 self-attention
+    # KV cache (quantize_cache=True) vs bf16, decoder weights/cross-KV
+    # unquantized in both arms so the cache is the only variable. At
+    # batch 48 / ctx 224 the self-cache is ~220 MB/step (~11% of decode
+    # traffic); this measures whether the write-path quant ops cost more
+    # than the halved read stream saves.
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_TURBO_BATCH", "48"))
+    batch = [
+        (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+        for _ in range(bsz)
+    ]
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=96, temperatures=(0.0,),
+    )
+    for qcache in (False, True):
+        eng = WhisperEngine(dtype=jnp.bfloat16, quantize_cache=qcache)
+        eng.load_model("random:large-v3-turbo")
+        eng.transcribe_batch(batch, p)  # warmup/compile
+        dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+        report(
+            f"whisper-large-v3-turbo batch {bsz}, self-cache "
+            + ("int8" if qcache else "bf16 (A/B baseline)"),
             bsz * 30.0, dt,
         )
 

@@ -63,6 +63,8 @@ def _engine_overrides(args) -> dict:
         ov["quantize_encoder"] = True
     if getattr(args, "quantize_decoder", None):
         ov["quantize_decoder"] = args.quantize_decoder
+    if getattr(args, "quantize_cache", False):
+        ov["quantize_cache"] = True
     return ov
 
 
@@ -285,6 +287,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None, choices=["int8", "int4"],
                    help="int8 decoder weights + int8/int4 cross-KV "
                         "(bare flag = int8)")
+    t.add_argument("--quantize-cache", action="store_true",
+                   help="int8 self-attention KV cache (quantized on write)")
     t.add_argument("--no-condition", action="store_true",
                    help="disable condition_on_previous_text prompt carry")
     t.add_argument("--audio-ctx", type=int, default=None,
@@ -329,6 +333,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--quantize-encoder", action="store_true")
     s.add_argument("--quantize-decoder", nargs="?", const="int8",
                    default=None, choices=["int8", "int4"])
+    s.add_argument("--quantize-cache", action="store_true")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8090)
     s.add_argument("--max-batch", type=int, default=32)

@@ -120,6 +120,7 @@ class WhisperEngine:
         suppress_non_speech: bool = False,
         quantize_decoder=False,
         quantize_encoder: bool = False,
+        quantize_cache: bool = False,
         wire: str = "auto",
     ):
         """suppress_non_speech mirrors whisper.cpp's
@@ -133,6 +134,10 @@ class WhisperEngine:
         quantize_encoder: W8A8 int8 on the encoder block GEMMs — runs the
         compute-bound encoder on the MXU's 2x-rate int8 mode with dynamic
         activation quantization (ops/quant.py:_mm_w8a8).
+        quantize_cache: int8 self-attention KV cache (per-position
+        scales, quantized on write) — halves the second-largest stream
+        batched decode steps re-read; independent of quantize_decoder so
+        the two quantizations A/B separately.
         wire: host->device audio wire format — "auto" ships the input's
         own dtype (int16 in, int16 across; the lossless default) or
         "mulaw" companded 8-bit (audio/mulaw.py; halves transfer again
@@ -148,6 +153,7 @@ class WhisperEngine:
             )
         self.quantize_decoder = quantize_decoder
         self.quantize_encoder = quantize_encoder
+        self.quantize_cache = quantize_cache
         if wire not in ("auto", "mulaw"):
             # Fail loudly: the env path (SPITTLE_WIRE, the production
             # config surface) would otherwise silently treat a typo like
@@ -183,8 +189,8 @@ class WhisperEngine:
 
         The CLI and the app factory share these TPU-serving knobs (they
         have no reference-settings counterpart): SPITTLE_QUANTIZE_DECODER
-        (0|1|int8|int4), SPITTLE_QUANTIZE_ENCODER, SPITTLE_WIRE
-        (auto|mulaw)."""
+        (0|1|int8|int4), SPITTLE_QUANTIZE_ENCODER, SPITTLE_QUANTIZE_CACHE,
+        SPITTLE_WIRE (auto|mulaw)."""
         qd = os.environ.get("SPITTLE_QUANTIZE_DECODER", "0")
         if qd not in ("0", "1", "int8", "int4"):
             raise ValueError(
@@ -195,6 +201,8 @@ class WhisperEngine:
             quantize_decoder=qd if qd in ("int8", "int4") else qd == "1",
             quantize_encoder=os.environ.get(
                 "SPITTLE_QUANTIZE_ENCODER", "0") == "1",
+            quantize_cache=os.environ.get(
+                "SPITTLE_QUANTIZE_CACHE", "0") == "1",
             wire=os.environ.get("SPITTLE_WIRE", "auto"),
         )
         opts.update(overrides)
@@ -423,6 +431,7 @@ class WhisperEngine:
             suppress_tokens=suppress,
             quant_kv=bool(self.quantize_decoder),
             quant_kv_bits=4 if self.quantize_decoder == "int4" else 8,
+            quant_cache=self.quantize_cache,
             # whisper.cpp splits the text context: half for the carried
             # prompt, half for the window's decode. Bounding max_tokens
             # also halves the static KV cache the decode loop re-reads

@@ -75,7 +75,9 @@ def _beam_loop(
 
     # Single teacher-forced pass prefills all beams' caches (see
     # decoder_prefill: token-by-token prefill re-reads weights per token).
-    all_logits, cache = decoder_prefill(params, prefix_k, cross_kv, cfg, ctx)
+    all_logits, cache = decoder_prefill(
+        params, prefix_k, cross_kv, cfg, ctx, quant_cache=opts.quant_cache
+    )
     pre_logits = all_logits.transpose(1, 0, 2)  # [P, B*K, V]
     from spittle_tpu.ops.attention import pad_cross_kv
 
@@ -149,7 +151,11 @@ def _beam_loop(
 
         tokens = s["tokens"][flat_src]
         tokens = jax.lax.dynamic_update_slice(tokens, new_tok[:, None], (0, pos))
-        cache = jnp.take(s["cache"], flat_src, axis=2)
+        # beam-axis gather; tree_map covers the int8 cache dict too (B is
+        # axis 2 of both qw [L,2,B,H,Dh,ctx] and scale [L,2,B,H,ctx])
+        cache = jax.tree.map(
+            lambda c: jnp.take(c, flat_src, axis=2), s["cache"]
+        )
         finished = s["finished"][flat_src]
         ts_floor = s["ts_floor"][flat_src]
         length = s["length"][flat_src]

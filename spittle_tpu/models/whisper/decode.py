@@ -53,6 +53,10 @@ class DecodeOptions:
     # (int4) of bf16. See ops/quant.py.
     quant_kv: bool = False
     quant_kv_bits: int = 8  # 8 or 4; only read when quant_kv is True
+    # int8 self-attention KV cache (per-position scales, quantized as
+    # columns are written): halves the OTHER stream every decode step
+    # re-reads. Independent of quant_kv so the two can be A/B'd apart.
+    quant_cache: bool = False
 
 
 def sot_sequence(
@@ -212,7 +216,9 @@ def _greedy_loop(
     # One teacher-forced pass prefills the cache and yields per-position
     # logits (token-by-token prefill would re-read all weights + cross-KV
     # once per prompt token).
-    all_logits, cache = decoder_prefill(params, prefix, cross_kv, cfg, ctx)
+    all_logits, cache = decoder_prefill(
+        params, prefix, cross_kv, cfg, ctx, quant_cache=opts.quant_cache
+    )
     pre_logits = all_logits.transpose(1, 0, 2)  # [P, B, V]
     # Tile-align cross K/V so decode steps hit the Pallas kernel
     # (bf16 or int8 in-kernel-dequant variant); decode_step masks with

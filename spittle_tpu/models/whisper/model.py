@@ -370,25 +370,35 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig):
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
-                  ctx: int = 0):
+                  ctx: int = 0, quant: bool = False):
     """Static self-attention cache: [L, 2, B, H, Dh, ctx].
 
     Head-major, time-minor decode layout (see module docstring): with
     Dh=64 second-minor the tile padding lands on the ctx axis (cheap)
     instead of doubling the minor dim to 128. ctx defaults to
     n_text_ctx; decode loops with a smaller token budget pass it to cut
-    per-step cache traffic (every step reads the whole static cache)."""
-    return jnp.zeros(
-        (
-            cfg.n_text_layer,
-            2,
-            batch,
-            cfg.n_text_head,
-            cfg.n_text_state // cfg.n_text_head,
-            ctx or cfg.n_text_ctx,
-        ),
-        dtype,
+    per-step cache traffic (every step reads the whole static cache).
+
+    quant: int8 cache {"qw" int8 [L,2,B,H,Dh,ctx], "scale" f32
+    [L,2,B,H,ctx]} — per-position scales exactly like the cross-KV
+    quantization (ops/quant.py quantize_kv), halving the self-attention
+    stream every step re-reads. Columns are quantized as they are
+    written; unwritten columns are 0 with scale 1 and are masked by the
+    causal position mask anyway."""
+    shape = (
+        cfg.n_text_layer,
+        2,
+        batch,
+        cfg.n_text_head,
+        cfg.n_text_state // cfg.n_text_head,
+        ctx or cfg.n_text_ctx,
     )
+    if quant:
+        return {
+            "qw": jnp.zeros(shape, jnp.int8),
+            "scale": jnp.ones(shape[:4] + shape[5:], jnp.float32),
+        }
+    return jnp.zeros(shape, dtype)
 
 
 def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
@@ -474,6 +484,57 @@ def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
     return co
 
 
+def _cache_write(cache_l, k_new, v_new, pos):
+    """Write k/v ([B, H, K, Dh]) at columns pos..pos+K-1 of a per-layer
+    cache slice — [2, B, H, Dh, ctx] array, or the int8 dict form (the
+    new columns are quantized per position on the way in)."""
+    new = jnp.stack([k_new, v_new]).swapaxes(-1, -2)  # [2, B, H, Dh, K]
+    if isinstance(cache_l, dict):
+        from spittle_tpu.ops.quant import quantize_kv
+
+        q8 = quantize_kv(new)
+        return {
+            "qw": jax.lax.dynamic_update_slice(
+                cache_l["qw"], q8["qw"], (0, 0, 0, 0, pos)
+            ),
+            "scale": jax.lax.dynamic_update_slice(
+                cache_l["scale"], q8["scale"], (0, 0, 0, pos)
+            ),
+        }
+    return jax.lax.dynamic_update_slice(
+        cache_l, new.astype(cache_l.dtype), (0, 0, 0, 0, pos)
+    )
+
+
+def _cache_attend(q, cache_l, mask):
+    """Masked-softmax attention of q [B, H, Q, Dh] over a per-layer cache
+    slice (plain array or int8 dict). Per-position scales factor out of
+    both dots exactly (same algebra as the quantized cross path), so the
+    int8 tensors feed the MXU directly and the halved HBM stream is the
+    only difference."""
+    if isinstance(cache_l, dict):
+        ks = cache_l["scale"][0]  # [B, H, ctx] f32
+        vs = cache_l["scale"][1]
+        scores = jnp.einsum(
+            "bhqd,bhdk->bhqk", q, cache_l["qw"][0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * ks[:, :, None, :]
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum(
+            "bhqk,bhdk->bhqd",
+            (probs * vs[:, :, None, :]).astype(q.dtype),
+            cache_l["qw"][1].astype(q.dtype),
+        )
+    k_all, v_all = cache_l[0], cache_l[1]  # [B, H, Dh, ctx]
+    scores = jnp.einsum(
+        "bhqd,bhdk->bhqk", q, k_all, preferred_element_type=jnp.float32
+    )
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+    return jnp.einsum("bhqk,bhdk->bhqd", probs, v_all)
+
+
 def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
                          cross_kv_len: int = 0):
     """One token through all decoder layers. x: [B, 1, D].
@@ -481,7 +542,9 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
     cross_kv_len: real cross-attention length when K/V were padded to a
     tile multiple for the Pallas decode kernel (0 = unpadded)."""
     scale = (x.shape[-1] // n_head) ** -0.25
-    n_ctx = kv_cache.shape[5]
+    n_ctx = (
+        kv_cache["qw"] if isinstance(kv_cache, dict) else kv_cache
+    ).shape[5]
 
     def body(carry, inputs):
         h, = carry
@@ -492,20 +555,9 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
         k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B, H, 1, Dh]
         v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
         # cache layout [2, B, H, Dh, n_ctx] (time minor); write column pos
-        cache_l = jax.lax.dynamic_update_slice(
-            cache_l,
-            jnp.stack([k_new, v_new]).swapaxes(-1, -2),
-            (0, 0, 0, 0, pos),
-        )
-        k_all = cache_l[0]  # [B, H, Dh, n_ctx]
-        v_all = cache_l[1]
+        cache_l = _cache_write(cache_l, k_new, v_new, pos)
         mask = (jnp.arange(n_ctx) <= pos)[None, None, None, :]
-        scores = jnp.einsum(
-            "bhqd,bhdk->bhqk", q, k_all, preferred_element_type=jnp.float32
-        )
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-        o = jnp.einsum("bhqk,bhdk->bhqd", probs, v_all)
+        o = _cache_attend(q, cache_l, mask)
         h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
 
         # cross-attention (precomputed K/V; optionally int8/beam-shared)
@@ -579,7 +631,9 @@ def decode_block(
     b, kk = tokens.shape
     n_head = cfg.n_text_head
     scale = (cfg.n_text_state // n_head) ** -0.25
-    n_ctx = kv_cache.shape[5]
+    n_ctx = (
+        kv_cache["qw"] if isinstance(kv_cache, dict) else kv_cache
+    ).shape[5]
 
     x = dec["tok_emb"][tokens]
     x = (x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, kk)[None]).astype(
@@ -593,24 +647,13 @@ def decode_block(
         q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
         k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,K,Dh]
         v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
-        cache_l = jax.lax.dynamic_update_slice(
-            cache_l,
-            jnp.stack([k_new, v_new]).swapaxes(-1, -2),
-            (0, 0, 0, 0, pos),
-        )
-        k_all, v_all = cache_l[0], cache_l[1]  # [B, H, Dh, n_ctx]
+        cache_l = _cache_write(cache_l, k_new, v_new, pos)
         # row j (position pos+j) may attend to cache cols <= pos+j
         mask = (
             jnp.arange(n_ctx)[None, :] <= pos + jnp.arange(kk)[:, None]
         )[None, None]
-        scores = jnp.einsum(
-            "bhqd,bhdk->bhqk", q, k_all, preferred_element_type=jnp.float32
-        )
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-        h = h + mm(_merge_heads(
-            jnp.einsum("bhqk,bhdk->bhqd", probs, v_all)), blk["wo"]
-        ) + blk["bo"]
+        h = h + mm(_merge_heads(_cache_attend(q, cache_l, mask)), blk["wo"]
+                   ) + blk["bo"]
 
         xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // n_head
@@ -628,13 +671,14 @@ def decode_block(
     return logits_from_hidden(params, x), new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ctx"))
+@functools.partial(jax.jit, static_argnames=("cfg", "ctx", "quant_cache"))
 def decoder_prefill(
     params: Params,
     tokens: jnp.ndarray,  # [B, P] prefix tokens
     cross_kv,  # (k, v) [L, B, H, Dh, 1500] decode layout — plain or quantized
     cfg: WhisperConfig,
     ctx: int,
+    quant_cache: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher-forced prefix pass that also fills the decode KV cache.
 
@@ -674,10 +718,23 @@ def decoder_prefill(
         return hcur, jnp.stack([k, v]).swapaxes(-1, -2)
 
     x, kv = jax.lax.scan(body, x, (dec["blocks"], cross_kv[0], cross_kv[1]))
-    cache = init_kv_cache(cfg, b, dtype=x.dtype, ctx=ctx)
-    cache = jax.lax.dynamic_update_slice(
-        cache, kv.astype(cache.dtype), (0, 0, 0, 0, 0, 0)
-    )
+    cache = init_kv_cache(cfg, b, dtype=x.dtype, ctx=ctx, quant=quant_cache)
+    if quant_cache:
+        from spittle_tpu.ops.quant import quantize_kv
+
+        q8 = quantize_kv(kv)  # per-position scales over Dh (axis -2)
+        cache = {
+            "qw": jax.lax.dynamic_update_slice(
+                cache["qw"], q8["qw"], (0, 0, 0, 0, 0, 0)
+            ),
+            "scale": jax.lax.dynamic_update_slice(
+                cache["scale"], q8["scale"], (0, 0, 0, 0, 0)
+            ),
+        }
+    else:
+        cache = jax.lax.dynamic_update_slice(
+            cache, kv.astype(cache.dtype), (0, 0, 0, 0, 0, 0)
+        )
     return logits_from_hidden(params, x), cache
 
 

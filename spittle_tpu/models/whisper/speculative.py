@@ -78,10 +78,21 @@ def _speculative_loop(
     )
     cross_kv = precompute_cross_kv(params, xa, cfg)
     d_cross_kv = precompute_cross_kv(draft_params, draft_xa, draft_cfg)
+    if opts.quant_kv:
+        # Same serving options as the greedy loop (engine sets them
+        # uniformly); the draft shares the target's quantization so an
+        # accept/reject decision never compares mixed precisions.
+        from spittle_tpu.ops.quant import quantize_kv, quantize_kv_int4
 
-    pre_logits, cache = decoder_prefill(params, prefix, cross_kv, cfg, ctx)
+        qf = quantize_kv_int4 if opts.quant_kv_bits == 4 else quantize_kv
+        cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
+        d_cross_kv = (qf(d_cross_kv[0]), qf(d_cross_kv[1]))
+
+    pre_logits, cache = decoder_prefill(
+        params, prefix, cross_kv, cfg, ctx, quant_cache=opts.quant_cache
+    )
     _, d_cache = decoder_prefill(draft_params, prefix, d_cross_kv,
-                                 draft_cfg, ctx)
+                                 draft_cfg, ctx, quant_cache=opts.quant_cache)
     from spittle_tpu.ops.attention import pad_cross_kv
 
     cross_kv = pad_cross_kv(cross_kv)

@@ -172,3 +172,23 @@ class TestLayerDroppedSelfDraft:
         eng.load_self_draft()
         eng.unload_model()
         assert eng.draft_params is None and not eng._self_draft
+
+
+@pytest.mark.parametrize("qkv_bits,qcache", [(8, False), (4, True)])
+def test_self_draft_matches_greedy_quantized(models, qkv_bits, qcache):
+    """The exact-output invariant must survive the serving quantizations:
+    greedy and speculative read the SAME int8/int4 cross-KV and int8
+    self-cache tensors (per-column quantization is write-path-independent,
+    so decode_step and decode_block caches are bit-identical)."""
+    cfg, _, params, _, xa, _ = models
+    opts = DecodeOptions(
+        timestamps=False, max_tokens=24,
+        quant_kv=True, quant_kv_bits=qkv_bits, quant_cache=qcache,
+    )
+    ref = greedy_decode(params, xa, cfg, opts)
+    out = speculative_greedy_decode(
+        params, params, xa, xa, cfg, cfg, opts, draft_k=4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["tokens"]), np.asarray(out["tokens"])
+    )

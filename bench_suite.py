@@ -714,9 +714,15 @@ def _config19():
         parallel_windows=True, max_tokens=96, temperatures=(0.0,),
     )
     kernel = os.environ.get("SPITTLE_DECODE_CROSS_KERNEL", "0") == "1"
-    for qdec, qcache in (
-        (False, False), ("int8", False), ("int4", False), ("int4", True)
-    ):
+    # BENCH_LV3_ARMS picks ladder rungs (comma list of bf16,int8,int4,
+    # int4c) so memory-scaled runs can skip arms that cannot fit — at
+    # batch 64 the bf16 cross-KV alone (~245 MB/row) exceeds HBM and
+    # would OOM-crash the whole config before the int4 arms ran.
+    arm_names = {"bf16": (False, False), "int8": ("int8", False),
+                 "int4": ("int4", False), "int4c": ("int4", True)}
+    picks = os.environ.get("BENCH_LV3_ARMS", "bf16,int8,int4,int4c")
+    for name in picks.split(","):
+        qdec, qcache = arm_names[name.strip()]
         eng = WhisperEngine(
             dtype=jnp.bfloat16, quantize_decoder=qdec, quantize_cache=qcache
         )

@@ -21,6 +21,24 @@ consecutive-pair's closing timestamp in its last segment
 (`slices[-1] += 1`), while our `_parse_window` (OpenAI transcribe-loop
 semantics) cuts before it; `_normalize_hf_window` drops that one token
 — seek math is identical on both sides.
+
+Beam-5 is deliberately NOT in this suite (VERDICT r2 #1's conditional:
+"beam-5 if HF's beam semantics align" — they don't). Measured on this
+harness (4 seeds, beam_size=5 both sides): greedy paths are token-exact
+per the tests below, but the beam winners diverge at the first
+beam-bookkeeping decision (position 2, right after the opening
+timestamp) and never re-converge. The semantic gap is structural, not a
+rule bug: HF beam search expands 2*num_beams candidates per step and
+RETIRES a beam to a hypothesis list when it emits EOS (scoring it with
+`length_penalty` at finalize, default sum/len^1.0 over a
+differently-counted length), while this engine implements the
+whisper.cpp/OpenAI BeamSearchDecoder: finished beams stay in their slot
+re-emitting EOT as a frozen candidate, expansion is top-k per live
+beam, and the final pick is argmax of sum-logprob/emitted-length. The
+same logit rules feed both (greedy parity proves that); the search
+trees differ, so token equality is not a meaningful target. Beam
+correctness is covered by tests/test_whisper_beam.py (rule obedience,
+score >= greedy, quantization-invariance).
 """
 
 import numpy as np

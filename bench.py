@@ -50,7 +50,7 @@ MAX_TOKENS = 96
 WINDOW_SECONDS = 30.0
 
 
-def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
+def _wait_for_backend(max_wait_s: Optional[float] = None) -> None:
     """Block until the TPU backend initializes (or max_wait_s elapses).
 
     The tunneled axon backend has multi-hour outages ("UNAVAILABLE: TPU
@@ -63,6 +63,11 @@ def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
     import subprocess
     import sys
 
+    if max_wait_s is None:
+        # SPITTLE_BENCH_MAX_WAIT extends the wait when an outage is known
+        # to be long (the 2026-08-17 one passed 8 h) and the caller would
+        # rather block than record a zero.
+        max_wait_s = float(os.environ.get("SPITTLE_BENCH_MAX_WAIT", "3600"))
     probe = "import jax; jax.devices()"
     deadline = time.monotonic() + max_wait_s
     while True:

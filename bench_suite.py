@@ -68,7 +68,7 @@ def main():
         "10": _config10, "11": _config11, "12": _config12,
         "13": _config13, "14": _config14, "15": _config15,
         "16": _config16, "17": _config17, "18": _config18,
-        "19": _config19, "20": _config20,
+        "19": _config19, "20": _config20, "21": _config21,
     }
     if "--only" in sys.argv:  # e.g. --only 12,13,14
         picks = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -769,6 +769,66 @@ def _config20():
             f"whisper-large-v3-turbo batch {bsz}, self-cache "
             + ("int8" if qcache else "bf16 (A/B baseline)"),
             bsz * 30.0, dt,
+        )
+
+
+def _config21():
+    # 21. Combined-winners ladder at the EXACT headline shape (bench.py:
+    # transcribe_stream, sustained batch-48 groups, 96-token greedy).
+    # The 2026-08-18 A/Bs measured each lever alone: mu-law wire +37%
+    # (config 17), W8A8 encoder +17% (16), int8 decoder +5% (18), int8
+    # self-cache ~noise (20). This stacks them cumulatively to find the
+    # best honest serving config — the reference itself serves quantized
+    # GGML (large-v3-q5_0, medium-q4_1 in model_catalog.json), so a
+    # quantized serving arm is reference-faithful, not a benchmark trick.
+    # BENCH_COMBO_ARMS picks rungs (comma list of base,mulaw,enc,dec,cache).
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_TURBO_BATCH", "48"))
+    n_batches = 3
+
+    def make_batch():
+        return [
+            (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+            for _ in range(bsz)
+        ]
+
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=96, temperatures=(0.0,),
+    )
+    arms = {
+        "base": dict(),
+        "mulaw": dict(wire="mulaw"),
+        "enc": dict(wire="mulaw", quantize_encoder=True),
+        "dec": dict(wire="mulaw", quantize_encoder=True,
+                    quantize_decoder="int8"),
+        "cache": dict(wire="mulaw", quantize_encoder=True,
+                      quantize_decoder="int8", quantize_cache=True),
+    }
+    warm = make_batch()
+    timed_batches = [make_batch() for _ in range(n_batches)]
+    picks = os.environ.get("BENCH_COMBO_ARMS", "base,mulaw,enc,dec,cache")
+    for name in picks.split(","):
+        kw = arms[name.strip()]
+        eng = WhisperEngine(dtype=jnp.bfloat16, **kw)
+        eng.load_model("random:large-v3-turbo")
+        for _ in eng.transcribe_stream([warm], p):
+            pass
+        t0 = time.perf_counter()
+        n_done = 0
+        for results in eng.transcribe_stream(timed_batches, p):
+            n_done += len(results)
+        dt = time.perf_counter() - t0
+        label = {"base": "int16+bf16 (baseline)", "mulaw": "+mulaw wire",
+                 "enc": "+W8A8 encoder", "dec": "+int8 decoder",
+                 "cache": "+int8 self-cache"}[name.strip()]
+        report(
+            f"whisper-large-v3-turbo sustained {n_batches} x batch {bsz}, "
+            f"combo {label}",
+            n_done * 30.0, dt,
         )
 
 

@@ -104,7 +104,20 @@ def main():
     from spittle_tpu.engine.whisper_engine import WhisperEngine
 
     _wait_for_backend()
-    engine = WhisperEngine(dtype=jnp.bfloat16)
+    # Serving config: the 2026-08-18 combo ladder (bench_suite config 21)
+    # measured mu-law wire (+37%) and W8A8 int8 encoder (+10% on top) as
+    # the winning stack at this exact shape (485 -> 714 -> 787x sustained);
+    # int8 decoder and int8 self-cache regressed slightly under transfer
+    # overlap and stay opt-in. Both levers are production-honest: mu-law
+    # is the G.711 telephony wire codec (8-bit companded mic PCM), and
+    # the reference itself ships quantized GGML artifacts (q4_1/q5_0).
+    # SPITTLE_BENCH_EXACT=1 reverts to the int16+bf16 exact path.
+    exact = os.environ.get("SPITTLE_BENCH_EXACT", "0") == "1"
+    engine = WhisperEngine(
+        dtype=jnp.bfloat16,
+        wire="auto" if exact else "mulaw",
+        quantize_encoder=not exact,
+    )
     engine.load_model("random:large-v3-turbo")
 
     rng = np.random.default_rng(0)
@@ -147,10 +160,13 @@ def main():
         runs.append(n_done * WINDOW_SECONDS / dt)
     rtfx = max(runs)
 
+    wire_desc = "int16" if exact else "mu-law 8-bit"
+    enc_desc = "bf16" if exact else "W8A8 int8 encoder, bf16 decode"
     print(json.dumps({
         "metric": "whisper-large-v3-turbo sustained engine-path RTFx "
                   f"(transcribe_stream, best of {N_REPEATS} runs of "
-                  f"{N_BATCHES} x batch {BATCH} x 30s int16, {MAX_TOKENS}-token "
+                  f"{N_BATCHES} x batch {BATCH} x 30s {wire_desc} wire, "
+                  f"{enc_desc}, {MAX_TOKENS}-token "
                   "rule-applying greedy decode, prefetch-to-device overlap)",
         "value": round(rtfx, 1),
         "unit": "x realtime per chip",

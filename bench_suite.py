@@ -718,13 +718,21 @@ def _config19():
     # int4c) so memory-scaled runs can skip arms that cannot fit — at
     # batch 64 the bf16 cross-KV alone (~245 MB/row) exceeds HBM and
     # would OOM-crash the whole config before the int4 arms ran.
-    arm_names = {"bf16": (False, False), "int8": ("int8", False),
-                 "int4": ("int4", False), "int4c": ("int4", True)}
+    # "full" = int8 decoder + W8A8 encoder + mu-law wire: the levers the
+    # 2026-08-18 turbo A/Bs measured as wins, stacked on large-v3 (the
+    # north-star model). Reference-faithful: its large-v3 catalog
+    # artifact is itself q5_0-quantized.
+    arm_names = {"bf16": (False, False, False, "auto"),
+                 "int8": ("int8", False, False, "auto"),
+                 "int4": ("int4", False, False, "auto"),
+                 "int4c": ("int4", True, False, "auto"),
+                 "full": ("int8", False, True, "mulaw")}
     picks = os.environ.get("BENCH_LV3_ARMS", "bf16,int8,int4,int4c")
     for name in picks.split(","):
-        qdec, qcache = arm_names[name.strip()]
+        qdec, qcache, qenc, wire = arm_names[name.strip()]
         eng = WhisperEngine(
-            dtype=jnp.bfloat16, quantize_decoder=qdec, quantize_cache=qcache
+            dtype=jnp.bfloat16, quantize_decoder=qdec,
+            quantize_cache=qcache, quantize_encoder=qenc, wire=wire,
         )
         eng.load_model("random:large-v3")
         eng.transcribe_batch(batch, p)  # warmup/compile
@@ -733,6 +741,8 @@ def _config19():
                  "int4": "int8 W + int4 cross-KV"}[qdec]
         if qcache:
             label += " + int8 self-cache"
+        if qenc:
+            label += " + W8A8 encoder + mulaw wire"
         report(
             f"whisper-large-v3 batch {bsz}, decoder {label}"
             + (" (Pallas in-kernel dequant)" if kernel and qdec else ""),

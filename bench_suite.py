@@ -722,12 +722,17 @@ def _config19():
     # 2026-08-18 turbo A/Bs measured as wins, stacked on large-v3 (the
     # north-star model). Reference-faithful: its large-v3 catalog
     # artifact is itself q5_0-quantized.
+    # "w8a8" = int8 decoder weights + w8a8 cross-attention (BOTH dots
+    # int8xint8 on the MXU; the K/V HBM stream stays int8 with no
+    # materialized convert — the fix for the int8 XLA path measuring
+    # speed-neutral, see ops/quant.quantize_kv_w8a8).
     arm_names = {"bf16": (False, False, False, "auto"),
                  "int8": ("int8", False, False, "auto"),
+                 "w8a8": ("w8a8", False, False, "auto"),
                  "int4": ("int4", False, False, "auto"),
                  "int4c": ("int4", True, False, "auto"),
                  "full": ("int8", False, True, "mulaw")}
-    picks = os.environ.get("BENCH_LV3_ARMS", "bf16,int8,int4,int4c")
+    picks = os.environ.get("BENCH_LV3_ARMS", "bf16,int8,w8a8,int4,int4c")
     for name in picks.split(","):
         qdec, qcache, qenc, wire = arm_names[name.strip()]
         eng = WhisperEngine(
@@ -738,6 +743,7 @@ def _config19():
         eng.transcribe_batch(batch, p)  # warmup/compile
         dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
         label = {False: "bf16 (A/B baseline)", "int8": "int8 W+KV",
+                 "w8a8": "int8 W + w8a8 cross-attention",
                  "int4": "int8 W + int4 cross-KV"}[qdec]
         if qcache:
             label += " + int8 self-cache"

@@ -284,7 +284,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--quantize-encoder", action="store_true",
                    help="W8A8 int8 encoder GEMMs (int8 MXU mode)")
     t.add_argument("--quantize-decoder", nargs="?", const="int8",
-                   default=None, choices=["int8", "int4"],
+                   default=None, choices=["int8", "int4", "w8a8"],
                    help="int8 decoder weights + int8/int4 cross-KV "
                         "(bare flag = int8)")
     t.add_argument("--quantize-cache", action="store_true",
@@ -332,7 +332,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--wire", default=None, choices=["auto", "mulaw"])
     s.add_argument("--quantize-encoder", action="store_true")
     s.add_argument("--quantize-decoder", nargs="?", const="int8",
-                   default=None, choices=["int8", "int4"])
+                   default=None, choices=["int8", "int4", "w8a8"])
     s.add_argument("--quantize-cache", action="store_true")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8090)

@@ -125,12 +125,15 @@ class WhisperEngine:
     ):
         """suppress_non_speech mirrors whisper.cpp's
         suppress_non_speech_tokens (default false there too).
-        quantize_decoder: False, True/"int8", or "int4" — weight-only
+        quantize_decoder: False, True/"int8", "w8a8", or "int4" — weight-only
         int8 on the decoder blocks (halves per-token HBM weight traffic;
         the whisper.cpp-q8 analog, served TPU-native) plus quantized
         cross-attention K/V at the given width; "int4" packs cross-KV
         two-per-byte, a quarter of bf16 bytes for the 32-layer large-v3
-        decode's dominant stream (see ops/quant.py).
+        decode's dominant stream (see ops/quant.py); "w8a8" keeps int8
+        weights/cross-KV but runs the cross-attention dots int8xint8 on
+        the MXU (queries/probs dynamically quantized) so the K/V HBM
+        stream stays int8 with no materialized convert.
         quantize_encoder: W8A8 int8 on the encoder block GEMMs — runs the
         compute-bound encoder on the MXU's 2x-rate int8 mode with dynamic
         activation quantization (ops/quant.py:_mm_w8a8).
@@ -146,10 +149,10 @@ class WhisperEngine:
         self.suppress_non_speech = suppress_non_speech
         if quantize_decoder is True:
             quantize_decoder = "int8"
-        if quantize_decoder not in (False, "int8", "int4"):
+        if quantize_decoder not in (False, "int8", "int4", "w8a8"):
             raise ValueError(
-                "quantize_decoder must be False, True/'int8', or 'int4',"
-                f" got {quantize_decoder!r}"
+                "quantize_decoder must be False, True/'int8', 'int4' or"
+                f" 'w8a8', got {quantize_decoder!r}"
             )
         self.quantize_decoder = quantize_decoder
         self.quantize_encoder = quantize_encoder
@@ -189,16 +192,19 @@ class WhisperEngine:
 
         The CLI and the app factory share these TPU-serving knobs (they
         have no reference-settings counterpart): SPITTLE_QUANTIZE_DECODER
-        (0|1|int8|int4), SPITTLE_QUANTIZE_ENCODER, SPITTLE_QUANTIZE_CACHE,
+        (0|1|int8|int4|w8a8), SPITTLE_QUANTIZE_ENCODER,
+        SPITTLE_QUANTIZE_CACHE,
         SPITTLE_WIRE (auto|mulaw)."""
         qd = os.environ.get("SPITTLE_QUANTIZE_DECODER", "0")
-        if qd not in ("0", "1", "int8", "int4"):
+        if qd not in ("0", "1", "int8", "int4", "w8a8"):
             raise ValueError(
-                "SPITTLE_QUANTIZE_DECODER must be 0, 1, int8 or int4,"
-                f" got {qd!r}"
+                "SPITTLE_QUANTIZE_DECODER must be 0, 1, int8, int4 or"
+                f" w8a8, got {qd!r}"
             )
         opts = dict(
-            quantize_decoder=qd if qd in ("int8", "int4") else qd == "1",
+            quantize_decoder=(
+                qd if qd in ("int8", "int4", "w8a8") else qd == "1"
+            ),
             quantize_encoder=os.environ.get(
                 "SPITTLE_QUANTIZE_ENCODER", "0") == "1",
             quantize_cache=os.environ.get(
@@ -431,6 +437,7 @@ class WhisperEngine:
             suppress_tokens=suppress,
             quant_kv=bool(self.quantize_decoder),
             quant_kv_bits=4 if self.quantize_decoder == "int4" else 8,
+            quant_kv_w8a8=self.quantize_decoder == "w8a8",
             quant_cache=self.quantize_cache,
             # whisper.cpp splits the text context: half for the carried
             # prompt, half for the window's decode. Bounding max_tokens

@@ -53,6 +53,11 @@ class DecodeOptions:
     # (int4) of bf16. See ops/quant.py.
     quant_kv: bool = False
     quant_kv_bits: int = 8  # 8 or 4; only read when quant_kv is True
+    # int8 MXU compute for cross-attention (both dots int8xint8->int32,
+    # queries/probabilities dynamically quantized): the K/V HBM stream
+    # stays int8 with no convert for XLA to materialize. Only read when
+    # quant_kv is True and quant_kv_bits == 8.
+    quant_kv_w8a8: bool = False
     # int8 self-attention KV cache (per-position scales, quantized as
     # columns are written): halves the OTHER stream every decode step
     # re-reads. Independent of quant_kv so the two can be A/B'd apart.
@@ -202,9 +207,15 @@ def _greedy_loop(
     )
     cross_kv = precompute_cross_kv(params, xa, cfg)
     if opts.quant_kv:
-        from spittle_tpu.ops.quant import quantize_kv, quantize_kv_int4
+        from spittle_tpu.ops.quant import (
+            quantize_kv, quantize_kv_int4, quantize_kv_w8a8,
+        )
 
-        qf = quantize_kv_int4 if opts.quant_kv_bits == 4 else quantize_kv
+        qf = (
+            quantize_kv_int4 if opts.quant_kv_bits == 4
+            else quantize_kv_w8a8 if opts.quant_kv_w8a8
+            else quantize_kv
+        )
         cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
     # Cache sized to the decode budget (sublane-aligned): a short decode
     # reads max_len-wide K/V per step instead of n_text_ctx-wide.

@@ -54,7 +54,9 @@ from spittle_tpu.ops.attention import (
     use_decode_cross_kernel_q4,
     use_decode_cross_kernel_q8,
 )
-from spittle_tpu.ops.quant import is_quant, is_quant_kv4, mm, unpack_kv_int4
+from spittle_tpu.ops.quant import (
+    is_quant, is_quant_kv4, is_quant_w8a8, mm, unpack_kv_int4,
+)
 from .config import WhisperConfig
 
 Params = Dict[str, Any]
@@ -413,7 +415,10 @@ def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
     """
     bq, h, qlen, d = cq.shape
     bc = (
-        ck["qw4"] if is_quant_kv4(ck) else ck["qw"] if is_quant(ck) else ck
+        ck["qw4"] if is_quant_kv4(ck)
+        else ck["qw8"] if is_quant_w8a8(ck)
+        else ck["qw"] if is_quant(ck)
+        else ck
     ).shape[0]
     beams = bq // bc
     if beams > 1:
@@ -436,6 +441,40 @@ def _cross_attention(cq, ck, cv, dh: int, kv_len: int = 0):
             cv["qw4"], cv["scale"],
             kv_len=kv_len or ck["qw4"].shape[-1],
         )
+    elif is_quant_w8a8(ck):
+        # True-int8 cross-attention: BOTH dots run int8xint8->int32 on
+        # the MXU, so the K/V HBM stream stays int8 end-to-end — there
+        # is no int8->bf16 convert in the graph for XLA to materialize
+        # (the measured failure mode of the weight-only int8 XLA path,
+        # BENCHMARKS.md large-v3 table). Query rows and the prob*V-scale
+        # rows are dynamically quantized per (b, h, q) with
+        # exact-factoring symmetric scales — same algebra as
+        # ops/quant._mm_w8a8; V's per-position scales fold into the
+        # probabilities BEFORE their quantization so the int8 AV dot is
+        # exact up to the 8-bit rounding of the probability rows.
+        q32 = (cq * (dh**-0.5)).astype(jnp.float32)
+        qa = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)
+        sq = jnp.where(qa > 0, qa / 127.0, 1.0)
+        qq = jnp.clip(jnp.round(q32 / sq), -127, 127).astype(jnp.int8)
+        cscores = jnp.einsum(
+            "bhqd,bhdk->bhqk", qq, ck["qw8"],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * sq * ck["scale"][:, :, None, :]
+        kvl = kv_len or ck["qw8"].shape[-1]
+        if kvl < ck["qw8"].shape[-1]:  # tile-padded quantized K/V
+            cmask = (jnp.arange(ck["qw8"].shape[-1]) < kvl)[None, None, None, :]
+            cscores = jnp.where(cmask, cscores, -1e30)
+        cprobs = jax.nn.softmax(cscores, axis=-1)
+        pv = cprobs * cv["scale"][:, :, None, :]  # [Bc, H, Q, T] >= 0
+        pa = jnp.max(pv, axis=-1, keepdims=True)
+        sp = jnp.where(pa > 0, pa / 127.0, 1.0)
+        qp = jnp.clip(jnp.round(pv / sp), 0, 127).astype(jnp.int8)
+        co = (
+            jnp.einsum(
+                "bhqk,bhdk->bhqd", qp, cv["qw8"],
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * sp
+        ).astype(cq.dtype)
     elif is_quant(ck):
         if use_decode_cross_kernel_q8(cq, ck):
             # In-kernel dequant: int8 K/V stream from HBM at HALF the

@@ -82,9 +82,15 @@ def _speculative_loop(
         # Same serving options as the greedy loop (engine sets them
         # uniformly); the draft shares the target's quantization so an
         # accept/reject decision never compares mixed precisions.
-        from spittle_tpu.ops.quant import quantize_kv, quantize_kv_int4
+        from spittle_tpu.ops.quant import (
+            quantize_kv, quantize_kv_int4, quantize_kv_w8a8,
+        )
 
-        qf = quantize_kv_int4 if opts.quant_kv_bits == 4 else quantize_kv
+        qf = (
+            quantize_kv_int4 if opts.quant_kv_bits == 4
+            else quantize_kv_w8a8 if opts.quant_kv_w8a8
+            else quantize_kv
+        )
         cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
         d_cross_kv = (qf(d_cross_kv[0]), qf(d_cross_kv[1]))
 

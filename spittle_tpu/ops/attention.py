@@ -752,8 +752,8 @@ def pad_cross_kv(cross_kv, multiple: int = 128):
     if not decode_cross_kernel_enabled():
         return cross_kv
     k, v = cross_kv
-    if isinstance(k, dict):  # int8/int4 quant dicts {qw|qw4 [...], scale}
-        key = "qw4" if "qw4" in k else "qw"
+    if isinstance(k, dict):  # int8/int4/w8a8 dicts {qw|qw4|qw8 [...], scale}
+        key = "qw4" if "qw4" in k else "qw8" if "qw8" in k else "qw"
         t = k[key].shape[-1]
         pad = (-t) % multiple
         if pad == 0:

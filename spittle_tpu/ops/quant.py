@@ -156,9 +156,27 @@ def quantize_kv(kv: jnp.ndarray) -> QuantW:
 
 
 def dequantize_kv(q: QuantW, dtype=jnp.bfloat16) -> jnp.ndarray:
+    qw = q["qw8"] if "qw8" in q else q["qw"]
     return (
-        q["qw"].astype(jnp.float32) * q["scale"][..., None, :]
+        qw.astype(jnp.float32) * q["scale"][..., None, :]
     ).astype(dtype)
+
+
+def quantize_kv_w8a8(kv: jnp.ndarray) -> QuantW:
+    """Per-position symmetric int8 K/V tagged for the W8A8 attention path.
+
+    Same numbers as quantize_kv, different dict key ("qw8") so the
+    cross-attention core dispatches to int8xint8->int32 MXU dots with
+    dynamically quantized queries/probabilities instead of the
+    convert-and-dot math. The distinction matters on the measured chip:
+    the weight-only int8 XLA path is speed-NEUTRAL because XLA
+    materializes the int8->bf16 convert of the whole K/V tensor, paying
+    the halved HBM read back as write+re-read traffic (BENCHMARKS.md,
+    large-v3 table). An int8 dot consumes the int8 bytes directly — no
+    convert exists in the graph to materialize.
+    """
+    q = quantize_kv(kv)
+    return {"qw8": q["qw"], "scale": q["scale"]}
 
 
 def is_quant_kv4(w: Any) -> bool:

@@ -1,0 +1,161 @@
+"""In-loop decode-step breakdown for whisper-large-v3 (knockout ablation).
+
+bench_chip.py measured this chip at ~637 GB/s streaming reads, yet the
+large-v3 bf16 decode runs ~21-31 ms/step — 2-3x above the pure
+cross-KV+weights byte count. This script finds where the time goes by
+knocking out one component at a time and timing the SAME 96-step greedy
+scan in-loop (the only honest measurement on this tunnel — single-call
+timings are per-program-overhead-dominated, see ROUND_NOTES).
+
+Components are removed by monkeypatching the model module's sublayer
+functions before tracing a fresh program — production code carries no
+bench hooks. Token feedback is a FIXED sequence for every variant (the
+carry accumulates logits so nothing dead-codes away), so all variants
+run identical control flow and differ only in the knocked-out compute.
+
+Variants:
+  full       — the real step (baseline)
+  no-cross   — cross-attention returns q (drops cross-KV reads + dots)
+  no-self    — cache attend returns q, cache writes skipped
+  no-mlp     — MLP returns x (drops fc1/fc2 weight reads + GEMMs)
+  no-logits  — logits head returns zeros (drops the 133 MB tok_emb read)
+
+Usage: [BDB_BATCH=32] [BDB_STEPS=96] python scripts/bench_decode_breakdown.py
+"""
+
+import contextlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SPITTLE_JAX_CACHE", "/tmp/spittle_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B = int(os.environ.get("BDB_BATCH", "32"))
+STEPS = int(os.environ.get("BDB_STEPS", "96"))
+MODEL = os.environ.get("BDB_MODEL", "large-v3")
+REPS = 3
+
+
+def fetch(x):
+    return np.asarray(x)
+
+
+def timed(fn, reps=REPS):
+    fetch(fn())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+@contextlib.contextmanager
+def patched(mod, **repl):
+    old = {k: getattr(mod, k) for k in repl}
+    for k, v in repl.items():
+        setattr(mod, k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            setattr(mod, k, v)
+
+
+def main():
+    from spittle_tpu.models.whisper import model as M
+    from spittle_tpu.models.whisper.config import CONFIGS
+    from spittle_tpu.models.whisper.model import (
+        init_kv_cache, init_params, precompute_cross_kv,
+    )
+
+    cfg = CONFIGS[MODEL]
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    xa = jnp.asarray(
+        rng.standard_normal((B, cfg.n_audio_ctx, cfg.n_audio_state)),
+        jnp.bfloat16,
+    )
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+    ctx = -(-(STEPS + 8) // 32) * 32
+    cache0 = init_kv_cache(cfg, B, jnp.bfloat16, ctx=ctx)
+    # Fixed token path: every variant feeds the same ids, so programs
+    # differ only in the knocked-out compute.
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (STEPS, B)), jnp.int32)
+
+    def build():
+        step = M.decode_step.__wrapped__  # unjitted body
+
+        @jax.jit
+        def run(params, cache0, cross_kv, toks):
+            def body(carry, tok):
+                cache, acc, pos = carry
+                logits, cache = step(
+                    params, tok, pos, cache, cross_kv, cfg
+                )
+                return (cache, acc + jnp.sum(logits), pos + 1), ()
+
+            (cache, acc, _), _ = jax.lax.scan(
+                body, (cache0, jnp.float32(0.0), jnp.int32(4)), toks
+            )
+            return acc
+
+        return lambda: run(params, cache0, cross_kv, toks)
+
+    results = {}
+
+    def measure(name):
+        t = timed(build())
+        results[name] = t
+        print(json.dumps({
+            "variant": name,
+            "ms_total": round(t * 1e3, 1),
+            "ms_per_step": round(t / STEPS * 1e3, 3),
+        }), flush=True)
+
+    print(json.dumps({"model": MODEL, "batch": B, "steps": STEPS,
+                      "ctx": ctx}), flush=True)
+    measure("full")
+
+    with patched(M, _cross_attention=lambda cq, ck, cv, dh, kv_len=0: cq):
+        measure("no-cross")
+    with patched(
+        M,
+        _cache_attend=lambda q, cache_l, mask: q,
+        _cache_write=lambda cache_l, k, v, pos: cache_l,
+    ):
+        measure("no-self")
+    with patched(M, _mlp=lambda x, blk: x):
+        measure("no-mlp")
+    with patched(
+        M,
+        logits_from_hidden=lambda params, h: jnp.zeros(
+            h.shape[:-1] + (cfg.n_vocab,), jnp.float32
+        ),
+    ):
+        measure("no-logits")
+
+    full = results["full"]
+    for name in ("no-cross", "no-self", "no-mlp", "no-logits"):
+        if name in results:
+            print(json.dumps({
+                "component": name[3:],
+                "marginal_ms_per_step": round(
+                    (full - results[name]) / STEPS * 1e3, 3),
+                "share_of_full": round(1 - results[name] / full, 3),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,44 @@ def main():
     print(f"blocks scan W8A8    {t*1e3:8.1f} ms   "
           f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
 
+    # In-loop sublayer split: scan the SAME 32 layers but with only one
+    # sublayer active per variant. Single-call sublayer timings above are
+    # per-program-overhead-dominated on this tunnel (bench_chip.py showed
+    # the fc1-shape GEMM at 26 TF/s single-call vs 169 TF/s chained); the
+    # scan variants are the honest split of the 37.5 ms/layer.
+    from spittle_tpu.models.whisper.model import (
+        _attn_full, _mlp, layer_norm, mm,
+    )
+
+    def scan_variant(name, body_fn):
+        @jax.jit
+        def run(blocks, xx):
+            def body(h, blk):
+                return body_fn(h, blk), None
+            h, _ = jax.lax.scan(body, xx, blocks)
+            return h
+        t = timed(lambda: run(enc["blocks"], x))
+        print(f"{name:<20}{t*1e3:8.1f} ms   {t/n_layer*1e3:6.2f} ms/layer",
+              flush=True)
+
+    scan_variant("scan attn-only", lambda h, blk: h + _attn_full(
+        layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"]),
+        blk, cfg.n_audio_head, causal=False))
+    scan_variant("scan mlp-only", lambda h, blk: h + _mlp(
+        layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk))
+
+    def qkvo_only(h, blk):
+        # Projections without the attention kernel: isolates the four
+        # d x d GEMMs (kernel cost = attn-only minus this).
+        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
+        q = mm(xn, blk["wq"]) + blk["bq"]
+        k = mm(xn, blk["wk"])
+        v = mm(xn, blk["wv"]) + blk["bv"]
+        o = q + k + v  # keep all three live without the kernel
+        return h + mm(o, blk["wo"]) + blk["bo"]
+
+    scan_variant("scan qkvo-only", qkvo_only)
+
     # Packed-heads attention sweep (SPITTLE_PACKED_ATTENTION): '0' is
     # the split-head fullkv baseline, '1' the one-head 64-wide-block
     # variant (UNVALIDATED Mosaic lane alignment — may fail to lower),

@@ -37,6 +37,7 @@ Parameter tree (all jnp arrays):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -609,8 +610,14 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
         h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
         return (h,), cache_l
 
+    # SPITTLE_DECODE_UNROLL (trace-time env, like SPITTLE_PACKED_ATTENTION):
+    # unrolling the layer scan turns the per-iteration dynamic slices of
+    # the stacked cross-KV/cache xs into static slices, giving XLA the
+    # chance to elide slice copies of the dominant HBM stream. Default 1
+    # (plain scan); the A/B lives in scripts/bench_decode_breakdown.py.
+    unroll = int(os.environ.get("SPITTLE_DECODE_UNROLL", "1"))
     (x,), new_cache = jax.lax.scan(
-        body, (x,), (blocks, kv_cache, cross_k, cross_v)
+        body, (x,), (blocks, kv_cache, cross_k, cross_v), unroll=unroll
     )
     return x, new_cache
 

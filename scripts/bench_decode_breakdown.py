@@ -109,7 +109,12 @@ def main():
             (cache, acc, _), _ = jax.lax.scan(
                 body, (cache0, jnp.float32(0.0), jnp.int32(4)), toks
             )
-            return acc
+            # Consume the final cache too: without this, a variant whose
+            # logits don't depend on the decoder (no-logits) dead-codes
+            # the entire layer stack including the cache writes. One
+            # full-cache read at program end, amortized over STEPS.
+            leaves = jax.tree_util.tree_leaves(cache)
+            return acc + sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
         return lambda: run(params, cache0, cross_kv, toks)
 
@@ -136,18 +141,44 @@ def main():
         _cache_write=lambda cache_l, k, v, pos: cache_l,
     ):
         measure("no-self")
+    # Split the self-attention cost: the column WRITE into the time-minor
+    # cache layout vs the attend READ of the whole cache.
+    with patched(M, _cache_write=lambda cache_l, k, v, pos: cache_l):
+        measure("no-self-write")
+    with patched(M, _cache_attend=lambda q, cache_l, mask: q):
+        measure("no-self-attend")
     with patched(M, _mlp=lambda x, blk: x):
         measure("no-mlp")
+    # Keep h alive through a cheap consumer (otherwise the whole layer
+    # stack except cache writes dead-codes away): broadcast a reduction
+    # of h to logits shape — no tok_emb read, no [D, V] matmul.
     with patched(
         M,
-        logits_from_hidden=lambda params, h: jnp.zeros(
-            h.shape[:-1] + (cfg.n_vocab,), jnp.float32
+        logits_from_hidden=lambda params, h: jnp.broadcast_to(
+            jnp.sum(h, axis=-1, keepdims=True).astype(jnp.float32),
+            h.shape[:-1] + (cfg.n_vocab,),
         ),
     ):
         measure("no-logits")
 
+    # Decoder-layer-scan unroll sweep (SPITTLE_DECODE_UNROLL is read at
+    # trace time): does unrolling let XLA drop per-iteration slice
+    # copies / schedule DMA across layers?
+    for unroll in (4, 8):
+        os.environ["SPITTLE_DECODE_UNROLL"] = str(unroll)
+        try:
+            measure(f"full-unroll{unroll}")
+        except Exception as e:  # compiler may reject the larger program
+            print(json.dumps({
+                "variant": f"full-unroll{unroll}",
+                "error": str(e).replace("\n", " ")[:200],
+            }), flush=True)
+        finally:
+            os.environ.pop("SPITTLE_DECODE_UNROLL", None)
+
     full = results["full"]
-    for name in ("no-cross", "no-self", "no-mlp", "no-logits"):
+    for name in ("no-cross", "no-self", "no-self-write",
+                 "no-self-attend", "no-mlp", "no-logits"):
         if name in results:
             print(json.dumps({
                 "component": name[3:],

@@ -190,6 +190,24 @@ def main():
 
     scan_variant("scan qkvo-only", qkvo_only)
 
+    # int8-dot attention (SPITTLE_ATTN_Q8): both attention dots on the
+    # MXU's int8 mode — the kernel measured 16.7 ms/layer bf16-bound at
+    # ~33 TF/s (2026-08-18 split above); int8 halves the dot time if
+    # Mosaic lowers it. Env read at trace time -> fresh jit wrapper.
+    os.environ["SPITTLE_ATTN_Q8"] = "1"
+    fq8 = jax.jit(
+        lambda blocks, xx: _encoder_blocks(blocks, xx, cfg.n_audio_head)
+    )
+    try:
+        t = timed(lambda: fq8(enc["blocks"], x))
+        print(f"blocks scan attn-q8 {t*1e3:8.1f} ms   "
+              f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
+    except Exception as e:
+        msg = str(e).replace("\n", " ")[:160]
+        print(f"blocks scan attn-q8 FAILED: {msg}", flush=True)
+    finally:
+        os.environ.pop("SPITTLE_ATTN_Q8", None)
+
     # Packed-heads attention sweep (SPITTLE_PACKED_ATTENTION): '0' is
     # the split-head fullkv baseline, '1' the one-head 64-wide-block
     # variant (UNVALIDATED Mosaic lane alignment — may fail to lower),

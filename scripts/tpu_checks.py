@@ -101,6 +101,15 @@ def main() -> int:
               qp, kp, vp, n_head=8, kv_len=1500, block_q=768),
           lambda: want_packed, 4e-3)
 
+    # int8-dot full-KV kernel (encoder compute play: both dots on the
+    # MXU's int8 mode; validates Mosaic int8 dot_general support).
+    from spittle_tpu.ops.attention import flash_attention_fullkv_q8
+
+    check("fullkv_q8",
+          lambda: flash_attention_fullkv_q8(
+              q, k, v, kv_len=1500, block_q=768),
+          lambda: attention_reference(q, k, v, kv_len=1500), 3e-2)
+
     # causal (decoder teacher-forced shape)
     q2, k2, v2 = mk(2, 4, 512, 64), mk(2, 4, 512, 64), mk(2, 4, 512, 64, 1.0)
     check("fullkv_causal",

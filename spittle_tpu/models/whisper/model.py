@@ -575,28 +575,63 @@ def _cache_attend(q, cache_l, mask):
     return jnp.einsum("bhqk,bhdk->bhqd", probs, v_all)
 
 
+def _tree_layer(tree, l):
+    """Dynamic-index every leaf of a stacked-[L, ...] pytree at layer l."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), tree
+    )
+
+
+def _cache_write_at_layer(cache, k_new, v_new, l, pos):
+    """Write k/v ([B, H, K, Dh]) at columns pos..pos+K-1 of LAYER l of the
+    full stacked cache ([L, 2, B, H, Dh, ctx] array or the int8 dict form)
+    — an in-place column update (~160 KB at large-v3 batch 32), NOT a
+    whole-layer-slice rewrite."""
+    new = jnp.stack([k_new, v_new]).swapaxes(-1, -2)[None]  # [1,2,B,H,Dh,K]
+    if isinstance(cache, dict):
+        from spittle_tpu.ops.quant import quantize_kv
+
+        q8 = quantize_kv(new)
+        return {
+            "qw": jax.lax.dynamic_update_slice(
+                cache["qw"], q8["qw"], (l, 0, 0, 0, 0, pos)
+            ),
+            "scale": jax.lax.dynamic_update_slice(
+                cache["scale"], q8["scale"], (l, 0, 0, 0, pos)
+            ),
+        }
+    return jax.lax.dynamic_update_slice(
+        cache, new.astype(cache.dtype), (l, 0, 0, 0, 0, pos)
+    )
+
+
 def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
                          cross_kv_len: int = 0):
     """One token through all decoder layers. x: [B, 1, D].
 
-    cross_kv_len: real cross-attention length when K/V were padded to a
-    tile multiple for the Pallas decode kernel (0 = unpadded)."""
+    Structured as a fori_loop over layers with IN-PLACE column updates
+    into the full stacked cache, not a lax.scan with the cache as
+    xs/ys. The scan form forced XLA to rewrite every layer's whole
+    cache slice per step to change one column — measured 7.7 ms/step of
+    the large-v3 batch-32 step's 23.5 ms (33%), vs 1.6 ms for the
+    attend reads themselves (scripts/bench_decode_breakdown.py,
+    2026-08-18). The fori body dynamic-indexes weights/cross-KV (same
+    reads the scan did) and dynamic-update-slices only the new column
+    (~160 KB), which XLA performs in place on the loop carry.
+    SPITTLE_DECODE_SCAN=1 (trace-time env) restores the scan form for
+    A/B. cross_kv_len: real cross-attention length when K/V were padded
+    to a tile multiple for the Pallas decode kernel (0 = unpadded)."""
     scale = (x.shape[-1] // n_head) ** -0.25
-    n_ctx = (
-        kv_cache["qw"] if isinstance(kv_cache, dict) else kv_cache
-    ).shape[5]
+    quant = isinstance(kv_cache, dict)
+    n_ctx = (kv_cache["qw"] if quant else kv_cache).shape[5]
+    n_layer = (kv_cache["qw"] if quant else kv_cache).shape[0]
+    mask = (jnp.arange(n_ctx) <= pos)[None, None, None, :]
 
-    def body(carry, inputs):
-        h, = carry
-        blk, cache_l, ck, cv = inputs
-        # self-attention with cache
+    def sublayers(h, blk, cache_l, ck, cv):
+        """Self-attn (cache_l already holds this step's column), cross,
+        MLP — shared by the fori and scan forms."""
         xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
         q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
-        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B, H, 1, Dh]
-        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
-        # cache layout [2, B, H, Dh, n_ctx] (time minor); write column pos
-        cache_l = _cache_write(cache_l, k_new, v_new, pos)
-        mask = (jnp.arange(n_ctx) <= pos)[None, None, None, :]
         o = _cache_attend(q, cache_l, mask)
         h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
 
@@ -607,18 +642,39 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
         co = _cross_attention(cq, ck, cv, dh, kv_len=cross_kv_len)
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
 
-        h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
-        return (h,), cache_l
+        return h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
 
-    # SPITTLE_DECODE_UNROLL (trace-time env, like SPITTLE_PACKED_ATTENTION):
-    # unrolling the layer scan turns the per-iteration dynamic slices of
-    # the stacked cross-KV/cache xs into static slices, giving XLA the
-    # chance to elide slice copies of the dominant HBM stream. Default 1
-    # (plain scan); the A/B lives in scripts/bench_decode_breakdown.py.
-    unroll = int(os.environ.get("SPITTLE_DECODE_UNROLL", "1"))
-    (x,), new_cache = jax.lax.scan(
-        body, (x,), (blocks, kv_cache, cross_k, cross_v), unroll=unroll
-    )
+    def kv_proj(h, blk):
+        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
+        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,1,Dh]
+        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
+        return k_new, v_new
+
+    if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
+        def body(carry, inputs):
+            (h,) = carry
+            blk, cache_l, ck, cv = inputs
+            k_new, v_new = kv_proj(h, blk)
+            cache_l = _cache_write(cache_l, k_new, v_new, pos)
+            return (sublayers(h, blk, cache_l, ck, cv),), cache_l
+
+        (x,), new_cache = jax.lax.scan(
+            body, (x,), (blocks, kv_cache, cross_k, cross_v)
+        )
+        return x, new_cache
+
+    def body(l, carry):
+        h, cache = carry
+        blk = _tree_layer(blocks, l)
+        ck = _tree_layer(cross_k, l)
+        cv = _tree_layer(cross_v, l)
+        k_new, v_new = kv_proj(h, blk)
+        cache = _cache_write_at_layer(cache, k_new, v_new, l, pos)
+        cache_l = _tree_layer(cache, l)
+        h = sublayers(h, blk, cache_l, ck, cv)
+        return h, cache
+
+    x, new_cache = jax.lax.fori_loop(0, n_layer, body, (x, kv_cache))
     return x, new_cache
 
 
@@ -686,18 +742,29 @@ def decode_block(
         dec["tok_emb"].dtype
     )
 
-    def body(carry, inputs):
-        (h,) = carry
-        blk, cache_l, ck, cv = inputs
+    # fori over layers with in-place column-block writes into the full
+    # cache — same restructure (and same 33%-of-step rationale) as
+    # _decoder_step_blocks; the scan form rewrote every layer's whole
+    # cache slice to change K columns.
+    n_layer = (
+        kv_cache["qw"] if isinstance(kv_cache, dict) else kv_cache
+    ).shape[0]
+    # row j (position pos+j) may attend to cache cols <= pos+j
+    mask = (
+        jnp.arange(n_ctx)[None, :] <= pos + jnp.arange(kk)[:, None]
+    )[None, None]
+
+    def body(l, carry):
+        h, cache = carry
+        blk = _tree_layer(dec["blocks"], l)
+        ck = _tree_layer(cross_kv[0], l)
+        cv = _tree_layer(cross_kv[1], l)
         xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
         q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
         k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,K,Dh]
         v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
-        cache_l = _cache_write(cache_l, k_new, v_new, pos)
-        # row j (position pos+j) may attend to cache cols <= pos+j
-        mask = (
-            jnp.arange(n_ctx)[None, :] <= pos + jnp.arange(kk)[:, None]
-        )[None, None]
+        cache = _cache_write_at_layer(cache, k_new, v_new, l, pos)
+        cache_l = _tree_layer(cache, l)
         h = h + mm(_merge_heads(_cache_attend(q, cache_l, mask)), blk["wo"]
                    ) + blk["bo"]
 
@@ -709,11 +776,9 @@ def decode_block(
         )
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
         h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
-        return (h,), cache_l
+        return h, cache
 
-    (x,), new_cache = jax.lax.scan(
-        body, (x,), (dec["blocks"], kv_cache, cross_kv[0], cross_kv[1])
-    )
+    x, new_cache = jax.lax.fori_loop(0, n_layer, body, (x, kv_cache))
     return logits_from_hidden(params, x), new_cache
 
 

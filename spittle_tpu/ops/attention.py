@@ -241,6 +241,130 @@ def flash_attention_fullkv(
     return out.reshape(b, h, tq, d)
 
 
+def _fullkv_q8_kernel(q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
+                      o_ref, *, kv_len: int):
+    """Full-KV attention with BOTH dots int8xint8->int32 on the MXU.
+
+    The encoder attention kernel is COMPUTE-bound (measured 2026-08-18:
+    ~33 TF/s vs the chip's 92-169 TF/s bf16 chained ceiling — the Dh=64
+    contraction runs the MXU at half-tile utilization, and softmax rides
+    the VPU). int8 MXU mode doubles the dot rate (measured 230 TOP/s
+    chained at 8192^3), so QK^T and PV run int8: q/k/v are quantized
+    per-row outside (scales factor out of the dots exactly), and the
+    probability rows are quantized in-kernel after folding V's
+    per-position scales — same algebra as the w8a8 decode path
+    (ops/quant.quantize_kv_w8a8), applied at encoder scale.
+
+    Masking/softmax policy matches _fullkv_kernel: unmasked max (pad
+    columns quantize to zero scores, a valid upper bound), post-exp
+    broadcast multiply mask, 1/l after PV.
+    """
+    tk = k8_ref.shape[1]
+    s_i32 = jax.lax.dot_general(
+        q8_ref[0], k8_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [block_q, Tk]
+    s = (
+        s_i32.astype(jnp.float32)
+        * qs_ref[0]           # [block_q, 1] per-q-row scale
+        * ks_ref[0]           # [1, Tk] per-k-position scale
+    )
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    if kv_len < tk:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+        p = p * (col < kv_len).astype(p.dtype)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    pv = p * vs_ref[0]        # fold V's per-position scales, [block_q, Tk]
+    mp = jnp.max(pv, axis=1, keepdims=True)
+    sp = jnp.where(mp > 0, mp / 127.0, 1.0)
+    p8 = jnp.round(pv / sp).astype(jnp.int8)  # values 0..127
+    o_i32 = jax.lax.dot(
+        p8, v8_ref[0], preferred_element_type=jnp.int32
+    )  # [block_q, D]
+    o_ref[0] = ((o_i32.astype(jnp.float32) * sp) / l).astype(o_ref.dtype)
+
+
+def _quantize_rows_i8(x: jnp.ndarray):
+    """Symmetric per-row int8 over the last axis: x ≈ x8 * scale[..., None]."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    x8 = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return x8, scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kv_len", "block_q", "interpret")
+)
+def flash_attention_fullkv_q8(
+    q: jnp.ndarray,  # [B, H, Tq, D] (pre-scaled), Tq % block_q == 0
+    k: jnp.ndarray,  # [B, H, Tk, D], Tk % 128 == 0
+    v: jnp.ndarray,
+    kv_len: Optional[int] = None,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8-dot full-KV attention (non-causal; encoder path).
+
+    Dynamically quantizes q/k/v per row (cheap VPU work fused into the
+    surrounding program by XLA) and runs _fullkv_q8_kernel. Output
+    differs from the bf16 kernel only by 8-bit rounding of q/k/v rows
+    and probability rows (~1e-2 relative; the encoder's LayerNorms keep
+    activations well-conditioned for symmetric quant)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    assert tq % block_q == 0, (tq, block_q)
+    kv_len = tk if kv_len is None else kv_len
+    q8, qs = _quantize_rows_i8(q)
+    k8, ks = _quantize_rows_i8(k)
+    v8, vs = _quantize_rows_i8(v)
+    qf = q8.reshape(b * h, tq, d)
+    qsf = qs.reshape(b * h, tq, 1)
+    kf = k8.reshape(b * h, tk, d)
+    ksf = ks.reshape(b * h, 1, tk)  # transposed broadcast layout
+    vf = v8.reshape(b * h, tk, d)
+    vsf = vs.reshape(b * h, 1, tk)
+    kernel = functools.partial(_fullkv_q8_kernel, kv_len=kv_len)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, tk, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=qf.size + kf.size + vf.size
+            + (qsf.size + ksf.size + vsf.size) * 4
+            + 2 * b * h * tq * d * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+        interpret=interpret,
+    )(qf, qsf, kf, ksf, vf, vsf)
+    # ks/vs arrive transposed ([B*H, 1, Tk]) so the kernel broadcasts
+    # them across score rows without a VMEM transpose.
+    return out.reshape(b, h, tq, d)
+
+
+def attn_q8_enabled() -> bool:
+    """SPITTLE_ATTN_Q8=1 routes non-causal encoder-scale attention
+    through the int8-dot full-KV kernel (trace-time env, like
+    SPITTLE_PACKED_ATTENTION). Opt-in: changes encoder numerics by 8-bit
+    rounding, and Mosaic int8-dot support must be validated on hardware
+    first (scripts/tpu_checks.py covers it)."""
+    import os
+
+    return os.environ.get("SPITTLE_ATTN_Q8", "0") == "1"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_head", "causal", "kv_len", "block_q", "interpret"),
@@ -832,6 +956,11 @@ def multihead_attention(
         if pk:
             k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        if not causal and attn_q8_enabled():
+            out = flash_attention_fullkv_q8(
+                q, k, v, kv_len=real_kv, block_q=block_q
+            )
+            return out[:, :, :tq]
         out = flash_attention_fullkv(
             q, k, v, causal=causal, kv_len=real_kv, block_q=block_q
         )

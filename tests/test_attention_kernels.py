@@ -218,3 +218,65 @@ def test_packed_dispatch_cpu_fallback_matches_split():
     ref = multihead_attention(split(q), split(k), split(v), causal=True)
     ref = ref.transpose(0, 2, 1, 3).reshape(b, t, h * d)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+# ---- int8-dot full-KV encoder kernel (flash_attention_fullkv_q8) ----
+
+
+def _mk_enc(b=1, h=2, t=256, d=64, seed=7, scale=0.3):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32) * scale
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32) * scale
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("kv_len", [256, 200])
+def test_fullkv_q8_matches_reference(kv_len):
+    """int8-dot kernel vs the f32 reference: only 8-bit per-row rounding
+    of q/k/v and the probability rows separates them."""
+    from spittle_tpu.ops.attention import flash_attention_fullkv_q8
+
+    q, k, v = _mk_enc()
+    got = flash_attention_fullkv_q8(
+        q, k, v, kv_len=kv_len, block_q=128, interpret=True
+    )
+    want = attention_reference(q, k, v, kv_len=kv_len)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=4e-2, rtol=5e-2
+    )
+
+
+def test_fullkv_q8_pad_tail_masked():
+    """V junk beyond kv_len must not leak into the output. (Contract
+    matches the bf16 kernel: K's tail is ZERO-padded by the dispatcher —
+    the unmasked max policy relies on it — while V's tail is arbitrary;
+    the post-exp multiply mask is what keeps it out.)"""
+    from spittle_tpu.ops.attention import flash_attention_fullkv_q8
+
+    q, k, v = _mk_enc(seed=9)
+    k = k.at[:, :, 200:, :].set(0.0)  # dispatcher zero-pad
+    v = v.at[:, :, 200:, :].set(-50.0)  # poisoned V tail
+    got = flash_attention_fullkv_q8(
+        q, k, v, kv_len=200, block_q=128, interpret=True
+    )
+    want = attention_reference(
+        q[:, :, :, :], k[:, :, :200, :], v[:, :, :200, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=4e-2, rtol=5e-2
+    )
+
+
+def test_attn_q8_env_dispatch_cpu_fallback(monkeypatch):
+    """With SPITTLE_ATTN_Q8=1 off-TPU, multihead_attention still takes
+    the reference path (the env knob only engages on hardware)."""
+    from spittle_tpu.ops.attention import multihead_attention
+
+    monkeypatch.setenv("SPITTLE_ATTN_Q8", "1")
+    q, k, v = _mk_enc()
+    got = multihead_attention(q, k, v)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )

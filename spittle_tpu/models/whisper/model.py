@@ -575,33 +575,89 @@ def _cache_attend(q, cache_l, mask):
     return jnp.einsum("bhqk,bhdk->bhqd", probs, v_all)
 
 
-def _tree_layer(tree, l):
-    """Dynamic-index every leaf of a stacked-[L, ...] pytree at layer l."""
-    return jax.tree_util.tree_map(
-        lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), tree
-    )
+def _attend_fresh_column(q, cache_l, k_new, v_new, pos, col):
+    """Self-attention of q [B, H, 1, Dh] over cache_l ∪ {this step's
+    k/v}, where the fresh column enters the softmax as an in-register
+    correction instead of being written to the cache first.
 
+    The stale value at column `pos` of cache_l is replaced in the score
+    row (and excluded from the V dot) and the fresh k/v contribute via
+    tiny rank-1 terms — so cache_l can stream through the layer scan as
+    a READ-ONLY xs and the actual cache write happens once per step for
+    all layers (_write_columns_bulk). k/v are cast (or quantized, for
+    the int8 dict cache) to exactly what the write will store, so the
+    math matches the write-then-attend form.
 
-def _cache_write_at_layer(cache, k_new, v_new, l, pos):
-    """Write k/v ([B, H, K, Dh]) at columns pos..pos+K-1 of LAYER l of the
-    full stacked cache ([L, 2, B, H, Dh, ctx] array or the int8 dict form)
-    — an in-place column update (~160 KB at large-v3 batch 32), NOT a
-    whole-layer-slice rewrite."""
-    new = jnp.stack([k_new, v_new]).swapaxes(-1, -2)[None]  # [1,2,B,H,Dh,K]
-    if isinstance(cache, dict):
+    Returns (attention output [B, H, 1, Dh], ys) where ys is the
+    new column in storage form for the post-scan bulk write."""
+    mask_lt = col < pos
+    if isinstance(cache_l, dict):
         from spittle_tpu.ops.quant import quantize_kv
 
+        new = jnp.stack([k_new, v_new]).swapaxes(-1, -2)  # [2,B,H,Dh,1]
         q8 = quantize_kv(new)
+        ks = cache_l["scale"][0]  # [B, H, ctx] f32
+        vs = cache_l["scale"][1]
+        s = jnp.einsum(
+            "bhqd,bhdk->bhqk", q, cache_l["qw"][0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * ks[:, :, None, :]
+        s_pos = jnp.einsum(
+            "bhqd,bhdk->bhqk", q, q8["qw"][0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * q8["scale"][0][:, :, None, :]  # [B, H, 1, 1]
+        s = jnp.where(col == pos, s_pos, s)
+        s = jnp.where(col <= pos, s, -1e30)
+        probs = jax.nn.softmax(s, axis=-1)
+        p_pos = jax.lax.dynamic_slice_in_dim(probs, pos, 1, axis=-1)
+        o = jnp.einsum(
+            "bhqk,bhdk->bhqd",
+            ((probs * mask_lt) * vs[:, :, None, :]).astype(q.dtype),
+            cache_l["qw"][1].astype(q.dtype),
+        )
+        o = o + jnp.einsum(
+            "bhqk,bhdk->bhqd",
+            (p_pos * q8["scale"][1][:, :, None, :]).astype(q.dtype),
+            q8["qw"][1].astype(q.dtype),
+        )
+        return o, (q8["qw"], q8["scale"])
+    dtype = cache_l.dtype
+    kd = k_new.astype(dtype)  # match the write-then-read cast exactly
+    vd = v_new.astype(dtype)
+    s = jnp.einsum(
+        "bhqd,bhdk->bhqk", q, cache_l[0], preferred_element_type=jnp.float32
+    )
+    s_pos = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, kd, preferred_element_type=jnp.float32
+    )  # [B, H, 1, 1]
+    s = jnp.where(col == pos, s_pos, s)
+    s = jnp.where(col <= pos, s, -1e30)
+    probs = jax.nn.softmax(s, axis=-1)
+    p_pos = jax.lax.dynamic_slice_in_dim(probs, pos, 1, axis=-1)
+    o = jnp.einsum(
+        "bhqk,bhdk->bhqd", (probs * mask_lt).astype(dtype), cache_l[1]
+    )
+    o = o + jnp.einsum("bhqk,bhkd->bhqd", p_pos.astype(dtype), vd)
+    return o, jnp.stack([kd, vd]).swapaxes(-1, -2)  # [2, B, H, Dh, 1]
+
+
+def _write_columns_bulk(cache, cols, pos):
+    """ONE in-place dynamic-update-slice of every layer's new column
+    into the full stacked cache ([L, 2, B, H, Dh, ctx] array or the
+    int8 dict form). ~5 MB at large-v3 batch 32 vs the ~671 MB/step the
+    scan-ys form rewrote."""
+    if isinstance(cache, dict):
+        qw_cols, sc_cols = cols  # [L,2,B,H,Dh,K], [L,2,B,H,K]
         return {
             "qw": jax.lax.dynamic_update_slice(
-                cache["qw"], q8["qw"], (l, 0, 0, 0, 0, pos)
+                cache["qw"], qw_cols, (0, 0, 0, 0, 0, pos)
             ),
             "scale": jax.lax.dynamic_update_slice(
-                cache["scale"], q8["scale"], (l, 0, 0, 0, pos)
+                cache["scale"], sc_cols, (0, 0, 0, 0, pos)
             ),
         }
     return jax.lax.dynamic_update_slice(
-        cache, new.astype(cache.dtype), (l, 0, 0, 0, 0, pos)
+        cache, cols.astype(cache.dtype), (0, 0, 0, 0, 0, pos)
     )
 
 
@@ -609,73 +665,75 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
                          cross_kv_len: int = 0):
     """One token through all decoder layers. x: [B, 1, D].
 
-    Structured as a fori_loop over layers with IN-PLACE column updates
-    into the full stacked cache, not a lax.scan with the cache as
-    xs/ys. The scan form forced XLA to rewrite every layer's whole
-    cache slice per step to change one column — measured 7.7 ms/step of
-    the large-v3 batch-32 step's 23.5 ms (33%), vs 1.6 ms for the
-    attend reads themselves (scripts/bench_decode_breakdown.py,
-    2026-08-18). The fori body dynamic-indexes weights/cross-KV (same
-    reads the scan did) and dynamic-update-slices only the new column
-    (~160 KB), which XLA performs in place on the loop carry.
-    SPITTLE_DECODE_SCAN=1 (trace-time env) restores the scan form for
-    A/B. cross_kv_len: real cross-attention length when K/V were padded
-    to a tile multiple for the Pallas decode kernel (0 = unpadded)."""
+    Cache-write strategy (measured in-loop 2026-08-18,
+    scripts/bench_decode_breakdown.py, large-v3 batch 32):
+
+    - lax.scan with the cache as xs AND ys rewrites every layer's whole
+      21 MB cache slice per step to change one 160 KB column — 7.7 of
+      23.5 ms/step (33%). The attend reads themselves cost 1.6 ms (the
+      scan's pipelined xs DMA is efficient).
+    - A fori_loop with per-layer in-place column updates kills the
+      write cost but pays 11.7 ms/step in the attend: dynamic-slicing
+      the carried cache materializes a copy instead of streaming.
+    - This HYBRID keeps the cache as a read-only scan xs (cheap
+      streamed reads), corrects the fresh column in-register inside the
+      softmax (_attend_fresh_column), emits only the new columns as ys,
+      and issues ONE bulk in-place column write after the scan
+      (_write_columns_bulk).
+
+    SPITTLE_DECODE_SCAN=1 (trace-time env) restores the write-per-layer
+    scan form for A/B. cross_kv_len: real cross-attention length when
+    K/V were padded to a tile multiple for the Pallas decode kernel
+    (0 = unpadded)."""
     scale = (x.shape[-1] // n_head) ** -0.25
     quant = isinstance(kv_cache, dict)
     n_ctx = (kv_cache["qw"] if quant else kv_cache).shape[5]
-    n_layer = (kv_cache["qw"] if quant else kv_cache).shape[0]
     mask = (jnp.arange(n_ctx) <= pos)[None, None, None, :]
 
-    def sublayers(h, blk, cache_l, ck, cv):
-        """Self-attn (cache_l already holds this step's column), cross,
-        MLP — shared by the fori and scan forms."""
+    def proj(h, blk):
         xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
         q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
-        o = _cache_attend(q, cache_l, mask)
-        h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
+        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,1,Dh]
+        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
+        return q, k_new, v_new
 
+    def rest(h, o, blk, ck, cv):
+        h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
         # cross-attention (precomputed K/V; optionally int8/beam-shared)
         xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
         dh = xn.shape[-1] // n_head
         cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
         co = _cross_attention(cq, ck, cv, dh, kv_len=cross_kv_len)
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
-
         return h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
-
-    def kv_proj(h, blk):
-        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
-        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,1,Dh]
-        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
-        return k_new, v_new
 
     if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
         def body(carry, inputs):
             (h,) = carry
             blk, cache_l, ck, cv = inputs
-            k_new, v_new = kv_proj(h, blk)
+            q, k_new, v_new = proj(h, blk)
             cache_l = _cache_write(cache_l, k_new, v_new, pos)
-            return (sublayers(h, blk, cache_l, ck, cv),), cache_l
+            o = _cache_attend(q, cache_l, mask)
+            return (rest(h, o, blk, ck, cv),), cache_l
 
         (x,), new_cache = jax.lax.scan(
             body, (x,), (blocks, kv_cache, cross_k, cross_v)
         )
         return x, new_cache
 
-    def body(l, carry):
-        h, cache = carry
-        blk = _tree_layer(blocks, l)
-        ck = _tree_layer(cross_k, l)
-        cv = _tree_layer(cross_v, l)
-        k_new, v_new = kv_proj(h, blk)
-        cache = _cache_write_at_layer(cache, k_new, v_new, l, pos)
-        cache_l = _tree_layer(cache, l)
-        h = sublayers(h, blk, cache_l, ck, cv)
-        return h, cache
+    col = jnp.arange(n_ctx)[None, None, None, :]
 
-    x, new_cache = jax.lax.fori_loop(0, n_layer, body, (x, kv_cache))
-    return x, new_cache
+    def body(carry, inputs):
+        (h,) = carry
+        blk, cache_l, ck, cv = inputs
+        q, k_new, v_new = proj(h, blk)
+        o, ys = _attend_fresh_column(q, cache_l, k_new, v_new, pos, col)
+        return (rest(h, o, blk, ck, cv),), ys
+
+    (x,), cols = jax.lax.scan(
+        body, (x,), (blocks, kv_cache, cross_k, cross_v)
+    )
+    return x, _write_columns_bulk(kv_cache, cols, pos)
 
 
 def logits_from_hidden(params: Params, h: jnp.ndarray) -> jnp.ndarray:
@@ -742,29 +800,23 @@ def decode_block(
         dec["tok_emb"].dtype
     )
 
-    # fori over layers with in-place column-block writes into the full
-    # cache — same restructure (and same 33%-of-step rationale) as
-    # _decoder_step_blocks; the scan form rewrote every layer's whole
-    # cache slice to change K columns.
-    n_layer = (
-        kv_cache["qw"] if isinstance(kv_cache, dict) else kv_cache
-    ).shape[0]
+    # Scan form (cache as xs/ys): fine here — decode_block amortizes the
+    # per-layer cache-slice rewrite over its K verified tokens, and this
+    # path only serves speculative decoding. The hot K=1 path
+    # (_decoder_step_blocks) uses the hybrid fresh-column form instead.
     # row j (position pos+j) may attend to cache cols <= pos+j
     mask = (
         jnp.arange(n_ctx)[None, :] <= pos + jnp.arange(kk)[:, None]
     )[None, None]
 
-    def body(l, carry):
-        h, cache = carry
-        blk = _tree_layer(dec["blocks"], l)
-        ck = _tree_layer(cross_kv[0], l)
-        cv = _tree_layer(cross_kv[1], l)
+    def body(carry, inputs):
+        (h,) = carry
+        blk, cache_l, ck, cv = inputs
         xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
         q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
         k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,K,Dh]
         v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
-        cache = _cache_write_at_layer(cache, k_new, v_new, l, pos)
-        cache_l = _tree_layer(cache, l)
+        cache_l = _cache_write(cache_l, k_new, v_new, pos)
         h = h + mm(_merge_heads(_cache_attend(q, cache_l, mask)), blk["wo"]
                    ) + blk["bo"]
 
@@ -776,9 +828,11 @@ def decode_block(
         )
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
         h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
-        return h, cache
+        return (h,), cache_l
 
-    x, new_cache = jax.lax.fori_loop(0, n_layer, body, (x, kv_cache))
+    (x,), new_cache = jax.lax.scan(
+        body, (x,), (dec["blocks"], kv_cache, cross_kv[0], cross_kv[1])
+    )
     return logits_from_hidden(params, x), new_cache
 
 

@@ -1,0 +1,256 @@
+"""Isolate the KV-cache bulk-write cost inside a while_loop (in-loop probe).
+
+The hybrid decode (models/whisper/model.py:_decoder_step_blocks) reads the
+stacked cache as a layer-scan xs, then lands all layers' fresh columns with
+ONE dynamic_update_slice. On-chip it measured ~= the fori form (26.3 vs the
+scan form's 23.5 ms/step, large-v3 b32), suggesting XLA copy-on-writes the
+whole 671 MB cache at the DUS because the scan read keeps the buffer live
+within the same loop iteration.
+
+This probe times, per while_loop iteration over the SAME [L,2,B,H,Dh,ctx]
+bf16 cache shape (large-v3 b32, ctx 128):
+
+  read-only       lax.scan xs reduction over the cache (the attend analog)
+  read+dus        scan read, then one bulk column DUS (the hybrid write)
+  read+dus+bar    same with an optimization_barrier between read and write
+  dus-only        bulk column DUS with no scan read (aliasing best case)
+  scan-rewrite    cache as scan xs AND ys (the original write-per-layer form)
+  ctx-major-dus   cache transposed to [ctx,L,2,B,H,Dh]; DUS on the leading
+                  axis (contiguous slab) after the scan read
+
+If read+dus ~= scan-rewrite, the DUS is copying; if dus-only is cheap, the
+copy comes from the read liveness, not the DUS itself.
+
+Usage: [CD_CTX=128] [CD_STEPS=96] python scripts/bench_cache_dus.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SPITTLE_JAX_CACHE", "/tmp/spittle_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+L, B, H, DH = 32, 32, 20, 64
+CTX = int(os.environ.get("CD_CTX", "128"))
+STEPS = int(os.environ.get("CD_STEPS", "96"))
+REPS = 3
+
+
+def timed(fn):
+    np.asarray(fn())
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def run(step_fn, cache):
+    """96 dependent iterations; carry = (acc, cache, pos)."""
+
+    def body(state):
+        acc, c, pos = state
+        acc, c = step_fn(acc, c, pos)
+        return acc, c, pos + 1
+
+    def cond(state):
+        return state[2] < STEPS
+
+    @jax.jit
+    def go(cache):
+        acc = jnp.zeros((B, H, 1, DH), jnp.bfloat16)
+        final = jax.lax.while_loop(cond, body, (acc, cache, jnp.int32(0)))
+        return final[0].sum()
+
+    return timed(lambda: go(cache))
+
+
+def scan_read(acc, cache):
+    def rd(carry, cache_l):
+        # k-slice reduction: touches every byte like the attend does
+        return carry + cache_l[0].sum(axis=-1)[:, :, None, :], None
+
+    out, _ = jax.lax.scan(rd, acc, cache)
+    return out
+
+
+def fresh_cols(acc):
+    return jnp.broadcast_to(
+        acc[None, None, :, :, 0, :, None], (L, 2, B, H, DH, 1)
+    ).astype(jnp.bfloat16)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    cache = jax.random.normal(key, (L, 2, B, H, DH, CTX), jnp.bfloat16)
+    cache_t = jnp.moveaxis(cache, -1, 0)  # [ctx, L, 2, B, H, Dh]
+    gb = cache.size * 2 / 1e9
+    print(json.dumps({"cache_gb": round(gb, 3), "ctx": CTX, "steps": STEPS}))
+
+    def v_read(acc, c, pos):
+        return scan_read(acc, c), c
+
+    def v_read_dus(acc, c, pos):
+        acc = scan_read(acc, c)
+        c = jax.lax.dynamic_update_slice(
+            c, fresh_cols(acc), (0, 0, 0, 0, 0, pos)
+        )
+        return acc, c
+
+    def v_read_dus_bar(acc, c, pos):
+        acc = scan_read(acc, c)
+        acc, c = jax.lax.optimization_barrier((acc, c))
+        c = jax.lax.dynamic_update_slice(
+            c, fresh_cols(acc), (0, 0, 0, 0, 0, pos)
+        )
+        return acc, c
+
+    def v_dus_only(acc, c, pos):
+        c = jax.lax.dynamic_update_slice(
+            c, fresh_cols(acc), (0, 0, 0, 0, 0, pos)
+        )
+        return acc + c[0, 0, :, :, :, 0][:, :, None, :], c
+
+    def v_scan_rewrite(acc, c, pos):
+        def rd(carry, cache_l):
+            cache_l = jax.lax.dynamic_update_slice(
+                cache_l,
+                fresh_cols(carry)[0],
+                (0, 0, 0, 0, pos),
+            )
+            return carry + cache_l[0].sum(axis=-1)[:, :, None, :], cache_l
+
+        out, c = jax.lax.scan(rd, acc, c)
+        return out, c
+
+    def v_ctx_major(acc, c, pos):
+        def rd(carry, cache_l):
+            # cache_l: [ctx, 2, B, H, Dh] per layer? scan over layer axis=1
+            return carry + cache_l[:, 0].sum(axis=0)[:, :, None, :], None
+
+        out, _ = jax.lax.scan(rd, acc, jnp.moveaxis(c, 1, 0))
+        slab = jnp.moveaxis(fresh_cols(out), -1, 0)  # [1,L,2,B,H,Dh]
+        c = jax.lax.dynamic_update_slice(c, slab, (pos, 0, 0, 0, 0, 0))
+        return out, c
+
+    for name, fn, arr in (
+        ("read-only", v_read, cache),
+        ("read+dus", v_read_dus, cache),
+        ("read+dus+bar", v_read_dus_bar, cache),
+        ("dus-only", v_dus_only, cache),
+        ("scan-rewrite", v_scan_rewrite, cache),
+        ("ctx-major-dus", v_ctx_major, cache_t),
+    ):
+        try:
+            t = run(fn, arr)
+            print(
+                json.dumps(
+                    {
+                        "variant": name,
+                        "ms_per_step": round(t / STEPS * 1e3, 3),
+                        "eff_read_gbps": round(gb * STEPS / t, 1),
+                    }
+                )
+            )
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(json.dumps({"variant": name, "error": str(e)[:200]}))
+
+    # Pending-ring: big cache stays a READ-ONLY scan xs; the last R
+    # columns live in a small [L, 2, B, H, Dh, R] ring rewritten as
+    # scan ys each step; every R-th step a flush scan merges ring ->
+    # cache (the expensive whole-slice rewrite, amortized by R).
+    for ring in (8, 16, 32):
+        if ring > CTX:
+            continue
+
+        def ring_step(acc, c, pend, pos):
+            def flush(operands):
+                c_, p_ = operands
+
+                def fl(carry, xs):
+                    cache_l, pend_l = xs
+                    base = jnp.maximum(pos - ring, 0)
+                    cache_l = jax.lax.dynamic_update_slice(
+                        cache_l, pend_l, (0, 0, 0, 0, base)
+                    )
+                    return carry, cache_l
+
+                _, c2 = jax.lax.scan(fl, 0, (c_, p_))
+                return c2
+
+            c = jax.lax.cond(
+                (pos % ring == 0) & (pos > 0),
+                flush,
+                lambda operands: operands[0],
+                (c, pend),
+            )
+
+            def rd(carry, xs):
+                cache_l, pend_l = xs
+                r = (
+                    cache_l[0].sum(axis=-1) + pend_l[0].sum(axis=-1)
+                )[:, :, None, :]
+                pend_l = jax.lax.dynamic_update_slice(
+                    pend_l,
+                    fresh_cols(carry)[0],
+                    (0, 0, 0, 0, pos % ring),
+                )
+                return carry + r, pend_l
+
+            acc, pend = jax.lax.scan(rd, acc, (c, pend))
+            return acc, c, pend
+
+        def run_ring(cache):
+            pend0 = jnp.zeros((L, 2, B, H, DH, ring), jnp.bfloat16)
+
+            def body(state):
+                acc, c, pend, pos = state
+                acc, c, pend = ring_step(acc, c, pend, pos)
+                return acc, c, pend, pos + 1
+
+            def cond_(state):
+                return state[3] < STEPS
+
+            @jax.jit
+            def go(cache):
+                acc = jnp.zeros((B, H, 1, DH), jnp.bfloat16)
+                final = jax.lax.while_loop(
+                    cond_, body, (acc, cache, pend0, jnp.int32(0))
+                )
+                return final[0].sum()
+
+            return timed(lambda: go(cache))
+
+        try:
+            t = run_ring(cache)
+            print(
+                json.dumps(
+                    {
+                        "variant": f"pending-ring-{ring}",
+                        "ms_per_step": round(t / STEPS * 1e3, 3),
+                        "eff_read_gbps": round(gb * STEPS / t, 1),
+                    }
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            print(
+                json.dumps(
+                    {"variant": f"pending-ring-{ring}", "error": str(e)[:200]}
+                )
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -135,17 +135,39 @@ def main():
 
     with patched(M, _cross_attention=lambda cq, ck, cv, dh, kv_len=0: cq):
         measure("no-cross")
+    # The self knockouts patch BOTH decode forms: the scan/fori path
+    # (_cache_attend/_cache_write) and the default hybrid path
+    # (_attend_fresh_column + _write_columns_bulk). The hybrid attend
+    # knockout still emits a correctly-shaped ys column (nearly free)
+    # so the bulk write stays traceable.
+    def _fresh_noattend(q, cache_l, k_new, v_new, pos, col):
+        dtype = cache_l.dtype if not isinstance(cache_l, dict) else q.dtype
+        ys = jnp.stack(
+            [k_new.astype(dtype), v_new.astype(dtype)]
+        ).swapaxes(-1, -2)
+        return q, ys
+
     with patched(
         M,
         _cache_attend=lambda q, cache_l, mask: q,
         _cache_write=lambda cache_l, k, v, pos: cache_l,
+        _attend_fresh_column=_fresh_noattend,
+        _write_columns_bulk=lambda cache, cols, pos: cache,
     ):
         measure("no-self")
     # Split the self-attention cost: the column WRITE into the time-minor
     # cache layout vs the attend READ of the whole cache.
-    with patched(M, _cache_write=lambda cache_l, k, v, pos: cache_l):
+    with patched(
+        M,
+        _cache_write=lambda cache_l, k, v, pos: cache_l,
+        _write_columns_bulk=lambda cache, cols, pos: cache,
+    ):
         measure("no-self-write")
-    with patched(M, _cache_attend=lambda q, cache_l, mask: q):
+    with patched(
+        M,
+        _cache_attend=lambda q, cache_l, mask: q,
+        _attend_fresh_column=_fresh_noattend,
+    ):
         measure("no-self-attend")
     with patched(M, _mlp=lambda x, blk: x):
         measure("no-mlp")
@@ -161,20 +183,44 @@ def main():
     ):
         measure("no-logits")
 
-    # Decoder-layer-scan unroll sweep (SPITTLE_DECODE_UNROLL is read at
-    # trace time): does unrolling let XLA drop per-iteration slice
-    # copies / schedule DMA across layers?
-    for unroll in (4, 8):
-        os.environ["SPITTLE_DECODE_UNROLL"] = str(unroll)
-        try:
-            measure(f"full-unroll{unroll}")
-        except Exception as e:  # compiler may reject the larger program
-            print(json.dumps({
-                "variant": f"full-unroll{unroll}",
-                "error": str(e).replace("\n", " ")[:200],
-            }), flush=True)
-        finally:
-            os.environ.pop("SPITTLE_DECODE_UNROLL", None)
+    # The production greedy-loop form: deferred cache writes (pending
+    # columns land at the top of the next iteration — in-place DUS; see
+    # model.decode_form docstring). Mirrors the _greedy_loop carry.
+    def build_deferred():
+        @jax.jit
+        def run(params, cache0, cross_kv, toks):
+            pending0 = M.init_pending(cache0, 4)
+
+            def body(carry, tok):
+                cache, pending, acc, pos = carry
+                logits, cache, pending = M.decode_step_deferred(
+                    params, tok, pos, cache, pending, cross_kv, cfg
+                )
+                return (cache, pending, acc + jnp.sum(logits), pos + 1), ()
+
+            (cache, pending, acc, pos), _ = jax.lax.scan(
+                body, (cache0, pending0, jnp.float32(0.0), jnp.int32(4)),
+                toks,
+            )
+            cache = M._write_columns_bulk(cache, pending, pos - 1)
+            leaves = jax.tree_util.tree_leaves(cache)
+            return acc + sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+        return lambda: run(params, cache0, cross_kv, toks)
+
+    try:
+        t = timed(build_deferred())
+        results["full-deferred"] = t
+        print(json.dumps({
+            "variant": "full-deferred",
+            "ms_total": round(t * 1e3, 1),
+            "ms_per_step": round(t / STEPS * 1e3, 3),
+        }), flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "variant": "full-deferred",
+            "error": str(e).replace("\n", " ")[:200],
+        }), flush=True)
 
     full = results["full"]
     for name in ("no-cross", "no-self", "no-self-write",

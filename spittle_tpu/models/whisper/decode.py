@@ -26,9 +26,13 @@ import numpy as np
 
 from .config import WhisperConfig
 from .model import (
+    _write_columns_bulk,
     decode_step,
+    decode_step_deferred,
     decoder_prefill,
+    greedy_decode_form,
     init_kv_cache,
+    init_pending,
     precompute_cross_kv,
 )
 
@@ -242,10 +246,16 @@ def _greedy_loop(
         [prefix, jnp.full((b, max_len - prefix_len), cfg.eot, jnp.int32)], axis=1
     )
 
+    # Deferred cache writes (model.decode_form docstring): the fresh
+    # K/V columns ride the carry and land at the TOP of the next
+    # iteration, before any cache read, so XLA aliases the bulk DUS in
+    # place instead of copy-on-writing the live cache.
+    deferred = greedy_decode_form() == "deferred"
     state = dict(
         tokens=tokens,
         pos=jnp.asarray(prefix_len, jnp.int32),
         cache=cache,
+        pending=init_pending(cache, prefix_len) if deferred else (),
         cur_logits=pre_logits[-1].astype(jnp.float32),
         finished=jnp.zeros(b, bool),
         # timestamp_begin - 1 is a sentinel meaning "no timestamp sampled
@@ -310,14 +320,22 @@ def _greedy_loop(
         ts_floor = jnp.where(is_ts & newly, new_floor, s["ts_floor"])
         finished = s["finished"] | (next_tok == cfg.eot)
 
-        cur_logits, cache = decode_step(
-            params, next_tok, pos, s["cache"], cross_kv, cfg,
-            audio_ctx=xa.shape[1],
-        )
+        if deferred:
+            cur_logits, cache, pending = decode_step_deferred(
+                params, next_tok, pos, s["cache"], s["pending"], cross_kv,
+                cfg, audio_ctx=xa.shape[1],
+            )
+        else:
+            cur_logits, cache = decode_step(
+                params, next_tok, pos, s["cache"], cross_kv, cfg,
+                audio_ctx=xa.shape[1],
+            )
+            pending = ()
         return dict(
             tokens=tokens,
             pos=pos + 1,
             cache=cache,
+            pending=pending,
             cur_logits=cur_logits.astype(jnp.float32),
             finished=finished,
             ts_floor=ts_floor,
@@ -327,6 +345,12 @@ def _greedy_loop(
         )
 
     final = jax.lax.while_loop(cond, body, state)
+    if deferred:
+        # Flush the last step's columns so the returned cache is
+        # complete (the loop always leaves one pending column).
+        final["cache"] = _write_columns_bulk(
+            final["cache"], final["pending"], final["pos"] - 1
+        )
     return final, pre_logits
 
 

@@ -661,30 +661,65 @@ def _write_columns_bulk(cache, cols, pos):
     )
 
 
-def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
-                         cross_kv_len: int = 0):
+def decode_form() -> str:
+    """Trace-time cache-write strategy for the K=1 decode step.
+
+    Measured in-loop 2026-08-18 (scripts/bench_decode_breakdown.py +
+    scripts/bench_cache_dus.py, large-v3 batch 32, this chip):
+
+    - "scan": lax.scan with the cache as xs AND ys rewrites every
+      layer's whole 21 MB cache slice per step to change one 160 KB
+      column — 7.7 of 23.5 ms/step (33%). The attend reads themselves
+      cost 1.6 ms (scan's pipelined xs DMA streams at ~820 GB/s).
+    - fori_loop with per-layer in-place column updates (retired): kills
+      the write cost but pays 11.7 ms/step in the attend —
+      dynamic-slicing the carried cache materializes a copy.
+    - "hybrid": cache stays a read-only scan xs, the fresh column
+      enters the softmax in-register (_attend_fresh_column), ONE bulk
+      column DUS lands all layers after the scan. MEASURED WORSE than
+      scan (26.3 vs 23.5 ms/step): the cache is still live (scan xs)
+      when the DUS runs in the same iteration, so XLA copy-on-writes
+      the whole 671 MB cache (~10.8 ms, bench_cache_dus "read+dus").
+    - "deferred" (greedy-loop default, decode.py): the hybrid attend,
+      but the fresh columns ride the LOOP CARRY and land at the TOP of
+      the next step, before any read — write-then-read lets XLA alias
+      the DUS in place (0.34 ms, bench_cache_dus "dus-only").
+
+    decode_step itself defaults to "scan" (callers outside the greedy
+    loop: beam reorder, speculative drafts, one-shot probes — all
+    measured best there). SPITTLE_DECODE_FORM=hybrid flips it for A/B;
+    legacy SPITTLE_DECODE_SCAN=1 forces scan everywhere including the
+    greedy loop."""
+    if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
+        return "scan"
+    return os.environ.get("SPITTLE_DECODE_FORM", "scan")
+
+
+def greedy_decode_form() -> str:
+    """Form for the greedy while_loop (decode.py). Default scan: the
+    deferred (write-then-read) form measured 26.5 vs scan's 23.6
+    ms/step on-chip (large-v3 b32) — XLA copy-on-writes a loop-carried
+    buffer that is BOTH consumed by the inner layer-scan as xs AND
+    DUS-updated in the same outer iteration, regardless of
+    read/write order (bench_cache_dus read+dus 10.8 ms vs dus-only
+    0.34 ms — the probe's dus-only case simply had no scan read).
+    SPITTLE_DECODE_FORM=deferred re-enables it for A/B."""
+    if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
+        return "scan"
+    return os.environ.get("SPITTLE_DECODE_FORM", "scan")
+
+
+def _step_blocks_layers(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
+                        cross_kv_len, emit_cols: bool):
     """One token through all decoder layers. x: [B, 1, D].
 
-    Cache-write strategy (measured in-loop 2026-08-18,
-    scripts/bench_decode_breakdown.py, large-v3 batch 32):
-
-    - lax.scan with the cache as xs AND ys rewrites every layer's whole
-      21 MB cache slice per step to change one 160 KB column — 7.7 of
-      23.5 ms/step (33%). The attend reads themselves cost 1.6 ms (the
-      scan's pipelined xs DMA is efficient).
-    - A fori_loop with per-layer in-place column updates kills the
-      write cost but pays 11.7 ms/step in the attend: dynamic-slicing
-      the carried cache materializes a copy instead of streaming.
-    - This HYBRID keeps the cache as a read-only scan xs (cheap
-      streamed reads), corrects the fresh column in-register inside the
-      softmax (_attend_fresh_column), emits only the new columns as ys,
-      and issues ONE bulk in-place column write after the scan
-      (_write_columns_bulk).
-
-    SPITTLE_DECODE_SCAN=1 (trace-time env) restores the write-per-layer
-    scan form for A/B. cross_kv_len: real cross-attention length when
-    K/V were padded to a tile multiple for the Pallas decode kernel
-    (0 = unpadded)."""
+    emit_cols=False: scan form — cache is xs AND ys, each layer writes
+    its column into its slice (returns (x, updated_cache)).
+    emit_cols=True: hybrid attend — cache is a READ-ONLY xs, the fresh
+    column corrects the softmax in-register and is emitted as ys
+    (returns (x, cols)); the caller decides when to land the columns
+    (_write_columns_bulk) — immediately ("hybrid") or next step
+    ("deferred"). See decode_form() for the measurements."""
     scale = (x.shape[-1] // n_head) ** -0.25
     quant = isinstance(kv_cache, dict)
     n_ctx = (kv_cache["qw"] if quant else kv_cache).shape[5]
@@ -707,7 +742,7 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
         h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
         return h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
 
-    if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
+    if not emit_cols:
         def body(carry, inputs):
             (h,) = carry
             blk, cache_l, ck, cv = inputs
@@ -733,7 +768,69 @@ def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
     (x,), cols = jax.lax.scan(
         body, (x,), (blocks, kv_cache, cross_k, cross_v)
     )
-    return x, _write_columns_bulk(kv_cache, cols, pos)
+    return x, cols
+
+
+def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
+                         cross_kv_len: int = 0):
+    """decode_step's layer stack: returns (x, fully-updated cache).
+
+    Form per decode_form(); cross_kv_len: real cross-attention length
+    when K/V were padded to a tile multiple for the Pallas decode
+    kernel (0 = unpadded)."""
+    if decode_form() == "hybrid":
+        x, cols = _step_blocks_layers(
+            blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
+            cross_kv_len, emit_cols=True,
+        )
+        return x, _write_columns_bulk(kv_cache, cols, pos)
+    x, new_cache = _step_blocks_layers(
+        blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
+        cross_kv_len, emit_cols=False,
+    )
+    return x, new_cache
+
+
+def init_pending(kv_cache, pos: int):
+    """Identity pending columns for the deferred-write decode loop: the
+    columns already stored at position max(pos-1, 0), so the first
+    iteration's bulk write re-lands existing data (a no-op by value).
+    pos is the loop's static start position (prefix length)."""
+    p = max(int(pos) - 1, 0)
+    if isinstance(kv_cache, dict):
+        return (
+            jax.lax.dynamic_slice_in_dim(kv_cache["qw"], p, 1, axis=5),
+            jax.lax.dynamic_slice_in_dim(kv_cache["scale"], p, 1, axis=4),
+        )
+    return jax.lax.dynamic_slice_in_dim(kv_cache, p, 1, axis=5)
+
+
+def decode_step_deferred(params, tokens, pos, kv_cache, pending, cross_kv,
+                         cfg, audio_ctx: int = 0):
+    """One greedy-loop decode step with DEFERRED cache writes.
+
+    Lands `pending` (the previous step's fresh columns, positions
+    pos-1) with one bulk in-place DUS BEFORE any cache read — XLA
+    aliases a write-then-read update in place (~0.34 ms vs ~10.8 ms
+    for the read-then-write order at large-v3 b32; bench_cache_dus) —
+    then runs the hybrid attend which keeps this step's column
+    in-register and returns it as the next `pending`.
+
+    Returns (logits [B, V], cache, new_pending). The caller owns the
+    final flush: after the loop, `_write_columns_bulk(cache, pending,
+    last_pos)` completes the cache (or skip it if the cache dies)."""
+    kv_cache = _write_columns_bulk(kv_cache, pending, pos - 1)
+    dec = params["decoder"]
+    x = dec["tok_emb"][tokens][:, None, :]  # [B, 1, D]
+    x = (x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1)[None]).astype(
+        dec["tok_emb"].dtype
+    )
+    x, cols = _step_blocks_layers(
+        dec["blocks"], x, kv_cache, cross_kv[0], cross_kv[1], pos,
+        cfg.n_text_head, cross_kv_len=audio_ctx or cfg.n_audio_ctx,
+        emit_cols=True,
+    )
+    return logits_from_hidden(params, x)[:, 0], kv_cache, cols
 
 
 def logits_from_hidden(params: Params, h: jnp.ndarray) -> jnp.ndarray:

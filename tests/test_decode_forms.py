@@ -1,0 +1,149 @@
+"""Decode cache-write forms: scan vs hybrid vs deferred must be
+token-identical.
+
+The K=1 decode step has three cache-write strategies (measured on-chip,
+see model.decode_form docstring + docs/PERFORMANCE.md): the scan form
+(cache as layer-scan xs/ys), the hybrid (read-only xs + in-register
+fresh column + immediate bulk write), and the deferred form the greedy
+loop uses in production (fresh columns ride the while_loop carry and
+land next iteration). All three must produce the same logits, the same
+token sequences, and the same final cache bytes.
+
+Reference context: whisper.cpp's decoder writes its KV cache in place
+per token (decoder.cpp-equivalent semantics at
+/root/reference — transcribe-rs WhisperEngine,
+managers/transcription.rs:445-504); these forms are TPU scheduling
+strategies around identical math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spittle_tpu.models.whisper.config import CONFIGS
+from spittle_tpu.models.whisper.decode import DecodeOptions, greedy_decode
+from spittle_tpu.models.whisper import model as M
+
+TINY = CONFIGS["tiny"]
+
+
+def _setup(b=2, seed=0):
+    params = M.init_params(TINY, jax.random.PRNGKey(seed), jnp.float32)
+    xa = jax.random.normal(
+        jax.random.PRNGKey(seed + 1),
+        (b, TINY.n_audio_ctx, TINY.n_audio_state),
+        jnp.float32,
+    ) * 0.3
+    return params, xa
+
+
+def _steps_scan(params, cross_kv, cache, toks, pos0):
+    """Reference: per-step scan-form decode_step chain."""
+    logits = []
+    pos = pos0
+    for t in toks:
+        lg, cache = M.decode_step(
+            params, t, jnp.int32(pos), cache, cross_kv, TINY
+        )
+        logits.append(lg)
+        pos += 1
+    return jnp.stack(logits), cache
+
+
+def _steps_deferred(params, cross_kv, cache, toks, pos0):
+    logits = []
+    pending = M.init_pending(cache, pos0)
+    pos = pos0
+    for t in toks:
+        lg, cache, pending = M.decode_step_deferred(
+            params, t, jnp.int32(pos), cache, pending, cross_kv, TINY
+        )
+        logits.append(lg)
+        pos += 1
+    cache = M._write_columns_bulk(cache, pending, jnp.int32(pos - 1))
+    return jnp.stack(logits), cache
+
+
+@pytest.mark.parametrize("quant_cache", [False, True])
+def test_deferred_steps_match_scan(quant_cache):
+    params, xa = _setup()
+    cross_kv = M.precompute_cross_kv(params, xa, TINY)
+    prefix = jnp.asarray([[TINY.sot, 50259, 50359]] * 2, jnp.int32)
+    _, cache = M.decoder_prefill(
+        params, prefix, cross_kv, TINY, 32, quant_cache=quant_cache
+    )
+    rng = np.random.default_rng(0)
+    toks = [
+        jnp.asarray(rng.integers(0, TINY.n_vocab, 2), jnp.int32)
+        for _ in range(8)
+    ]
+    lg_s, cache_s = _steps_scan(params, cross_kv, cache, toks, 3)
+    lg_d, cache_d = _steps_deferred(params, cross_kv, cache, toks, 3)
+    # The fresh-column attend splits the V contraction (cols < pos via
+    # the cache einsum + a rank-1 fresh term), so reduction order — and
+    # only order — differs from the write-then-attend form: ULP-level
+    # deltas, argmax-stable (token identity is asserted end-to-end in
+    # test_greedy_forms_token_identical and the HF parity suite).
+    np.testing.assert_allclose(
+        np.asarray(lg_s), np.asarray(lg_d), rtol=1e-4, atol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(cache_s), jax.tree_util.tree_leaves(cache_d)
+    ):
+        # Columns beyond the decoded range are never written by the
+        # deferred form (the scan form rewrites the whole slice, which
+        # preserves the zero init anyway) — compare the full buffers.
+        np.testing.assert_allclose(
+            np.asarray(a).astype(np.float32),
+            np.asarray(b).astype(np.float32),
+            rtol=1e-3, atol=1e-3,
+        )
+
+
+@pytest.mark.parametrize("quant_cache", [False, True])
+def test_greedy_forms_token_identical(monkeypatch, quant_cache):
+    """greedy_decode under scan / hybrid / deferred: same tokens and
+    logprobs. Trace-time env forms, so jit caches are cleared between
+    runs."""
+    params, xa = _setup(b=3, seed=7)
+    opts = DecodeOptions(
+        language="en", max_tokens=16, timestamps=True,
+        quant_cache=quant_cache,
+    )
+    outs = {}
+    for form in ("scan", "deferred", "hybrid"):
+        monkeypatch.setenv("SPITTLE_DECODE_FORM", form)
+        jax.clear_caches()
+        outs[form] = greedy_decode(params, xa, TINY, opts)
+    monkeypatch.delenv("SPITTLE_DECODE_FORM")
+    jax.clear_caches()
+    for form in ("deferred", "hybrid"):
+        np.testing.assert_array_equal(
+            np.asarray(outs["scan"]["tokens"]),
+            np.asarray(outs[form]["tokens"]),
+            err_msg=f"{form} tokens diverge from scan",
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["scan"]["avg_logprob"]),
+            np.asarray(outs[form]["avg_logprob"]),
+            rtol=1e-4, atol=1e-5,
+            err_msg=f"{form} logprobs diverge from scan",
+        )
+
+
+def test_default_forms():
+    """Production defaults: scan everywhere (deferred/hybrid measured
+    worse on-chip — see greedy_decode_form docstring); legacy
+    SPITTLE_DECODE_SCAN=1 also forces scan."""
+    assert M.decode_form() == "scan"
+    assert M.greedy_decode_form() == "scan"
+    try:
+        import os
+
+        os.environ["SPITTLE_DECODE_SCAN"] = "1"
+        assert M.decode_form() == "scan"
+        assert M.greedy_decode_form() == "scan"
+    finally:
+        os.environ.pop("SPITTLE_DECODE_SCAN", None)

@@ -222,6 +222,49 @@ def main():
             "error": str(e).replace("\n", " ")[:200],
         }), flush=True)
 
+    # Pending-ring form (decode_step_ring): big cache read-only, last R
+    # columns staged in a small ring flushed every R steps.
+    def build_ring(ring):
+        cache_r = init_kv_cache(cfg, B, jnp.bfloat16, ctx=ctx + ring)
+
+        @jax.jit
+        def run(params, cache0, cross_kv, toks):
+            pend0 = M.init_ring(cache0, ring)
+
+            def body(carry, tok):
+                cache, pend, fl, acc, pos = carry
+                logits, cache, pend, fl = M.decode_step_ring(
+                    params, tok, pos, cache, pend, fl, cross_kv, cfg
+                )
+                return (cache, pend, fl, acc + jnp.sum(logits), pos + 1), ()
+
+            (cache, pend, fl, acc, _), _ = jax.lax.scan(
+                body,
+                (cache0, pend0, jnp.int32(4), jnp.float32(0.0),
+                 jnp.int32(4)),
+                toks,
+            )
+            cache = M._ring_flush(cache, pend, fl)
+            leaves = jax.tree_util.tree_leaves(cache)
+            return acc + sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+        return lambda: run(params, cache_r, cross_kv, toks)
+
+    for ring in (8, 16, 32):
+        try:
+            t = timed(build_ring(ring))
+            results[f"full-ring{ring}"] = t
+            print(json.dumps({
+                "variant": f"full-ring{ring}",
+                "ms_total": round(t * 1e3, 1),
+                "ms_per_step": round(t / STEPS * 1e3, 3),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "variant": f"full-ring{ring}",
+                "error": str(e).replace("\n", " ")[:200],
+            }), flush=True)
+
     full = results["full"]
     for name in ("no-cross", "no-self", "no-self-write",
                  "no-self-attend", "no-mlp", "no-logits"):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -26,13 +27,16 @@ import numpy as np
 
 from .config import WhisperConfig
 from .model import (
+    _ring_flush,
     _write_columns_bulk,
     decode_step,
     decode_step_deferred,
+    decode_step_ring,
     decoder_prefill,
     greedy_decode_form,
     init_kv_cache,
     init_pending,
+    init_ring,
     precompute_cross_kv,
 )
 
@@ -228,11 +232,19 @@ def _greedy_loop(
         _static_suppress_mask(cfg, opts, audio_ctx=xa.shape[1])
     )
 
+    # Cache-write form for the step loop (model.greedy_decode_form):
+    # "ring" stages the last R columns in a small pending ring flushed
+    # every R steps; "deferred" carries one pending column; "scan"
+    # rewrites per layer per step.
+    form = greedy_decode_form()
+    ring = int(os.environ.get("SPITTLE_DECODE_RING", "16")) if form == "ring" else 0
     # One teacher-forced pass prefills the cache and yields per-position
     # logits (token-by-token prefill would re-read all weights + cross-KV
-    # once per prompt token).
+    # once per prompt token). The ring form over-allocates R columns so
+    # the final (partial) ring flush stays in bounds.
     all_logits, cache = decoder_prefill(
-        params, prefix, cross_kv, cfg, ctx, quant_cache=opts.quant_cache
+        params, prefix, cross_kv, cfg, ctx + ring,
+        quant_cache=opts.quant_cache,
     )
     pre_logits = all_logits.transpose(1, 0, 2)  # [P, B, V]
     # Tile-align cross K/V so decode steps hit the Pallas kernel
@@ -246,16 +258,21 @@ def _greedy_loop(
         [prefix, jnp.full((b, max_len - prefix_len), cfg.eot, jnp.int32)], axis=1
     )
 
-    # Deferred cache writes (model.decode_form docstring): the fresh
-    # K/V columns ride the carry and land at the TOP of the next
-    # iteration, before any cache read, so XLA aliases the bulk DUS in
-    # place instead of copy-on-writing the live cache.
-    deferred = greedy_decode_form() == "deferred"
+    deferred = form == "deferred"
+    if form == "ring":
+        pending = init_ring(cache, ring)
+    elif deferred:
+        pending = init_pending(cache, prefix_len)
+    else:
+        pending = ()
     state = dict(
         tokens=tokens,
         pos=jnp.asarray(prefix_len, jnp.int32),
         cache=cache,
-        pending=init_pending(cache, prefix_len) if deferred else (),
+        pending=pending,
+        flush_len=(
+            jnp.asarray(prefix_len, jnp.int32) if form == "ring" else ()
+        ),
         cur_logits=pre_logits[-1].astype(jnp.float32),
         finished=jnp.zeros(b, bool),
         # timestamp_begin - 1 is a sentinel meaning "no timestamp sampled
@@ -320,7 +337,13 @@ def _greedy_loop(
         ts_floor = jnp.where(is_ts & newly, new_floor, s["ts_floor"])
         finished = s["finished"] | (next_tok == cfg.eot)
 
-        if deferred:
+        flush_len = s["flush_len"]
+        if form == "ring":
+            cur_logits, cache, pending, flush_len = decode_step_ring(
+                params, next_tok, pos, s["cache"], s["pending"], flush_len,
+                cross_kv, cfg, audio_ctx=xa.shape[1],
+            )
+        elif deferred:
             cur_logits, cache, pending = decode_step_deferred(
                 params, next_tok, pos, s["cache"], s["pending"], cross_kv,
                 cfg, audio_ctx=xa.shape[1],
@@ -336,6 +359,7 @@ def _greedy_loop(
             pos=pos + 1,
             cache=cache,
             pending=pending,
+            flush_len=flush_len,
             cur_logits=cur_logits.astype(jnp.float32),
             finished=finished,
             ts_floor=ts_floor,
@@ -345,7 +369,14 @@ def _greedy_loop(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    if deferred:
+    if form == "ring":
+        # Materialize the ring tail so the returned cache is complete
+        # (stale slots land beyond the decoded range, where every
+        # reader masks them off; the cache is allocated ctx + R wide).
+        final["cache"] = _ring_flush(
+            final["cache"], final["pending"], final["flush_len"]
+        )
+    elif deferred:
         # Flush the last step's columns so the returned cache is
         # complete (the loop always leaves one pending column).
         final["cache"] = _write_columns_bulk(

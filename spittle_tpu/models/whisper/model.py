@@ -703,7 +703,12 @@ def greedy_decode_form() -> str:
     DUS-updated in the same outer iteration, regardless of
     read/write order (bench_cache_dus read+dus 10.8 ms vs dus-only
     0.34 ms — the probe's dus-only case simply had no scan read).
-    SPITTLE_DECODE_FORM=deferred re-enables it for A/B."""
+    SPITTLE_DECODE_FORM=deferred re-enables it for A/B.
+    SPITTLE_DECODE_FORM=ring selects the pending-ring strategy
+    (decode_step_ring: big cache read-only, last R columns staged in a
+    small ring flushed every R steps; SPITTLE_DECODE_RING sets R,
+    default 16) — probe-validated at 4.0 ms/step vs the scan form's
+    14.9 at large-v3 b32 shapes."""
     if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
         return "scan"
     return os.environ.get("SPITTLE_DECODE_FORM", "scan")
@@ -769,6 +774,233 @@ def _step_blocks_layers(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
         body, (x,), (blocks, kv_cache, cross_k, cross_v)
     )
     return x, cols
+
+
+def init_ring(kv_cache, ring: int):
+    """Zero pending-ring matching the cache form: [L, 2, B, H, Dh, R]
+    (or the int8 dict form). Holds the last <=R decoded columns before
+    they are flushed into the big cache (_ring_flush)."""
+    if isinstance(kv_cache, dict):
+        l, _, b, h, dh, _ = kv_cache["qw"].shape
+        return {
+            "qw": jnp.zeros((l, 2, b, h, dh, ring), kv_cache["qw"].dtype),
+            "scale": jnp.zeros((l, 2, b, h, ring), kv_cache["scale"].dtype),
+        }
+    l, _, b, h, dh, _ = kv_cache.shape
+    return jnp.zeros((l, 2, b, h, dh, ring), kv_cache.dtype)
+
+
+def _ring_flush(kv_cache, pend, flush_len):
+    """Merge the whole ring into the big cache at columns
+    [flush_len, flush_len + R) — a layer-scan whole-slice rewrite (the
+    expensive write, paid once per R steps instead of every step). The
+    cache is allocated ctx + R wide so the final partial flush stays in
+    bounds; columns beyond the decoded range receive stale ring data
+    that every reader masks off (col < flush_len / col <= pos)."""
+    if isinstance(kv_cache, dict):
+        def fl(carry, xs):
+            cq, cs, pq, ps = xs
+            cq = jax.lax.dynamic_update_slice(
+                cq, pq, (0, 0, 0, 0, flush_len)
+            )
+            cs = jax.lax.dynamic_update_slice(cs, ps, (0, 0, 0, flush_len))
+            return carry, (cq, cs)
+
+        _, (qw, sc) = jax.lax.scan(
+            fl, 0,
+            (kv_cache["qw"], kv_cache["scale"], pend["qw"], pend["scale"]),
+        )
+        return {"qw": qw, "scale": sc}
+
+    def fl(carry, xs):
+        cache_l, pend_l = xs
+        return carry, jax.lax.dynamic_update_slice(
+            cache_l, pend_l, (0, 0, 0, 0, flush_len)
+        )
+
+    _, new = jax.lax.scan(fl, 0, (kv_cache, pend))
+    return new
+
+
+def _attend_ring(q, cache_l, pend_l, k_new, v_new, pos, flush_len, col):
+    """Self-attention of q [B, H, 1, Dh] over three column sources:
+
+    - the big cache slice (cols < flush_len, read-only scan xs),
+    - the pending ring (slots r < pos - flush_len hold columns
+      flush_len + r),
+    - this step's fresh k/v, entering the softmax in-register at ring
+      slot pos - flush_len (cast/quantized exactly as the ring write
+      will store them, so the math matches write-then-read).
+
+    One softmax over the concatenated [ctx_alloc + R] score row is
+    algebraically identical to attending a fully-written cache.
+    Returns (attention output, updated ring slot ys) — the ring is
+    rewritten as scan ys (small, streams at full bandwidth) instead of
+    DUS-updating a live carried buffer (which XLA copy-on-writes, see
+    greedy_decode_form docstring)."""
+    cnt = pos - flush_len  # ring occupancy; fresh column takes slot cnt
+    if isinstance(cache_l, dict):
+        from spittle_tpu.ops.quant import quantize_kv
+
+        ring = pend_l["qw"].shape[-1]
+        r = jnp.arange(ring)[None, None, None, :]
+        new = jnp.stack([k_new, v_new]).swapaxes(-1, -2)  # [2,B,H,Dh,1]
+        q8 = quantize_kv(new)
+        s_big = jnp.einsum(
+            "bhqd,bhdk->bhqk", q, cache_l["qw"][0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * cache_l["scale"][0][:, :, None, :]
+        s_big = jnp.where(col < flush_len, s_big, -1e30)
+        s_ring = jnp.einsum(
+            "bhqd,bhdk->bhqk", q, pend_l["qw"][0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * pend_l["scale"][0][:, :, None, :]
+        s_fresh = jnp.einsum(
+            "bhqd,bhdk->bhqk", q, q8["qw"][0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * q8["scale"][0][:, :, None, :]  # [B,H,1,1]
+        s_ring = jnp.where(r == cnt, s_fresh, s_ring)
+        s_ring = jnp.where(r <= cnt, s_ring, -1e30)
+        probs = jax.nn.softmax(
+            jnp.concatenate([s_big, s_ring], axis=-1), axis=-1
+        )
+        ctxa = s_big.shape[-1]
+        pb, pr = probs[..., :ctxa], probs[..., ctxa:]
+        p_fresh = jax.lax.dynamic_slice_in_dim(pr, cnt, 1, axis=-1)
+        o = jnp.einsum(
+            "bhqk,bhdk->bhqd",
+            (pb * cache_l["scale"][1][:, :, None, :]).astype(q.dtype),
+            cache_l["qw"][1].astype(q.dtype),
+        )
+        o = o + jnp.einsum(
+            "bhqk,bhdk->bhqd",
+            ((pr * (r < cnt)) * pend_l["scale"][1][:, :, None, :]).astype(
+                q.dtype
+            ),
+            pend_l["qw"][1].astype(q.dtype),
+        )
+        o = o + jnp.einsum(
+            "bhqk,bhdk->bhqd",
+            (p_fresh * q8["scale"][1][:, :, None, :]).astype(q.dtype),
+            q8["qw"][1].astype(q.dtype),
+        )
+        ys = (
+            jax.lax.dynamic_update_slice(
+                pend_l["qw"], q8["qw"], (0, 0, 0, 0, cnt)
+            ),
+            jax.lax.dynamic_update_slice(
+                pend_l["scale"], q8["scale"], (0, 0, 0, cnt)
+            ),
+        )
+        return o, ys
+
+    ring = pend_l.shape[-1]
+    r = jnp.arange(ring)[None, None, None, :]
+    dtype = cache_l.dtype
+    kd = k_new.astype(dtype)  # match the ring-write cast exactly
+    vd = v_new.astype(dtype)
+    s_big = jnp.einsum(
+        "bhqd,bhdk->bhqk", q, cache_l[0], preferred_element_type=jnp.float32
+    )
+    s_big = jnp.where(col < flush_len, s_big, -1e30)
+    s_ring = jnp.einsum(
+        "bhqd,bhdk->bhqk", q, pend_l[0], preferred_element_type=jnp.float32
+    )
+    s_fresh = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, kd, preferred_element_type=jnp.float32
+    )  # [B,H,1,1]
+    s_ring = jnp.where(r == cnt, s_fresh, s_ring)
+    s_ring = jnp.where(r <= cnt, s_ring, -1e30)
+    probs = jax.nn.softmax(
+        jnp.concatenate([s_big, s_ring], axis=-1), axis=-1
+    )
+    ctxa = s_big.shape[-1]
+    pb, pr = probs[..., :ctxa], probs[..., ctxa:]
+    p_fresh = jax.lax.dynamic_slice_in_dim(pr, cnt, 1, axis=-1)
+    o = jnp.einsum("bhqk,bhdk->bhqd", pb.astype(dtype), cache_l[1])
+    o = o + jnp.einsum(
+        "bhqk,bhdk->bhqd", (pr * (r < cnt)).astype(dtype), pend_l[1]
+    )
+    o = o + jnp.einsum("bhqk,bhkd->bhqd", p_fresh.astype(dtype), vd)
+    ys = jax.lax.dynamic_update_slice(
+        pend_l, jnp.stack([kd, vd]).swapaxes(-1, -2), (0, 0, 0, 0, cnt)
+    )
+    return o, ys
+
+
+def decode_step_ring(params, tokens, pos, kv_cache, pend, flush_len,
+                     cross_kv, cfg, audio_ctx: int = 0):
+    """One greedy-loop decode step with the PENDING-RING cache strategy
+    (the production K=1 form; see greedy_decode_form docstring).
+
+    Flushes the full ring into the big cache first when it is full
+    (cond, once per R steps), then runs the layer scan with the big
+    cache AND ring as read-only xs, the ring rewritten as ys with this
+    step's column added (_attend_ring). Probe cost (bench_cache_dus,
+    large-v3 b32 shapes): 4.0 ms/step at R=16 vs 14.9 for the per-step
+    whole-cache rewrite.
+
+    Returns (logits [B, V], cache, ring, flush_len). Callers must
+    _ring_flush once after the loop to materialize the tail."""
+    ring = (
+        pend["qw"] if isinstance(pend, dict) else pend
+    ).shape[-1]
+    full = (pos - flush_len) >= ring
+    kv_cache = jax.lax.cond(
+        full,
+        lambda ops: _ring_flush(*ops),
+        lambda ops: ops[0],
+        (kv_cache, pend, flush_len),
+    )
+    flush_len = jnp.where(full, flush_len + ring, flush_len)
+
+    dec = params["decoder"]
+    n_head = cfg.n_text_head
+    cross_kv_len = audio_ctx or cfg.n_audio_ctx
+    x = dec["tok_emb"][tokens][:, None, :]  # [B, 1, D]
+    x = (x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1)[None]).astype(
+        dec["tok_emb"].dtype
+    )
+    scale = (x.shape[-1] // n_head) ** -0.25
+    quant = isinstance(kv_cache, dict)
+    n_ctx = (kv_cache["qw"] if quant else kv_cache).shape[5]
+    col = jnp.arange(n_ctx)[None, None, None, :]
+
+    def body(carry, inputs):
+        (h,) = carry
+        if quant:
+            blk, cq, cs, pq, ps, ck, cv = inputs
+            cache_l = {"qw": cq, "scale": cs}
+            pend_l = {"qw": pq, "scale": ps}
+        else:
+            blk, cache_l, pend_l, ck, cv = inputs
+        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
+        qh = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
+        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale
+        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
+        o, ys = _attend_ring(
+            qh, cache_l, pend_l, k_new, v_new, pos, flush_len, col
+        )
+        h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
+        xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
+        dh = xn.shape[-1] // n_head
+        cqh = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
+        co = _cross_attention(cqh, ck, cv, dh, kv_len=cross_kv_len)
+        h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
+        h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
+        return (h,), ys
+
+    if quant:
+        xs = (
+            dec["blocks"], kv_cache["qw"], kv_cache["scale"],
+            pend["qw"], pend["scale"], cross_kv[0], cross_kv[1],
+        )
+    else:
+        xs = (dec["blocks"], kv_cache, pend, cross_kv[0], cross_kv[1])
+    (x,), new_pend = jax.lax.scan(body, (x,), xs)
+    if quant:
+        new_pend = {"qw": new_pend[0], "scale": new_pend[1]}
+    return logits_from_hidden(params, x)[:, 0], kv_cache, new_pend, flush_len
 
 
 def _decoder_step_blocks(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,

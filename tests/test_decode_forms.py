@@ -102,24 +102,80 @@ def test_deferred_steps_match_scan(quant_cache):
         )
 
 
+def _steps_ring(params, cross_kv, cache, toks, pos0, ring=4):
+    """Ring-form decode chain over a cache allocated +ring wide."""
+    logits = []
+    pend = M.init_ring(cache, ring)
+    flush_len = jnp.int32(pos0)
+    pos = pos0
+    for t in toks:
+        lg, cache, pend, flush_len = M.decode_step_ring(
+            params, t, jnp.int32(pos), cache, pend, flush_len, cross_kv,
+            TINY,
+        )
+        logits.append(lg)
+        pos += 1
+    cache = M._ring_flush(cache, pend, flush_len)
+    return jnp.stack(logits), cache
+
+
+@pytest.mark.parametrize("quant_cache", [False, True])
+def test_ring_steps_match_scan(quant_cache):
+    """Ring form (incl. an in-loop flush: 8 steps, R=4) matches the
+    scan form's logits and the written cache columns."""
+    params, xa = _setup()
+    cross_kv = M.precompute_cross_kv(params, xa, TINY)
+    prefix = jnp.asarray([[TINY.sot, 50259, 50359]] * 2, jnp.int32)
+    ring = 4
+    _, cache_s0 = M.decoder_prefill(
+        params, prefix, cross_kv, TINY, 32, quant_cache=quant_cache
+    )
+    _, cache_r0 = M.decoder_prefill(
+        params, prefix, cross_kv, TINY, 32 + ring, quant_cache=quant_cache
+    )
+    rng = np.random.default_rng(1)
+    toks = [
+        jnp.asarray(rng.integers(0, TINY.n_vocab, 2), jnp.int32)
+        for _ in range(8)
+    ]
+    lg_s, cache_s = _steps_scan(params, cross_kv, cache_s0, toks, 3)
+    lg_r, cache_r = _steps_ring(params, cross_kv, cache_r0, toks, 3, ring)
+    np.testing.assert_allclose(
+        np.asarray(lg_s), np.asarray(lg_r), rtol=1e-4, atol=1e-4
+    )
+    # Written region (cols < 3 + 8) must match; the ring cache's extra
+    # tail holds stale flush data every reader masks off.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(cache_s), jax.tree_util.tree_leaves(cache_r)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a[..., :11].astype(np.float32),
+            b[..., :11].astype(np.float32),
+            rtol=1e-3, atol=1e-3,
+        )
+
+
 @pytest.mark.parametrize("quant_cache", [False, True])
 def test_greedy_forms_token_identical(monkeypatch, quant_cache):
-    """greedy_decode under scan / hybrid / deferred: same tokens and
-    logprobs. Trace-time env forms, so jit caches are cleared between
-    runs."""
+    """greedy_decode under scan / hybrid / deferred / ring: same tokens
+    and logprobs. Trace-time env forms, so jit caches are cleared
+    between runs."""
     params, xa = _setup(b=3, seed=7)
     opts = DecodeOptions(
         language="en", max_tokens=16, timestamps=True,
         quant_cache=quant_cache,
     )
     outs = {}
-    for form in ("scan", "deferred", "hybrid"):
+    monkeypatch.setenv("SPITTLE_DECODE_RING", "4")
+    for form in ("scan", "deferred", "hybrid", "ring"):
         monkeypatch.setenv("SPITTLE_DECODE_FORM", form)
         jax.clear_caches()
         outs[form] = greedy_decode(params, xa, TINY, opts)
     monkeypatch.delenv("SPITTLE_DECODE_FORM")
+    monkeypatch.delenv("SPITTLE_DECODE_RING")
     jax.clear_caches()
-    for form in ("deferred", "hybrid"):
+    for form in ("deferred", "hybrid", "ring"):
         np.testing.assert_array_equal(
             np.asarray(outs["scan"]["tokens"]),
             np.asarray(outs[form]["tokens"]),

@@ -208,6 +208,24 @@ def main():
     finally:
         os.environ.pop("SPITTLE_ATTN_Q8", None)
 
+    # Software-pipelined attention (SPITTLE_ATTN_PIPE): stage-A QK on a
+    # double scratch overlapping stage-B softmax+PV of the previous
+    # block — targets the serial dot->softmax->dot critical path that
+    # pins the kernel at ~33 TF/s. Env read at trace time.
+    os.environ["SPITTLE_ATTN_PIPE"] = "1"
+    fpipe = jax.jit(
+        lambda blocks, xx: _encoder_blocks(blocks, xx, cfg.n_audio_head)
+    )
+    try:
+        t = timed(lambda: fpipe(enc["blocks"], x))
+        print(f"blocks scan attn-pipe {t*1e3:8.1f} ms   "
+              f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
+    except Exception as e:
+        msg = str(e).replace("\n", " ")[:160]
+        print(f"blocks scan attn-pipe FAILED: {msg}", flush=True)
+    finally:
+        os.environ.pop("SPITTLE_ATTN_PIPE", None)
+
     # Packed-heads attention sweep (SPITTLE_PACKED_ATTENTION): '0' is
     # the split-head fullkv baseline, '1' the one-head 64-wide-block
     # variant (UNVALIDATED Mosaic lane alignment — may fail to lower),

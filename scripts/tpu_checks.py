@@ -110,6 +110,15 @@ def main() -> int:
               q, k, v, kv_len=1500, block_q=768),
           lambda: attention_reference(q, k, v, kv_len=1500), 3e-2)
 
+    # Software-pipelined full-KV kernel (double-scratch stage overlap;
+    # validates the flattened-grid per-operand index maps on Mosaic).
+    from spittle_tpu.ops.attention import flash_attention_fullkv_pipe
+
+    check("fullkv_pipe",
+          lambda: flash_attention_fullkv_pipe(
+              q, k, v, kv_len=1500, block_q=768),
+          lambda: attention_reference(q, k, v, kv_len=1500), 4e-3)
+
     # causal (decoder teacher-forced shape)
     q2, k2, v2 = mk(2, 4, 512, 64), mk(2, 4, 512, 64), mk(2, 4, 512, 64, 1.0)
     check("fullkv_causal",

@@ -241,6 +241,112 @@ def flash_attention_fullkv(
     return out.reshape(b, h, tq, d)
 
 
+def _fullkv_pipe_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *,
+                        kv_len: int, nq: int):
+    """Software-pipelined full-KV attention: stage A computes q-block
+    i's QK^T scores (MXU) into one half of a double scratch; stage B
+    runs block i-1's softmax (VPU) + PV (MXU) from the other half.
+
+    The serial form (_fullkv_kernel) runs ~33 TF/s at encoder shape
+    because each grid step is dot -> softmax -> dot with the
+    VPU-dominant softmax on the critical path. Staging A and B on
+    INDEPENDENT buffers inside one grid step lets Mosaic's scheduler
+    overlap block i's MXU dots with block i-1's VPU softmax — the grid
+    is flattened to bh*nq + 1 steps (one epilogue step) so the pipeline
+    also crosses (bh) boundaries; per-operand index maps keep Q/K on
+    the compute step and V/O one step behind."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    tk = k_ref.shape[1]
+
+    @pl.when(i < n - 1)
+    def _stage_a():
+        s_ref[i % 2] = jax.lax.dot_general(
+            q_ref[0], k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i > 0)
+    def _stage_b():
+        s = s_ref[(i - 1) % 2]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        if kv_len < tk:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+            p = p * (col < kv_len).astype(p.dtype)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kv_len", "block_q", "interpret")
+)
+def flash_attention_fullkv_pipe(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len: Optional[int] = None,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pipelined full-KV attention (non-causal); q/k/v [B, H, T, D],
+    T % block_q == 0. See _fullkv_pipe_kernel. Dispatch via
+    SPITTLE_ATTN_PIPE=1 (attn_pipe_enabled)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    assert tq % block_q == 0, (tq, block_q)
+    kv_len = tk if kv_len is None else kv_len
+    nq = tq // block_q
+    total = b * h * nq
+    qf = q.reshape(b * h, tq, d)
+    kf = k.reshape(b * h, tk, d)
+    vf = v.reshape(b * h, tk, d)
+    kernel = functools.partial(_fullkv_pipe_kernel, kv_len=kv_len, nq=nq)
+
+    def _a(i):  # compute-stage flat index (clamped for the epilogue)
+        return jnp.minimum(i, total - 1)
+
+    def _b(i):  # consume-stage flat index (clamped for the prologue)
+        return jnp.maximum(i - 1, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(total + 1,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda i: (_a(i) // nq, _a(i) % nq, 0)
+            ),
+            pl.BlockSpec((1, tk, d), lambda i: (_a(i) // nq, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda i: (_b(i) // nq, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i: (_b(i) // nq, _b(i) % nq, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((2, block_q, tk), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=(qf.size * 2 + kf.size + vf.size)
+            * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, tq, d)
+
+
+def attn_pipe_enabled() -> bool:
+    """SPITTLE_ATTN_PIPE=1 routes non-causal encoder attention through
+    flash_attention_fullkv_pipe. Opt-in until validated on hardware and
+    A/B'd in-loop (scripts/bench_encoder.py sweeps it)."""
+    return os.environ.get("SPITTLE_ATTN_PIPE", "0") == "1"
+
+
 def _fullkv_q8_kernel(q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
                       o_ref, *, kv_len: int):
     """Full-KV attention with BOTH dots int8xint8->int32 on the MXU.
@@ -958,6 +1064,11 @@ def multihead_attention(
             v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
         if not causal and attn_q8_enabled():
             out = flash_attention_fullkv_q8(
+                q, k, v, kv_len=real_kv, block_q=block_q
+            )
+            return out[:, :, :tq]
+        if not causal and attn_pipe_enabled():
+            out = flash_attention_fullkv_pipe(
                 q, k, v, kv_len=real_kv, block_q=block_q
             )
             return out[:, :, :tq]

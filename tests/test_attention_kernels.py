@@ -280,3 +280,56 @@ def test_attn_q8_env_dispatch_cpu_fallback(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+# ---- software-pipelined full-KV kernel (flash_attention_fullkv_pipe) ----
+
+
+@pytest.mark.parametrize("kv_len", [256, 200])
+@pytest.mark.parametrize("block_q", [128, 256])
+def test_pipe_fullkv_kernel_matches_reference(kv_len, block_q):
+    """flash_attention_fullkv_pipe (stage-A QK / stage-B softmax+PV on a
+    double scratch across a flattened bh*nq+1 grid) must match plain
+    attention, including across bh boundaries and with a ragged kv_len
+    mask."""
+    from spittle_tpu.ops.attention import flash_attention_fullkv_pipe
+
+    q, k, v = _mk_enc(b=2, h=3)
+    got = flash_attention_fullkv_pipe(
+        q, k, v, kv_len=kv_len, block_q=block_q, interpret=True
+    )
+    want = attention_reference(
+        q, k[:, :, :kv_len, :], v[:, :, :kv_len, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_pipe_single_block_grid():
+    """nq == 1 (one q block per bh): the pipeline is pure
+    prologue/epilogue interleave across bh."""
+    from spittle_tpu.ops.attention import flash_attention_fullkv_pipe
+
+    q, k, v = _mk_enc(b=2, h=2)
+    got = flash_attention_fullkv_pipe(
+        q, k, v, block_q=256, interpret=True
+    )
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_attn_pipe_env_dispatch_cpu_fallback(monkeypatch):
+    """SPITTLE_ATTN_PIPE=1 off-TPU: multihead_attention still takes the
+    reference path (the knob only engages on hardware)."""
+    from spittle_tpu.ops.attention import multihead_attention
+
+    monkeypatch.setenv("SPITTLE_ATTN_PIPE", "1")
+    q, k, v = _mk_enc()
+    got = multihead_attention(q, k, v)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )

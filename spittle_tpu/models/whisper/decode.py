@@ -30,10 +30,10 @@ from .model import (
     _ring_flush,
     _write_columns_bulk,
     decode_step,
+    decode_form,
     decode_step_deferred,
     decode_step_ring,
     decoder_prefill,
-    greedy_decode_form,
     init_kv_cache,
     init_pending,
     init_ring,
@@ -232,11 +232,11 @@ def _greedy_loop(
         _static_suppress_mask(cfg, opts, audio_ctx=xa.shape[1])
     )
 
-    # Cache-write form for the step loop (model.greedy_decode_form):
-    # "ring" stages the last R columns in a small pending ring flushed
-    # every R steps; "deferred" carries one pending column; "scan"
+    # Cache-write form for the step loop (model.decode_form): "ring"
+    # stages the last R columns in a small pending ring flushed every R
+    # steps; "deferred" carries one pending column; "scan" (default)
     # rewrites per layer per step.
-    form = greedy_decode_form()
+    form = decode_form()
     ring = int(os.environ.get("SPITTLE_DECODE_RING", "16")) if form == "ring" else 0
     # One teacher-forced pass prefills the cache and yields per-position
     # logits (token-by-token prefill would re-read all weights + cross-KV

@@ -662,56 +662,69 @@ def _write_columns_bulk(cache, cols, pos):
 
 
 def decode_form() -> str:
-    """Trace-time cache-write strategy for the K=1 decode step.
+    """Trace-time cache-write strategy for the K=1 decode step — ONE
+    knob (SPITTLE_DECODE_FORM) for every decode path; legacy
+    SPITTLE_DECODE_SCAN=1 forces "scan".
 
-    Measured in-loop 2026-08-18 (scripts/bench_decode_breakdown.py +
-    scripts/bench_cache_dus.py, large-v3 batch 32, this chip):
+    Values (default "scan" — every alternative measured worse e2e
+    on-chip, 2026-08-18; full table in docs/PERFORMANCE.md and the
+    probes in scripts/bench_cache_dus.py):
 
     - "scan": lax.scan with the cache as xs AND ys rewrites every
       layer's whole 21 MB cache slice per step to change one 160 KB
-      column — 7.7 of 23.5 ms/step (33%). The attend reads themselves
-      cost 1.6 ms (scan's pipelined xs DMA streams at ~820 GB/s).
-    - fori_loop with per-layer in-place column updates (retired): kills
-      the write cost but pays 11.7 ms/step in the attend —
-      dynamic-slicing the carried cache materializes a copy.
-    - "hybrid": cache stays a read-only scan xs, the fresh column
-      enters the softmax in-register (_attend_fresh_column), ONE bulk
-      column DUS lands all layers after the scan. MEASURED WORSE than
-      scan (26.3 vs 23.5 ms/step): the cache is still live (scan xs)
-      when the DUS runs in the same iteration, so XLA copy-on-writes
-      the whole 671 MB cache (~10.8 ms, bench_cache_dus "read+dus").
-    - "deferred" (greedy-loop default, decode.py): the hybrid attend,
-      but the fresh columns ride the LOOP CARRY and land at the TOP of
-      the next step, before any read — write-then-read lets XLA alias
-      the DUS in place (0.34 ms, bench_cache_dus "dus-only").
+      column — 7.7 of 23.6 ms/step at large-v3 b32 — yet still wins
+      e2e (config 19: 238/277 bf16/int8; headline 787.4).
+    - "hybrid": cache as read-only scan xs, fresh column in-register
+      (_attend_fresh_column), one bulk column DUS after the scan.
+      26.3 ms/step: XLA copy-on-writes a loop-carried buffer that is
+      both consumed by the inner layer-scan and DUS-updated in the
+      same outer iteration (bench_cache_dus "read+dus" 10.8 ms).
+    - "deferred" (greedy loop only): the hybrid attend with the fresh
+      columns riding the while_loop carry, landing at the TOP of the
+      next step. 26.5 ms/step — the copy-on-write law holds regardless
+      of read/write order ("dus-only" 0.34 ms was only cheap because
+      that probe had no scan read).
+    - "ring" (greedy loop only): pending-ring (decode_step_ring) — big
+      cache read-only, last R columns staged in a small ring flushed
+      every R steps (SPITTLE_DECODE_RING, default 16). The only form
+      that beats scan IN-LOOP (21.4 vs 23.6) but loses e2e (config 19
+      int8 220 vs 277: the dict-cache ring attend's extra dequant
+      dots).
 
-    decode_step itself defaults to "scan" (callers outside the greedy
-    loop: beam reorder, speculative drafts, one-shot probes — all
-    measured best there). SPITTLE_DECODE_FORM=hybrid flips it for A/B;
-    legacy SPITTLE_DECODE_SCAN=1 forces scan everywhere including the
-    greedy loop."""
+    decode_step honors "scan"/"hybrid" ("deferred"/"ring" fall back to
+    scan there — their machinery lives in the greedy while_loop, which
+    handles all four). One process-wide knob means an A/B of the greedy
+    form also flips decode_step's callers (beam, speculative drafts) to
+    the same strategy — benches isolate arms per process, so keep A/B
+    runs process-per-arm."""
     if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
         return "scan"
     return os.environ.get("SPITTLE_DECODE_FORM", "scan")
 
 
-def greedy_decode_form() -> str:
-    """Form for the greedy while_loop (decode.py). Default scan: the
-    deferred (write-then-read) form measured 26.5 vs scan's 23.6
-    ms/step on-chip (large-v3 b32) — XLA copy-on-writes a loop-carried
-    buffer that is BOTH consumed by the inner layer-scan as xs AND
-    DUS-updated in the same outer iteration, regardless of
-    read/write order (bench_cache_dus read+dus 10.8 ms vs dus-only
-    0.34 ms — the probe's dus-only case simply had no scan read).
-    SPITTLE_DECODE_FORM=deferred re-enables it for A/B.
-    SPITTLE_DECODE_FORM=ring selects the pending-ring strategy
-    (decode_step_ring: big cache read-only, last R columns staged in a
-    small ring flushed every R steps; SPITTLE_DECODE_RING sets R,
-    default 16) — probe-validated at 4.0 ms/step vs the scan form's
-    14.9 at large-v3 b32 shapes."""
-    if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
-        return "scan"
-    return os.environ.get("SPITTLE_DECODE_FORM", "scan")
+def _proj_qkv_step(h, blk, n_head, scale):
+    """Self-attention projections for one decode token. h: [B, 1, D] ->
+    (q, k_new, v_new) each [B, H, 1, Dh]; q and k pre-scaled by
+    Dh**-0.25 (Whisper's split scaling). Shared by every K=1 cache-write
+    form (decode_form docstring) so the layer math has one home."""
+    xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
+    q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
+    k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale
+    v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
+    return q, k_new, v_new
+
+
+def _layer_rest(h, o, blk, ck, cv, n_head, cross_kv_len):
+    """Post-self-attention remainder of a decoder layer: output proj +
+    residual, cross-attention (precomputed, optionally quantized /
+    beam-shared K/V), MLP. Shared by every K=1 cache-write form."""
+    h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
+    xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
+    dh = xn.shape[-1] // n_head
+    cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
+    co = _cross_attention(cq, ck, cv, dh, kv_len=cross_kv_len)
+    h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
+    return h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
 
 
 def _step_blocks_layers(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
@@ -730,31 +743,15 @@ def _step_blocks_layers(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
     n_ctx = (kv_cache["qw"] if quant else kv_cache).shape[5]
     mask = (jnp.arange(n_ctx) <= pos)[None, None, None, :]
 
-    def proj(h, blk):
-        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
-        q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
-        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,1,Dh]
-        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
-        return q, k_new, v_new
-
-    def rest(h, o, blk, ck, cv):
-        h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
-        # cross-attention (precomputed K/V; optionally int8/beam-shared)
-        xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
-        dh = xn.shape[-1] // n_head
-        cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
-        co = _cross_attention(cq, ck, cv, dh, kv_len=cross_kv_len)
-        h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
-        return h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
-
     if not emit_cols:
         def body(carry, inputs):
             (h,) = carry
             blk, cache_l, ck, cv = inputs
-            q, k_new, v_new = proj(h, blk)
+            q, k_new, v_new = _proj_qkv_step(h, blk, n_head, scale)
             cache_l = _cache_write(cache_l, k_new, v_new, pos)
             o = _cache_attend(q, cache_l, mask)
-            return (rest(h, o, blk, ck, cv),), cache_l
+            h = _layer_rest(h, o, blk, ck, cv, n_head, cross_kv_len)
+            return (h,), cache_l
 
         (x,), new_cache = jax.lax.scan(
             body, (x,), (blocks, kv_cache, cross_k, cross_v)
@@ -766,9 +763,9 @@ def _step_blocks_layers(blocks, x, kv_cache, cross_k, cross_v, pos, n_head,
     def body(carry, inputs):
         (h,) = carry
         blk, cache_l, ck, cv = inputs
-        q, k_new, v_new = proj(h, blk)
+        q, k_new, v_new = _proj_qkv_step(h, blk, n_head, scale)
         o, ys = _attend_fresh_column(q, cache_l, k_new, v_new, pos, col)
-        return (rest(h, o, blk, ck, cv),), ys
+        return (_layer_rest(h, o, blk, ck, cv, n_head, cross_kv_len),), ys
 
     (x,), cols = jax.lax.scan(
         body, (x,), (blocks, kv_cache, cross_k, cross_v)
@@ -837,7 +834,7 @@ def _attend_ring(q, cache_l, pend_l, k_new, v_new, pos, flush_len, col):
     Returns (attention output, updated ring slot ys) — the ring is
     rewritten as scan ys (small, streams at full bandwidth) instead of
     DUS-updating a live carried buffer (which XLA copy-on-writes, see
-    greedy_decode_form docstring)."""
+    decode_form docstring)."""
     cnt = pos - flush_len  # ring occupancy; fresh column takes slot cnt
     if isinstance(cache_l, dict):
         from spittle_tpu.ops.quant import quantize_kv
@@ -931,7 +928,7 @@ def _attend_ring(q, cache_l, pend_l, k_new, v_new, pos, flush_len, col):
 def decode_step_ring(params, tokens, pos, kv_cache, pend, flush_len,
                      cross_kv, cfg, audio_ctx: int = 0):
     """One greedy-loop decode step with the PENDING-RING cache strategy
-    (the production K=1 form; see greedy_decode_form docstring).
+    (opt-in SPITTLE_DECODE_FORM=ring; see decode_form docstring).
 
     Flushes the full ring into the big cache first when it is full
     (cond, once per R steps), then runs the layer scan with the big
@@ -974,21 +971,11 @@ def decode_step_ring(params, tokens, pos, kv_cache, pend, flush_len,
             pend_l = {"qw": pq, "scale": ps}
         else:
             blk, cache_l, pend_l, ck, cv = inputs
-        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
-        qh = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
-        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale
-        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
+        qh, k_new, v_new = _proj_qkv_step(h, blk, n_head, scale)
         o, ys = _attend_ring(
             qh, cache_l, pend_l, k_new, v_new, pos, flush_len, col
         )
-        h = h + mm(_merge_heads(o), blk["wo"]) + blk["bo"]
-        xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
-        dh = xn.shape[-1] // n_head
-        cqh = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
-        co = _cross_attention(cqh, ck, cv, dh, kv_len=cross_kv_len)
-        h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
-        h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
-        return (h,), ys
+        return (_layer_rest(h, o, blk, ck, cv, n_head, cross_kv_len),), ys
 
     if quant:
         xs = (
@@ -1131,33 +1118,21 @@ def decode_block(
 
     # Scan form (cache as xs/ys): fine here — decode_block amortizes the
     # per-layer cache-slice rewrite over its K verified tokens, and this
-    # path only serves speculative decoding. The hot K=1 path
-    # (_decoder_step_blocks) uses the hybrid fresh-column form instead.
+    # path only serves speculative decoding (the hot K=1 greedy path is
+    # _decoder_step_blocks / the decode_form strategies).
     # row j (position pos+j) may attend to cache cols <= pos+j
     mask = (
         jnp.arange(n_ctx)[None, :] <= pos + jnp.arange(kk)[:, None]
     )[None, None]
+    cross_kv_len = audio_ctx or cfg.n_audio_ctx
 
     def body(carry, inputs):
         (h,) = carry
         blk, cache_l, ck, cv = inputs
-        xn = layer_norm(h, blk["attn_ln_g"], blk["attn_ln_b"])
-        q = _split_heads(mm(xn, blk["wq"]) + blk["bq"], n_head) * scale
-        k_new = _split_heads(mm(xn, blk["wk"]), n_head) * scale  # [B,H,K,Dh]
-        v_new = _split_heads(mm(xn, blk["wv"]) + blk["bv"], n_head)
+        q, k_new, v_new = _proj_qkv_step(h, blk, n_head, scale)  # K-wide
         cache_l = _cache_write(cache_l, k_new, v_new, pos)
-        h = h + mm(_merge_heads(_cache_attend(q, cache_l, mask)), blk["wo"]
-                   ) + blk["bo"]
-
-        xn = layer_norm(h, blk["cross_ln_g"], blk["cross_ln_b"])
-        dh = xn.shape[-1] // n_head
-        cq = _split_heads(mm(xn, blk["cross_wq"]) + blk["cross_bq"], n_head)
-        co = _cross_attention(
-            cq, ck, cv, dh, kv_len=audio_ctx or cfg.n_audio_ctx
-        )
-        h = h + mm(_merge_heads(co), blk["cross_wo"]) + blk["cross_bo"]
-        h = h + _mlp(layer_norm(h, blk["mlp_ln_g"], blk["mlp_ln_b"]), blk)
-        return (h,), cache_l
+        o = _cache_attend(q, cache_l, mask)
+        return (_layer_rest(h, o, blk, ck, cv, n_head, cross_kv_len),), cache_l
 
     (x,), new_cache = jax.lax.scan(
         body, (x,), (dec["blocks"], kv_cache, cross_kv[0], cross_kv[1])

@@ -242,7 +242,7 @@ def flash_attention_fullkv(
 
 
 def _fullkv_pipe_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *,
-                        kv_len: int, nq: int):
+                        kv_len: int):
     """Software-pipelined full-KV attention: stage A computes q-block
     i's QK^T scores (MXU) into one half of a double scratch; stage B
     runs block i-1's softmax (VPU) + PV (MXU) from the other half.
@@ -306,7 +306,7 @@ def flash_attention_fullkv_pipe(
     qf = q.reshape(b * h, tq, d)
     kf = k.reshape(b * h, tk, d)
     vf = v.reshape(b * h, tk, d)
-    kernel = functools.partial(_fullkv_pipe_kernel, kv_len=kv_len, nq=nq)
+    kernel = functools.partial(_fullkv_pipe_kernel, kv_len=kv_len)
 
     def _a(i):  # compute-stage flat index (clamped for the epilogue)
         return jnp.minimum(i, total - 1)
@@ -1067,7 +1067,15 @@ def multihead_attention(
                 q, k, v, kv_len=real_kv, block_q=block_q
             )
             return out[:, :, :tq]
-        if not causal and attn_pipe_enabled():
+        # Pipe kernel gate: its double scratch is 2 * block_q * tk f32;
+        # cap it at ~12.6 MB (block_q=768 x tk=2048) so the opt-in flag
+        # can't turn longer-kv shapes the serial kernel handles into
+        # Mosaic VMEM compile failures.
+        if (
+            not causal
+            and attn_pipe_enabled()
+            and block_q * k.shape[2] <= 768 * 2048
+        ):
             out = flash_attention_fullkv_pipe(
                 q, k, v, kv_len=real_kv, block_q=block_q
             )

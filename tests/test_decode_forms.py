@@ -190,16 +190,17 @@ def test_greedy_forms_token_identical(monkeypatch, quant_cache):
 
 
 def test_default_forms():
-    """Production defaults: scan everywhere (deferred/hybrid measured
-    worse on-chip — see greedy_decode_form docstring); legacy
+    """Production default: scan everywhere (every alternative measured
+    worse e2e on-chip — see decode_form docstring); legacy
     SPITTLE_DECODE_SCAN=1 also forces scan."""
     assert M.decode_form() == "scan"
-    assert M.greedy_decode_form() == "scan"
     try:
         import os
 
+        os.environ["SPITTLE_DECODE_FORM"] = "ring"
+        assert M.decode_form() == "ring"
         os.environ["SPITTLE_DECODE_SCAN"] = "1"
         assert M.decode_form() == "scan"
-        assert M.greedy_decode_form() == "scan"
     finally:
         os.environ.pop("SPITTLE_DECODE_SCAN", None)
+        os.environ.pop("SPITTLE_DECODE_FORM", None)

@@ -280,6 +280,24 @@ class TestConsoleCoverage:
         ):
             assert needle in page, needle
 
+    def test_debug_mode_wiring(self, page):
+        # App.tsx:71-94 parity: Ctrl/Cmd+Shift+D toggles debug_mode;
+        # DebugSettings.tsx renders the debug field group;
+        # DebugPaths.tsx shows internal locations (ours resolved live).
+        for needle in (
+            "changeDebugModeSetting", "getAppDirPath", "getLogDirPath",
+            "DEBUG_FIELDS", "debugGroup",
+        ):
+            assert needle in page, needle
+        # every listed debug field must be a real schema field
+        from spittle_tpu.app.bindings_export import export_settings_schema
+
+        schema_names = {f["name"] for f in json.loads(export_settings_schema())}
+        m = re.search(r"const DEBUG_FIELDS = \[(.*?)\];", page, re.S)
+        assert m
+        fields = re.findall(r'"([a-z_]+)"', m.group(1))
+        assert fields and set(fields) <= schema_names, fields
+
     def test_history_pane_wiring(self, page):
         for needle in (
             "getHistoryEntries", "toggleHistoryEntrySaved",

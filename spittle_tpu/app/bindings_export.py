@@ -246,6 +246,9 @@ def describe_settings() -> List[Dict[str, Any]]:
     # (dedicated editors in the console, like the reference's dedicated
     # components for bindings/prompts/providers).
     field_cmd.update({
+        # Runtime switch with reset-to-defaults semantics, not a plain
+        # field setter (shortcut/mod.rs:255-314).
+        "keyboard_implementation": "change_keyboard_implementation_setting",
         "bindings": "change_binding",
         "selected_model": "set_active_model",
         "post_process_providers": "set_post_process_provider",

@@ -45,7 +45,12 @@ class Commands:
 
     def _update(self, **changes) -> None:
         self.services.update_settings(**changes)
-        self.services.events.emit(SETTINGS_CHANGED, dict(changes))
+        # Reference wire shape (shortcut/mod.rs:566-636): one
+        # settings-changed event per field, {"setting": name, "value": v}.
+        for setting, value in changes.items():
+            self.services.events.emit(
+                SETTINGS_CHANGED, {"setting": setting, "value": value}
+            )
 
     # -- bindings ---------------------------------------------------------
 
@@ -155,8 +160,39 @@ class Commands:
     def change_experimental_enabled_setting(self, enabled: bool) -> None:
         self._update(experimental_enabled=enabled)
 
-    def change_keyboard_implementation_setting(self, impl) -> None:
-        self._update(keyboard_implementation=impl)
+    def change_keyboard_implementation_setting(self, impl) -> Dict:
+        """Runtime keyboard-implementation switch (shortcut/mod.rs:255-314):
+        moves registered hotkeys to the new backend, resetting any the
+        backend rejects to their defaults. Returns the reference's
+        ImplementationChangeResult {success, reset_bindings}."""
+        new_impl = (
+            impl
+            if isinstance(impl, KeyboardImplementation)
+            else KeyboardImplementation(impl)
+        )
+        s = self.services.get_settings()
+        if s.keyboard_implementation == new_impl:
+            return {"success": True, "reset_bindings": []}
+        reset: List[str] = []
+        if self.actions.registry is not None:
+            defaults = {bid: b.default_binding for bid, b in s.bindings.items()}
+            reset = self.actions.registry.switch_implementation(new_impl, defaults)
+        self.services.update_settings(keyboard_implementation=new_impl)
+        if reset:
+            s2 = self.services.get_settings()
+            for bid in reset:
+                if bid in s2.bindings:
+                    s2.bindings[bid].current_binding = s2.bindings[bid].default_binding
+            self.services.write_settings(s2)
+        self.services.events.emit(
+            SETTINGS_CHANGED,
+            {
+                "setting": "keyboard_implementation",
+                "value": new_impl.value,
+                "reset_bindings": reset,
+            },
+        )
+        return {"success": True, "reset_bindings": reset}
 
     def get_keyboard_implementation(self):
         return self.services.get_settings().keyboard_implementation

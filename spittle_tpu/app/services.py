@@ -115,6 +115,9 @@ class AppServices:
             selected_model_getter=lambda: self.get_settings().selected_model,
             selected_model_setter=self._set_selected_model,
         )
+        # ModelStateEvent payloads carry the catalog display name
+        # (transcription.rs:250 passes model_info.name).
+        self.transcription.model_name_lookup = self._model_display_name
         self.history = HistoryManager(
             data_dir,
             events=self.events,
@@ -173,6 +176,16 @@ class AppServices:
 
     def _set_selected_model(self, model_id: str) -> None:
         self.update_settings(selected_model=model_id)
+
+    def _model_display_name(self, model_id: str) -> Optional[str]:
+        entry = self.models.catalog.by_id(model_id)
+        if entry is not None:
+            return entry.name
+        info = next(
+            (m for m in self.models.get_available_models() if m.id == model_id),
+            None,
+        )
+        return info.name if info is not None else None
 
     # -- model use-case glue (application/model_service.rs) --------------
 

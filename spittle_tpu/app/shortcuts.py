@@ -133,6 +133,42 @@ class ShortcutRegistry:
                 return False
             return self.backend.unregister(hotkey)
 
+    def switch_implementation(
+        self,
+        new_impl: KeyboardImplementation,
+        defaults: Optional[Dict[str, str]] = None,
+    ) -> List[str]:
+        """Runtime implementation switch (shortcut/mod.rs:255-314):
+        unregister everything from the old backend, move to the new one,
+        and re-register each binding — any the new backend rejects is
+        reset to its default hotkey. Returns the reset binding ids
+        (ImplementationChangeResult.reset_bindings)."""
+        defaults = defaults or {}
+        with self._lock:
+            if new_impl == self.implementation:
+                return []
+            if new_impl not in self.backends:
+                raise KeyError(f"no backend for {new_impl}")
+            old_backend = self.backend
+            for hotkey in self._bindings.values():
+                old_backend.unregister(hotkey)
+            self.implementation = new_impl
+            self._persist(new_impl)
+            reset: List[str] = []
+            for bid, hotkey in list(self._bindings.items()):
+                cb = lambda hk, pressed, b=bid: self._on_event(b, hk, pressed)  # noqa: E731
+                if self.backend.register(hotkey, cb):
+                    continue
+                # Invalid for the new implementation: reset to default
+                # (register_all_shortcuts_for_implementation semantics).
+                reset.append(bid)
+                default = defaults.get(bid)
+                if default and default != hotkey and self.backend.register(default, cb):
+                    self._bindings[bid] = default
+                else:
+                    del self._bindings[bid]
+            return reset
+
     def suspend_binding(self, binding_id: str) -> bool:
         """Temporarily unregister the OS hotkey but remember it
         (shortcut/mod.rs:214-238 — used while the UI records a new

@@ -37,6 +37,23 @@ PROGRESS_THROTTLE_S = 0.1  # <=10 events/s (model.rs:516-518)
 CHUNK_SIZE = 256 * 1024
 
 
+def _download_progress(model_id, downloaded, total, final=False):
+    """DownloadProgress wire shape (model.rs:50-55): model_id/downloaded/
+    total/percentage, percentage in 0-100 (0 when total is unknown,
+    except the final event which reports 100 like model.rs:579-588)."""
+    total = int(total) if total else 0
+    if total > 0:
+        percentage = downloaded / total * 100.0
+    else:
+        percentage = 100.0 if final else 0.0
+    return {
+        "model_id": model_id,
+        "downloaded": int(downloaded),
+        "total": total,
+        "percentage": percentage,
+    }
+
+
 @dataclass
 class ModelInfo:
     id: str
@@ -161,11 +178,17 @@ class ModelManager:
 
         written = resume_from
         last_emit = 0.0
+        # Initial event so the UI shows the bar immediately (model.rs:502-514).
+        self.events.emit(
+            MODEL_DOWNLOAD_PROGRESS, _download_progress(model_id, written, total)
+        )
         with open(partial, mode) as f:
             while True:
                 if cancel.is_set():
                     resp.close()
-                    self.events.emit(MODEL_DOWNLOAD_CANCELLED, {"model_id": model_id})
+                    # Reference payload is the bare model_id string
+                    # (model.rs:875; modelStore.ts listen<string>).
+                    self.events.emit(MODEL_DOWNLOAD_CANCELLED, model_id)
                     raise InterruptedError(f"download of {model_id} cancelled")
                 chunk = resp.read(CHUNK_SIZE)
                 if not chunk:
@@ -177,22 +200,20 @@ class ModelManager:
                     last_emit = now
                     self.events.emit(
                         MODEL_DOWNLOAD_PROGRESS,
-                        {
-                            "model_id": model_id,
-                            "downloaded": written,
-                            "total": total,
-                            "progress": (written / total) if total else None,
-                        },
+                        _download_progress(model_id, written, total),
                     )
+        # Final event so 100% is always shown (model.rs:579-592).
+        self.events.emit(
+            MODEL_DOWNLOAD_PROGRESS,
+            _download_progress(model_id, written, total, final=True),
+        )
         os.replace(partial, dl_target)
 
         if entry.is_directory:
             self._extract_archive(model_id, dl_target, final_path)
             os.remove(dl_target)
 
-        self.events.emit(
-            MODEL_DOWNLOAD_COMPLETE, {"model_id": model_id, "path": final_path}
-        )
+        self.events.emit(MODEL_DOWNLOAD_COMPLETE, model_id)
         if not self._get_selected():
             self._set_selected(model_id)
         return final_path
@@ -207,7 +228,7 @@ class ModelManager:
     def _extract_archive(self, model_id: str, archive: str, dest: str) -> None:
         """tar.gz -> `.extracting` temp dir -> atomic rename (:617-705)."""
         tmp = dest + ".extracting"
-        self.events.emit(MODEL_EXTRACTION_STARTED, {"model_id": model_id})
+        self.events.emit(MODEL_EXTRACTION_STARTED, model_id)
         try:
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
@@ -224,7 +245,7 @@ class ModelManager:
             os.replace(src, dest)
             if src != tmp and os.path.exists(tmp):
                 shutil.rmtree(tmp)
-            self.events.emit(MODEL_EXTRACTION_COMPLETED, {"model_id": model_id})
+            self.events.emit(MODEL_EXTRACTION_COMPLETED, model_id)
         except Exception as e:
             if os.path.exists(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
@@ -251,7 +272,7 @@ class ModelManager:
             os.remove(path)
         if self._get_selected() == model_id:
             self._set_selected("")
-        self.events.emit(MODEL_DELETED, {"model_id": model_id})
+        self.events.emit(MODEL_DELETED, model_id)
         self._auto_select_first_downloaded()
 
     def _auto_select_first_downloaded(self) -> None:

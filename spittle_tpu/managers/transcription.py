@@ -56,6 +56,10 @@ class TranscriptionManager:
         self._settings = settings_provider
         self.events = events or EventBus()
         self._domain_selector = domain_selector
+        # Resolves model_id -> display name for ModelStateEvent payloads
+        # (the reference passes model_info.name, transcription.rs:250);
+        # wired by AppServices once the ModelManager exists.
+        self.model_name_lookup: Optional[Callable[[str], Optional[str]]] = None
 
         self._engine: Optional[TranscriptionEngine] = None
         self._engine_lock = threading.Lock()
@@ -70,10 +74,31 @@ class TranscriptionManager:
 
     # -- model lifecycle -------------------------------------------------
 
-    def _emit_state(self, state: str, model_id: Optional[str] = None) -> None:
+    def _emit_state(
+        self,
+        event_type: str,
+        model_id: Optional[str] = None,
+        error: Optional[str] = None,
+    ) -> None:
+        """Emit the reference's ModelStateEvent wire shape
+        (domain/events.rs:23-44): event_type in {loading_started,
+        loading_failed, loaded, unloaded} plus model_id / model_name /
+        error, on "model-state-changed" (transcription.rs:228-236,356)."""
+        mid = model_id or self._current_model
+        name = None
+        if mid is not None and self.model_name_lookup is not None:
+            try:
+                name = self.model_name_lookup(mid)
+            except Exception:
+                name = None
         self.events.emit(
             MODEL_STATE_CHANGED,
-            {"state": state, "model_id": model_id or self._current_model},
+            {
+                "event_type": event_type,
+                "model_id": mid,
+                "model_name": name,
+                "error": error,
+            },
         )
 
     def load_model(self, model_id: str, model_path: str, engine_type: str) -> None:
@@ -85,7 +110,7 @@ class TranscriptionManager:
             if self._current_model == model_id and self._engine is not None:
                 return
             self._loading.set()
-        self._emit_state("loading", model_id)
+        self._emit_state("loading_started", model_id)
         try:
             engine = self._engine_factory(engine_type)
             with span("model.load", model_id=model_id, engine=engine_type):
@@ -96,8 +121,8 @@ class TranscriptionManager:
                 self._engine = engine
                 self._current_model = model_id
             self._emit_state("loaded", model_id)
-        except Exception:
-            self._emit_state("error", model_id)
+        except Exception as exc:
+            self._emit_state("loading_failed", model_id, error=str(exc))
             raise
         finally:
             with self._loaded_cv:

@@ -306,3 +306,68 @@ class TestHandyKeysRecordingCommands:
             cmds.start_handy_keys_recording(binding_id="transcribe")
         with pytest.raises(ValueError):
             cmds.stop_handy_keys_recording()
+
+
+class TestKeyboardImplementationSwitch:
+    """change_keyboard_implementation_setting returns the reference's
+    ImplementationChangeResult {success, reset_bindings}
+    (shortcut/mod.rs:243-314) and resets incompatible bindings to
+    defaults in settings + emits the reference-shaped settings-changed
+    event (:297-306)."""
+
+    def _with_two_backends(self, app, reject=()):
+        from spittle_tpu.app.shortcuts import InMemoryBackend, ShortcutRegistry
+
+        services, actions, cmds, src, out = app
+
+        class Rejecting(InMemoryBackend):
+            def register(self, hotkey, callback):
+                if hotkey in reject:
+                    return False
+                return InMemoryBackend.register(self, hotkey, callback)
+
+        backends = {
+            KeyboardImplementation.HANDY_KEYS: InMemoryBackend(),
+            KeyboardImplementation.TAURI: Rejecting(),
+        }
+        reg = ShortcutRegistry(
+            backends,
+            handler=lambda b, hk, p: None,
+            events=services.events,
+            implementation=KeyboardImplementation.HANDY_KEYS,
+        )
+        actions.registry = reg
+        return services, cmds, reg, backends
+
+    def test_switch_returns_result_and_resets_settings(self, app):
+        services, cmds, reg, backends = self._with_two_backends(
+            app, reject={"f13"})
+        services.update_settings(
+            keyboard_implementation=KeyboardImplementation.HANDY_KEYS)
+        # custom hotkey the tauri backend can't express
+        s = services.get_settings()
+        s.bindings["transcribe"].current_binding = "f13"
+        services.write_settings(s)
+        reg.register_binding("transcribe", "f13")
+
+        got = []
+        services.events.listen("settings-changed", got.append)
+        result = cmds.change_keyboard_implementation_setting("tauri")
+        assert result == {"success": True, "reset_bindings": ["transcribe"]}
+        s2 = services.get_settings()
+        assert s2.keyboard_implementation == KeyboardImplementation.TAURI
+        b = s2.bindings["transcribe"]
+        assert b.current_binding == b.default_binding
+        assert b.default_binding in backends[KeyboardImplementation.TAURI].registered
+        assert {
+            "setting": "keyboard_implementation",
+            "value": "tauri",
+            "reset_bindings": ["transcribe"],
+        } in got
+
+    def test_switch_same_impl_is_noop(self, app):
+        services, cmds, reg, backends = self._with_two_backends(app)
+        services.update_settings(
+            keyboard_implementation=KeyboardImplementation.HANDY_KEYS)
+        result = cmds.change_keyboard_implementation_setting("handy_keys")
+        assert result == {"success": True, "reset_bindings": []}

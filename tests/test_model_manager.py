@@ -96,7 +96,18 @@ def test_download_file_and_progress(tmp_path, server):
     mgr = ModelManager(str(tmp_path), make_catalog(server), events=bus)
     path = mgr.download_model("tiny-file")
     assert os.path.getsize(path) == 1_000_000
-    assert complete and complete[0]["model_id"] == "tiny-file"
+    # Reference wire shapes: complete payload is the bare model_id
+    # (model.rs:724, modelStore.ts:314 listen<string>); progress is the
+    # DownloadProgress struct with percentage 0-100 (model.rs:50-55),
+    # with an initial event and a guaranteed final 100% event.
+    assert complete == ["tiny-file"]
+    assert progress, "expected initial + final progress events"
+    for p in progress:
+        assert set(p) == {"model_id", "downloaded", "total", "percentage"}
+        assert p["model_id"] == "tiny-file"
+        assert p["total"] == 1_000_000
+    assert progress[0]["downloaded"] == 0
+    assert progress[-1]["percentage"] == 100.0
     assert mgr.is_downloaded("tiny-file")
 
 

@@ -135,3 +135,56 @@ def test_register_clears_suspension():
     reg.register_binding("transcribe", "alt+space")  # user picked a new key
     assert not reg.is_suspended("transcribe")
     assert "alt+space" in backend.registered
+
+
+class RejectingBackend(InMemoryBackend):
+    """Backend that rejects specific hotkeys (an implementation that
+    can't express them), accepting everything else."""
+
+    def __init__(self, reject):
+        super().__init__()
+        self.reject = set(reject)
+
+    def register(self, hotkey, callback):
+        if hotkey in self.reject:
+            return False
+        return super().register(hotkey, callback)
+
+
+def test_switch_implementation_moves_and_resets():
+    """shortcut/mod.rs:255-314: switching implementations unregisters
+    from the old backend, registers with the new one, and resets
+    bindings the new backend rejects to their defaults."""
+    events = []
+    backends = {
+        KeyboardImplementation.HANDY_KEYS: InMemoryBackend(),
+        KeyboardImplementation.TAURI: RejectingBackend({"f13"}),
+    }
+    reg = ShortcutRegistry(
+        backends,
+        handler=lambda b, hk, p: events.append((b, hk, p)),
+        implementation=KeyboardImplementation.HANDY_KEYS,
+    )
+    reg.register_binding("transcribe", "ctrl+space")
+    reg.register_binding("post", "f13")
+    reset = reg.switch_implementation(
+        KeyboardImplementation.TAURI,
+        defaults={"transcribe": "ctrl+space", "post": "ctrl+shift+space"},
+    )
+    assert reset == ["post"]
+    hk = backends[KeyboardImplementation.HANDY_KEYS]
+    tauri = backends[KeyboardImplementation.TAURI]
+    assert hk.registered == {}
+    assert "ctrl+space" in tauri.registered
+    assert "ctrl+shift+space" in tauri.registered  # reset to default
+    assert "f13" not in tauri.registered
+    # events now fire through the new backend under the default hotkey
+    tauri.fire("ctrl+shift+space", True)
+    assert events == [("post", "ctrl+shift+space", True)]
+
+
+def test_switch_implementation_same_impl_noop():
+    reg, backends, _, _ = make_registry()
+    reg.register_binding("transcribe", "ctrl+space")
+    assert reg.switch_implementation(KeyboardImplementation.HANDY_KEYS) == []
+    assert "ctrl+space" in backends[KeyboardImplementation.HANDY_KEYS].registered

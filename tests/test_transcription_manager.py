@@ -36,8 +36,30 @@ def test_load_transcribe_unload_cycle():
     assert out == "the quick brown fox"
     mgr.unload_model()
     assert not mgr.is_model_loaded
-    kinds = [s["state"] for s in states]
-    assert kinds == ["loading", "loaded", "unloaded"]
+    # ModelStateEvent wire shape (domain/events.rs:23-44): event_type
+    # kinds + model_id/model_name/error fields on every emission.
+    kinds = [s["event_type"] for s in states]
+    assert kinds == ["loading_started", "loaded", "unloaded"]
+    for s in states:
+        assert set(s) == {"event_type", "model_id", "model_name", "error"}
+        assert s["model_id"] == "m1"
+        assert s["error"] is None
+    mgr.shutdown()
+
+
+def test_loading_failed_event_carries_error():
+    def bad_factory(engine_type):
+        raise RuntimeError("engine exploded")
+
+    mgr, engine, bus, _ = make_manager()
+    mgr._engine_factory = bad_factory
+    states = []
+    bus.listen(MODEL_STATE_CHANGED, states.append)
+    with pytest.raises(RuntimeError):
+        mgr.load_model("m1", "/fake", "whisper")
+    kinds = [s["event_type"] for s in states]
+    assert kinds == ["loading_started", "loading_failed"]
+    assert states[-1]["error"] == "engine exploded"
     mgr.shutdown()
 
 

@@ -87,7 +87,8 @@ class TranscribeAction:
                     model_id, path,
                     entry.engine_type if entry else "whisper",
                 )
-        services.events.emit(SHOW_OVERLAY, {"state": "recording"})
+        # Reference payload is the bare state string (overlay.rs:291-313).
+        services.events.emit(SHOW_OVERLAY, "recording")
         ui = app.ui
         if ui is not None:
             from .ui_state import SoundType, TrayIconState
@@ -122,17 +123,21 @@ class TranscribeAction:
 
             ui.tray.set_state(TrayIconState.TRANSCRIBING)
             ui.feedback.play(SoundType.STOP)
+        # The overlay stays up through transcription in the reference
+        # (actions.rs:131 show_transcribing_overlay); it is hidden by the
+        # pipeline's terminal states, never here.
+        services.events.emit(SHOW_OVERLAY, "transcribing")
         samples = services.audio.stop_recording(binding_id)
-        services.events.emit(HIDE_OVERLAY, None)
         session = getattr(app, "streaming_session", None)
         app.streaming_session = None
         pasted_segments = session.finish() if session is not None else []
         if (samples is None or not len(samples)) and not pasted_segments:
             self._clear_toggle(services, binding_id)
+            # No pipeline thread will run, so the overlay/tray reset that
+            # usually lives in the pipeline must happen here
+            # (actions.rs:179-180 ignored-stop branch).
+            services.events.emit(HIDE_OVERLAY, None)
             if ui is not None:
-                # Empty recording: no pipeline thread will run, so the
-                # tray must return to IDLE here (its usual reset lives
-                # in the pipeline thread's finally).
                 ui.tray.set_state(TrayIconState.IDLE)
             return
 
@@ -244,8 +249,22 @@ class ActionContext:
 
         from spittle_tpu.text.zh_convert import convert_chinese_variant
 
+        def set_tray_idle():
+            if self.ui is not None:
+                from .ui_state import TrayIconState
+
+                self.ui.tray.set_state(TrayIconState.IDLE)
+
         return PipelineHooks(
             save_history=save_history,
+            # Overlay follows the pipeline's states like the reference:
+            # "processing" while post-processing (pipeline.rs:259), hidden
+            # at every terminal state (pipeline.rs:281-522).
+            show_processing_overlay=lambda: self.services.events.emit(
+                SHOW_OVERLAY, "processing"
+            ),
+            hide_overlay=lambda: self.services.events.emit(HIDE_OVERLAY, None),
+            set_tray_idle=set_tray_idle,
             # Real zh-Hans/zh-Hant conversion in the default-assembled app
             # (pipeline.rs:330-332 wires maybe_convert_chinese_variant).
             convert_chinese=convert_chinese_variant,

@@ -69,9 +69,14 @@ class InMemoryBackend:
 
 @dataclass
 class FrontendKeyEvent:
-    key: str
-    is_pressed: bool
+    """Key-capture stream payload — the reference's FrontendKeyEvent
+    (spittle-keys.rs:77-85): modifiers, the non-modifier key (if any),
+    key-down flag, and the assembled hotkey string the UI displays."""
+
     modifiers: List[str]
+    key: Optional[str]
+    is_key_down: bool
+    hotkey_string: str
 
 
 class ShortcutRegistry:
@@ -217,8 +222,11 @@ class ShortcutRegistry:
         """Raw key events stream to the UI while capture is active."""
         if not self._capture_active:
             return
+        mods = list(modifiers or [])
+        hotkey_string = "+".join(mods + ([key] if key else []))
         self.events.emit(
             HANDY_KEYS_EVENT,
-            FrontendKeyEvent(key=key, is_pressed=is_pressed,
-                             modifiers=modifiers or []),
+            FrontendKeyEvent(modifiers=mods, key=key or None,
+                             is_key_down=is_pressed,
+                             hotkey_string=hotkey_string),
         )

@@ -93,7 +93,11 @@ class OverlayController:
         if self.position == "none":
             return
         self.visible = True
-        if isinstance(payload, dict) and "state" in payload:
+        # Reference payload is the bare state string (overlay.rs:307,
+        # show_overlay_state); tolerate the older {"state": ...} dict.
+        if isinstance(payload, str) and payload:
+            self.state = payload
+        elif isinstance(payload, dict) and "state" in payload:
             self.state = payload["state"]
 
     def _on_hide(self, _payload) -> None:

@@ -212,10 +212,14 @@ class X11Overlay:
                 if kind == "show":
                     if self._settings().overlay_position.value == "none":
                         continue
-                    self.state = (
-                        payload.get("state", "recording")
-                        if isinstance(payload, dict) else "recording"
-                    )
+                    # Reference payload is the bare state string
+                    # (overlay.rs:307); tolerate the dict form too.
+                    if isinstance(payload, str) and payload:
+                        self.state = payload
+                    elif isinstance(payload, dict):
+                        self.state = payload.get("state", "recording")
+                    else:
+                        self.state = "recording"
                     b.move(*self._position(*b.screen_size()))
                     b.set_background(
                         STATE_COLORS.get(self.state,

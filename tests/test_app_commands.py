@@ -371,3 +371,39 @@ class TestKeyboardImplementationSwitch:
             keyboard_implementation=KeyboardImplementation.HANDY_KEYS)
         result = cmds.change_keyboard_implementation_setting("handy_keys")
         assert result == {"success": True, "reset_bindings": []}
+
+
+class TestOverlayLifecycle:
+    """Overlay follows the reference lifecycle (overlay.rs:291-323,
+    actions.rs:39,131, pipeline.rs:259,501): recording on start,
+    transcribing on stop (NOT hidden), hidden only when the pipeline
+    finishes; payloads are bare state strings."""
+
+    def test_overlay_states_through_ptt_cycle(self, app):
+        import numpy as np
+        from spittle_tpu.events import HIDE_OVERLAY, SHOW_OVERLAY
+
+        services, actions, cmds, src, out = app
+        services.transcription.load_model("m", "/fake", "whisper")
+        services.transcription._engine.canned_text = "words"
+        seen = []
+        services.events.listen(SHOW_OVERLAY, lambda p: seen.append(("show", p)))
+        services.events.listen(HIDE_OVERLAY, lambda p: seen.append(("hide", p)))
+
+        actions.handle_shortcut_event("transcribe", "ctrl+space", True)
+        src.push(np.ones(32000, np.float32) * 0.1)
+        time.sleep(0.3)
+        assert ("show", "recording") in seen
+        assert not any(k == "hide" for k, _ in seen)
+
+        actions.handle_shortcut_event("transcribe", "ctrl+space", False)
+        deadline = time.time() + 5
+        while out.buffer == "" and time.time() < deadline:
+            time.sleep(0.02)
+        time.sleep(0.2)  # let the pipeline thread finish its hooks
+        assert out.buffer
+        kinds = [(k, p) for k, p in seen]
+        assert ("show", "transcribing") in kinds
+        assert kinds[-1] == ("hide", None)
+        # transcribing shown before the hide
+        assert kinds.index(("show", "transcribing")) < kinds.index(("hide", None))

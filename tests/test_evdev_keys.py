@@ -211,8 +211,11 @@ class TestRegistryIntegration:
             os.write(w, pack_key("shift", True) + pack_key("q", True))
             assert wait_for(lambda: len(stream) == 2)
             assert stream[1].key == "q"
-            assert stream[1].is_pressed
+            assert stream[1].is_key_down
             assert stream[1].modifiers == ["shift"]
+            # reference FrontendKeyEvent carries the assembled hotkey
+            # string the UI displays (spittle-keys.rs:84-85)
+            assert stream[1].hotkey_string == "shift+q"
         finally:
             os.close(w)
             be.close()

@@ -90,6 +90,8 @@ def test_key_capture_streams_events_and_swallows_actions():
     assert events == []  # action routing suppressed during capture
     reg.feed_captured_key("space", True, ["ctrl"])
     assert bus_events and bus_events[0].key == "space"
+    assert bus_events[0].is_key_down
+    assert bus_events[0].hotkey_string == "ctrl+space"
     reg.stop_key_capture()
     backends[KeyboardImplementation.HANDY_KEYS].fire("ctrl+space", True)
     assert events  # routing restored

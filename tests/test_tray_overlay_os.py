@@ -299,7 +299,7 @@ class TestX11Overlay:
 
         services, fake, ov = self._mk(tmp_path, "bottom")
         try:
-            services.events.emit(SHOW_OVERLAY, {"state": "recording"})
+            services.events.emit(SHOW_OVERLAY, "recording")
             self._wait(lambda: fake.mapped)
             move = [c for c in fake.calls if c[0] == "move"][-1]
             assert move[1] == (1920 - OVERLAY_WIDTH) // 2
@@ -316,7 +316,7 @@ class TestX11Overlay:
 
         services, fake, ov = self._mk(tmp_path, "top")
         try:
-            services.events.emit(SHOW_OVERLAY, {"state": "transcribing"})
+            services.events.emit(SHOW_OVERLAY, "transcribing")
             self._wait(lambda: fake.background == STATE_COLORS["transcribing"])
             services.events.emit(MIC_LEVEL, [0.5] * 16)
             self._wait(lambda: any(
@@ -331,7 +331,7 @@ class TestX11Overlay:
 
         services, fake, ov = self._mk(tmp_path, "none")
         try:
-            services.events.emit(SHOW_OVERLAY, {"state": "recording"})
+            services.events.emit(SHOW_OVERLAY, "recording")
             time.sleep(0.3)
             assert not fake.mapped
         finally:

@@ -45,12 +45,12 @@ def test_overlay_controller():
     s = AppSettings()
     s.overlay_position = OverlayPosition.BOTTOM
     ov = OverlayController(bus, lambda: s)
-    bus.emit(SHOW_OVERLAY, {"state": "transcribing"})
+    bus.emit(SHOW_OVERLAY, "transcribing")
     assert ov.visible and ov.state == "transcribing"
     bus.emit(HIDE_OVERLAY, None)
     assert not ov.visible
     s.overlay_position = OverlayPosition.NONE
-    bus.emit(SHOW_OVERLAY, {"state": "recording"})
+    bus.emit(SHOW_OVERLAY, "recording")
     assert not ov.visible  # position None suppresses the overlay
 
 

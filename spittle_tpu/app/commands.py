@@ -164,21 +164,35 @@ class Commands:
         """Runtime keyboard-implementation switch (shortcut/mod.rs:255-314):
         moves registered hotkeys to the new backend, resetting any the
         backend rejects to their defaults. Returns the reference's
-        ImplementationChangeResult {success, reset_bindings}."""
-        new_impl = (
-            impl
-            if isinstance(impl, KeyboardImplementation)
-            else KeyboardImplementation(impl)
-        )
+        ImplementationChangeResult {success, reset_bindings}; invalid or
+        unavailable implementations fail structurally BEFORE any hotkey is
+        unregistered so a bad value can never strand the app shortcut-less."""
+        try:
+            new_impl = (
+                impl
+                if isinstance(impl, KeyboardImplementation)
+                else KeyboardImplementation(impl)
+            )
+        except ValueError:
+            return {"success": False, "reset_bindings": []}
         s = self.services.get_settings()
         if s.keyboard_implementation == new_impl:
             return {"success": True, "reset_bindings": []}
         reset: List[str] = []
+        dropped: List[str] = []
         if self.actions.registry is not None:
+            if new_impl not in self.actions.registry.backends:
+                # Validate availability up front: switch_implementation would
+                # raise KeyError only after the old backend was torn down.
+                return {"success": False, "reset_bindings": []}
             defaults = {bid: b.default_binding for bid, b in s.bindings.items()}
-            reset = self.actions.registry.switch_implementation(new_impl, defaults)
+            result = self.actions.registry.switch_implementation(new_impl, defaults)
+            reset, dropped = result.reset, result.dropped
         self.services.update_settings(keyboard_implementation=new_impl)
         if reset:
+            # Persist new current_binding only for bindings that actually
+            # ended up registered on their default; dropped ids keep their
+            # stored hotkey (no OS registration — surfaced below).
             s2 = self.services.get_settings()
             for bid in reset:
                 if bid in s2.bindings:
@@ -190,9 +204,10 @@ class Commands:
                 "setting": "keyboard_implementation",
                 "value": new_impl.value,
                 "reset_bindings": reset,
+                "dropped_bindings": dropped,
             },
         )
-        return {"success": True, "reset_bindings": reset}
+        return {"success": True, "reset_bindings": reset, "dropped_bindings": dropped}
 
     def get_keyboard_implementation(self):
         return self.services.get_settings().keyboard_implementation

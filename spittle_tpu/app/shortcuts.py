@@ -68,6 +68,17 @@ class InMemoryBackend:
 
 
 @dataclass
+class ImplementationSwitchResult:
+    """Outcome of a runtime backend switch: `reset` ids re-registered on
+    their default hotkey; `dropped` ids the new backend rejected entirely
+    (no OS registration remains — callers must not persist a binding for
+    these)."""
+
+    reset: List[str]
+    dropped: List[str]
+
+
+@dataclass
 class FrontendKeyEvent:
     """Key-capture stream payload — the reference's FrontendKeyEvent
     (spittle-keys.rs:77-85): modifiers, the non-modifier key (if any),
@@ -142,37 +153,46 @@ class ShortcutRegistry:
         self,
         new_impl: KeyboardImplementation,
         defaults: Optional[Dict[str, str]] = None,
-    ) -> List[str]:
+    ) -> "ImplementationSwitchResult":
         """Runtime implementation switch (shortcut/mod.rs:255-314):
         unregister everything from the old backend, move to the new one,
         and re-register each binding — any the new backend rejects is
-        reset to its default hotkey. Returns the reset binding ids
-        (ImplementationChangeResult.reset_bindings)."""
+        reset to its default hotkey; if even the default fails the
+        binding is dropped from the registry and reported so callers
+        don't persist settings for a binding with no OS registration.
+        Suspended bindings (UI mid-capture) are left suspended — they
+        are re-registered on the new backend by resume_binding."""
         defaults = defaults or {}
         with self._lock:
             if new_impl == self.implementation:
-                return []
+                return ImplementationSwitchResult([], [])
             if new_impl not in self.backends:
                 raise KeyError(f"no backend for {new_impl}")
             old_backend = self.backend
-            for hotkey in self._bindings.values():
+            for bid, hotkey in self._bindings.items():
+                if bid in self._suspended:
+                    continue  # already unregistered while suspended
                 old_backend.unregister(hotkey)
             self.implementation = new_impl
             self._persist(new_impl)
             reset: List[str] = []
+            dropped: List[str] = []
             for bid, hotkey in list(self._bindings.items()):
+                if bid in self._suspended:
+                    continue  # stays suspended; resume_binding targets the new backend
                 cb = lambda hk, pressed, b=bid: self._on_event(b, hk, pressed)  # noqa: E731
                 if self.backend.register(hotkey, cb):
                     continue
                 # Invalid for the new implementation: reset to default
                 # (register_all_shortcuts_for_implementation semantics).
-                reset.append(bid)
                 default = defaults.get(bid)
                 if default and default != hotkey and self.backend.register(default, cb):
                     self._bindings[bid] = default
+                    reset.append(bid)
                 else:
                     del self._bindings[bid]
-            return reset
+                    dropped.append(bid)
+            return ImplementationSwitchResult(reset, dropped)
 
     def suspend_binding(self, binding_id: str) -> bool:
         """Temporarily unregister the OS hotkey but remember it

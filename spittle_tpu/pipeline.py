@@ -220,6 +220,11 @@ class TranscriptionPipeline:
         try:
             raw = self._transcribe_and_paste()
             if raw is None:
+                # Empty transcription (e.g. pure silence) is a terminal state
+                # too: the overlay/tray must still be reset here, not only on
+                # the success and exception paths.
+                self.hooks.hide_overlay()
+                self.hooks.set_tray_idle()
                 self.state = PipelineState.DONE
                 return
             if not self.post_process:

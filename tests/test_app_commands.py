@@ -353,7 +353,8 @@ class TestKeyboardImplementationSwitch:
         got = []
         services.events.listen("settings-changed", got.append)
         result = cmds.change_keyboard_implementation_setting("tauri")
-        assert result == {"success": True, "reset_bindings": ["transcribe"]}
+        assert result == {"success": True, "reset_bindings": ["transcribe"],
+                          "dropped_bindings": []}
         s2 = services.get_settings()
         assert s2.keyboard_implementation == KeyboardImplementation.TAURI
         b = s2.bindings["transcribe"]
@@ -363,6 +364,7 @@ class TestKeyboardImplementationSwitch:
             "setting": "keyboard_implementation",
             "value": "tauri",
             "reset_bindings": ["transcribe"],
+            "dropped_bindings": [],
         } in got
 
     def test_switch_same_impl_is_noop(self, app):
@@ -371,6 +373,42 @@ class TestKeyboardImplementationSwitch:
             keyboard_implementation=KeyboardImplementation.HANDY_KEYS)
         result = cmds.change_keyboard_implementation_setting("handy_keys")
         assert result == {"success": True, "reset_bindings": []}
+
+    def test_switch_dropped_binding_keeps_stored_hotkey(self, app):
+        """When the new backend also rejects the default, the binding is
+        dropped from the registry and settings keep the stored hotkey —
+        settings must not claim a default_binding registration that has
+        no OS hook; the dropped id is surfaced instead."""
+        services, cmds, reg, backends = self._with_two_backends(
+            app, reject={"f13", "ctrl+space"})  # ctrl+space = default
+        services.update_settings(
+            keyboard_implementation=KeyboardImplementation.HANDY_KEYS)
+        s = services.get_settings()
+        s.bindings["transcribe"].current_binding = "f13"
+        services.write_settings(s)
+        reg.register_binding("transcribe", "f13")
+
+        result = cmds.change_keyboard_implementation_setting("tauri")
+        assert result["success"] is True
+        assert result["reset_bindings"] == []
+        assert result["dropped_bindings"] == ["transcribe"]
+        s2 = services.get_settings()
+        # stored binding untouched (still f13) — NOT rewritten to default
+        assert s2.bindings["transcribe"].current_binding == "f13"
+        assert backends[KeyboardImplementation.TAURI].registered == {}
+
+    def test_switch_invalid_impl_fails_without_unregistering(self, app):
+        """A bad implementation string fails structurally (reference
+        returns Result) and must not tear down the existing hotkeys."""
+        services, cmds, reg, backends = self._with_two_backends(app)
+        services.update_settings(
+            keyboard_implementation=KeyboardImplementation.HANDY_KEYS)
+        reg.register_binding("transcribe", "ctrl+space")
+        result = cmds.change_keyboard_implementation_setting("bogus")
+        assert result == {"success": False, "reset_bindings": []}
+        assert "ctrl+space" in backends[KeyboardImplementation.HANDY_KEYS].registered
+        s2 = services.get_settings()
+        assert s2.keyboard_implementation == KeyboardImplementation.HANDY_KEYS
 
 
 class TestOverlayLifecycle:

@@ -75,6 +75,21 @@ class TestNonPostProcess:
         p.run()
         assert out.buffer == ""
 
+    def test_empty_transcription_hides_overlay(self):
+        """Empty transcription is a terminal state: the overlay must be
+        hidden and the tray reset just like on a successful paste —
+        otherwise a silent recording leaves 'transcribing' stuck forever
+        (actions.rs defers hiding to pipeline terminal states)."""
+        calls = []
+        hooks = PipelineHooks(
+            hide_overlay=lambda: calls.append("hide"),
+            set_tray_idle=lambda: calls.append("idle"),
+        )
+        p, out = make_pipeline("", hooks=hooks)
+        p.run()
+        assert p.state is PipelineState.DONE
+        assert "hide" in calls and "idle" in calls
+
     def test_segments_paste_remaining_only(self):
         p, out = make_pipeline("tail", segments=["seg one ", "seg two "])
         p.run()

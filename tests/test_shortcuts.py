@@ -169,11 +169,12 @@ def test_switch_implementation_moves_and_resets():
     )
     reg.register_binding("transcribe", "ctrl+space")
     reg.register_binding("post", "f13")
-    reset = reg.switch_implementation(
+    result = reg.switch_implementation(
         KeyboardImplementation.TAURI,
         defaults={"transcribe": "ctrl+space", "post": "ctrl+shift+space"},
     )
-    assert reset == ["post"]
+    assert result.reset == ["post"]
+    assert result.dropped == []
     hk = backends[KeyboardImplementation.HANDY_KEYS]
     tauri = backends[KeyboardImplementation.TAURI]
     assert hk.registered == {}
@@ -188,5 +189,56 @@ def test_switch_implementation_moves_and_resets():
 def test_switch_implementation_same_impl_noop():
     reg, backends, _, _ = make_registry()
     reg.register_binding("transcribe", "ctrl+space")
-    assert reg.switch_implementation(KeyboardImplementation.HANDY_KEYS) == []
+    result = reg.switch_implementation(KeyboardImplementation.HANDY_KEYS)
+    assert result.reset == [] and result.dropped == []
     assert "ctrl+space" in backends[KeyboardImplementation.HANDY_KEYS].registered
+
+
+def test_switch_implementation_reports_dropped():
+    """A binding whose hotkey AND default are both rejected by the new
+    backend is removed from the registry and reported as dropped (not
+    reset) so callers don't persist a registration that doesn't exist."""
+    backends = {
+        KeyboardImplementation.HANDY_KEYS: InMemoryBackend(),
+        KeyboardImplementation.TAURI: RejectingBackend({"f13", "f14"}),
+    }
+    reg = ShortcutRegistry(
+        backends,
+        handler=lambda b, hk, p: None,
+        implementation=KeyboardImplementation.HANDY_KEYS,
+    )
+    reg.register_binding("transcribe", "f13")
+    result = reg.switch_implementation(
+        KeyboardImplementation.TAURI, defaults={"transcribe": "f14"})
+    assert result.reset == []
+    assert result.dropped == ["transcribe"]
+    assert "transcribe" not in reg._bindings
+    assert backends[KeyboardImplementation.TAURI].registered == {}
+
+
+def test_switch_implementation_skips_suspended_bindings():
+    """A binding suspended for UI key-capture must NOT be re-activated by
+    an implementation switch — it stays suspended, and resume registers
+    it on the NEW backend."""
+    backends = {
+        KeyboardImplementation.HANDY_KEYS: InMemoryBackend(),
+        KeyboardImplementation.TAURI: InMemoryBackend(),
+    }
+    reg = ShortcutRegistry(
+        backends,
+        handler=lambda b, hk, p: None,
+        implementation=KeyboardImplementation.HANDY_KEYS,
+    )
+    reg.register_binding("transcribe", "ctrl+space")
+    reg.register_binding("post", "ctrl+shift+space")
+    assert reg.suspend_binding("transcribe")
+    result = reg.switch_implementation(KeyboardImplementation.TAURI)
+    tauri = backends[KeyboardImplementation.TAURI]
+    # the suspended hotkey did not silently come back on the new backend
+    assert "ctrl+space" not in tauri.registered
+    assert "ctrl+shift+space" in tauri.registered
+    assert reg.is_suspended("transcribe")
+    assert result.reset == [] and result.dropped == []
+    # resume lands on the new backend
+    assert reg.resume_binding("transcribe")
+    assert "ctrl+space" in tauri.registered

@@ -126,10 +126,11 @@ def test_profile_selector_passes_eval_suite():
             failures.append((case["id"], ids))
     rate = passed / total
     # Parity note: the suite declares min_pass_rate 0.82, but the scorer the
-    # reference ships cannot reach it on this data — e.g. business_finance
-    # scores 1.5/32 = 0.0469 < min_score 0.08 under the exact Rust formula
-    # (terms x1.0 etc.), hand-verified. 17/23 is the deterministic outcome
-    # of the reference algorithm; gate there to catch regressions.
+    # reference ships cannot reach it on this data: 17/23 is the
+    # deterministic outcome of the reference algorithm. This is PROVEN (not
+    # argued) by test_eval_gate_impossibility_proof below with exact rational
+    # arithmetic over the exact Rust semantics, per failing case. Gate at the
+    # algorithm's true ceiling to catch regressions.
     assert rate >= 17 / 23 - 1e-9, (rate, failures)
 
 
@@ -295,3 +296,185 @@ def test_eval_cap_confirmed_by_independent_oracle():
 
     assert mismatches == [], f"package != oracle on: {mismatches}"
     assert oracle_passed == 17 and total == 23, (oracle_passed, total)
+
+
+def test_eval_gate_impossibility_proof():
+    """Resolves the '17/23 vs min_pass_rate 0.82' contradiction with a proof.
+
+    Claim: the scorer the reference ships (domain_selector.rs) CANNOT pass
+    the 0.82 gate its own eval suite declares
+    (tests/domain_selector_profiles_evals.json:3) on this data. The maximum
+    achievable pass rate is 17/23 = 0.739.
+
+    Proof structure — for each of the six failing scored cases, EVERY
+    profile in its expect_any_of set scores strictly below min_score under
+    the exact Rust semantics, so the filter at domain_selector.rs:73-77
+    (`.filter(|item| item.score >= min_score)`) removes it before top_k is
+    even applied; selection of the expected profile is impossible regardless
+    of how competitors rank. Hence those six cases fail deterministically
+    and the ceiling is (23-6)/23.
+
+    The arithmetic here is a THIRD independent implementation (the package
+    and the f32 oracle above are the other two), done in exact rational
+    arithmetic (fractions.Fraction) so no float-rounding doubt remains, with
+    an f32 step-emulation cross-check. Semantics verified line-by-line
+    against the reference:
+
+    - tokenize: split on non-alphanumeric except '+'/'#', trim+lowercase,
+      keep byte-len>1 (domain_selector.rs:269-274). All suite inputs are
+      ASCII, so Rust byte-len == char-len.
+    - token_overlap_ratio = |candidate ∩ context| / |candidate|
+      (domain_selector.rs:276-287).
+    - score = Σ terms overlap*1.0 + Σ corrections from*1.2 + to*1.0,
+      normalized by max(|terms| + 1.5*|corrections|, 1), clamped to [0,1]
+      (domain_selector.rs:218-256).
+    - min_score parsed from JSON 0.08 into f32 (eval runner
+      domain_selector.rs:577) = 0.07999999821186066 exactly.
+    - profile data: builtin_profiles (jargon.rs:39-496) — byte-identical to
+      our config/data/jargon_profiles.json (checked by
+      tests/test_jargon.py's data parity and re-diffed for this proof) —
+      plus the eval's custom_rust pack (domain_selector.rs:379-391), which
+      is irrelevant here because the filter argument is per-profile.
+    - eval runner: fresh manager per case (domain_selector.rs:588-596), so
+      hysteresis state never carries across cases and cannot rescue a
+      below-threshold profile (the hysteresis branch at :85-101 only
+      re-inserts a PREVIOUS winner, and only into an already-non-empty
+      selection).
+
+    Conclusion: the reference snapshot's own `cargo test
+    profile_selector_passes_eval_suite` would fail on this data (consistent
+    with the snapshot being mid-refactor — it is missing
+    managers/recording_pipeline.rs entirely, so it does not even compile;
+    SURVEY.md §2.3). We therefore gate at the algorithm's true ceiling
+    (17/23) rather than the aspirational 0.82.
+    """
+    from fractions import Fraction
+
+    import numpy as np
+
+    def rust_tokenize(text):
+        # Independent re-derivation of domain_selector.rs:269-274.
+        tokens, cur = set(), []
+        for ch in text:
+            if ch.isalnum() or ch in "+#":
+                cur.append(ch)
+            else:
+                tok = "".join(cur).strip().lower()
+                if len(tok.encode()) > 1:
+                    tokens.add(tok)
+                cur = []
+        tok = "".join(cur).strip().lower()
+        if len(tok.encode()) > 1:
+            tokens.add(tok)
+        return tokens
+
+    def exact_score(profile, text):
+        """Returns (Fraction score pre-clamp, f32 emulated score)."""
+        ctx = rust_tokenize(text)
+        frac = Fraction(0)
+        f32 = np.float32(0.0)
+
+        def overlap(candidate):
+            if not candidate:
+                return Fraction(0)
+            return Fraction(sum(1 for t in candidate if t in ctx), len(candidate))
+
+        for term in profile.terms:
+            ov = overlap(rust_tokenize(term))
+            frac += ov * 1
+            f32 = np.float32(f32 + np.float32(np.float32(ov) * np.float32(1.0)))
+        for corr in profile.corrections:
+            ovf = overlap(rust_tokenize(corr.from_))
+            ovt = overlap(rust_tokenize(corr.to))
+            frac += ovf * Fraction(12, 10) + ovt * 1
+            f32 = np.float32(f32 + np.float32(np.float32(ovf) * np.float32(1.2)))
+            f32 = np.float32(f32 + np.float32(np.float32(ovt) * np.float32(1.0)))
+        norm = max(Fraction(len(profile.terms)) + Fraction(3, 2) * len(profile.corrections),
+                   Fraction(1))
+        f32_norm = np.float32(max(np.float32(len(profile.terms))
+                                  + np.float32(len(profile.corrections)) * np.float32(1.5),
+                                  np.float32(1.0)))
+        return frac / norm, np.float32(f32 / f32_norm)
+
+    from spittle_tpu.managers.domain_selector import build_profile_map
+
+    with open(os.path.join(DATA, "domain_selector_profiles_evals.json")) as f:
+        suite = json.load(f)
+    min_score_f32 = np.float32(suite["settings"]["min_score"])
+    # f32(0.08) is slightly BELOW 0.08 — the filter threshold the Rust
+    # runner actually uses (serde f32 parse, domain_selector.rs:577).
+    assert abs(float(min_score_f32) - 0.08) < 1e-8
+    min_score_exact = Fraction(float(min_score_f32))  # exact binary value
+
+    s = make_settings()
+    profiles = build_profile_map(s)
+
+    FAILING = {
+        "coding_cli_tooling": ["coding"],
+        "business_finance": ["business"],
+        "business_sales_ops": ["business"],
+        "business_exec_update": ["business"],
+        "mixed_coding_law_enforcement": ["coding", "law_enforcement"],
+        "mixed_business_law_enforcement": ["business", "law_enforcement"],
+    }
+    cases = {c["id"]: c for c in suite["cases"]}
+    scored = [c for c in suite["cases"] if not c.get("track_only")]
+    assert len(scored) == 23
+    for cid in FAILING:
+        assert cid in cases and not cases[cid].get("track_only")
+
+    ledger = []
+    for cid, expected in FAILING.items():
+        case = cases[cid]
+        assert set(expected) == set(case.get("expect_any_of", [])), cid
+        for pid in expected:
+            frac, f32 = exact_score(profiles[pid], case["input"])
+            # strictly below threshold in exact arithmetic AND in emulated
+            # f32 — the filter (rs:75, `score >= min_score`) drops it.
+            assert frac < min_score_exact, (cid, pid, frac)
+            assert f32 < min_score_f32, (cid, pid, f32)
+            # margin is far beyond any f32 accumulation error (>=1e-3
+            # vs ~1e-7 ulp scale), so float rounding cannot flip it.
+            assert min_score_exact - frac > Fraction(1, 1000), (cid, pid, frac)
+            ledger.append((cid, pid, str(frac), float(f32)))
+
+    # Ceiling: 6 deterministic failures -> max pass rate 17/23 < 0.82.
+    assert Fraction(23 - len(FAILING), 23) < Fraction(82, 100), ledger
+
+
+def test_builtin_profiles_match_reference_source():
+    """Anchor for the impossibility proof: our bundled profile data
+    (config/data/jargon_profiles.json) is term-for-term and
+    correction-for-correction identical to the reference's
+    builtin_profiles() (jargon.rs:39-496), parsed from the Rust source
+    when the reference snapshot is mounted."""
+    import re as _re
+
+    ref = "/root/reference/src-tauri/src/jargon.rs"
+    if not os.path.exists(ref):
+        pytest.skip("reference snapshot not mounted")
+    from spittle_tpu.text.jargon import builtin_profiles
+
+    src = open(ref).read()
+    body = src[src.index("pub fn builtin_profiles"):]
+    body = body[: body.index("// ====")]
+    parts = _re.split(
+        r'profiles\.insert\(\s*\n?\s*"(\w+)"\.to_string\(\)', body)
+    parsed = {}
+    for i in range(1, len(parts), 2):
+        pid, chunk = parts[i], parts[i + 1]
+        m = _re.search(r"terms:\s*vec!\[(.*?)\]\s*\n?\s*\.into_iter",
+                       chunk, _re.S)
+        terms = _re.findall(r'"([^"]+)"', m.group(1)) if m else []
+        cm = _re.search(r"corrections:\s*vec!\[(.*?)\],?\s*\n\s*\},?\s*\);",
+                        chunk, _re.S)
+        corrs = (_re.findall(
+            r'from:\s*"([^"]+)"\.into\(\),\s*\n\s*to:\s*"([^"]+)"\.into\(\)',
+            cm.group(1)) if cm else [])
+        parsed[pid] = (terms, corrs)
+
+    ours = builtin_profiles()
+    assert set(parsed) == set(ours)
+    for pid, (terms, corrs) in parsed.items():
+        assert list(ours[pid].terms) == terms, pid
+        assert [(c.from_, c.to) for c in ours[pid].corrections] == corrs, pid

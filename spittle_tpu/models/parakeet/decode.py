@@ -47,8 +47,16 @@ def tdt_greedy_decode(
         steps=jnp.asarray(0, jnp.int32),
     )
 
+    # Worst-case legal step count: every frame visit emits
+    # max_symbols_per_step zero-duration tokens before the forced +1
+    # (NeMo GreedyTDTInfer semantics), so the safety cap must be
+    # t_max * (max_symbols + 1) — a smaller cap (the old t_max * 4)
+    # truncated genuine decodes, caught by the sequential oracle in
+    # tests/test_parakeet.py.
+    step_cap = t_max * (cfg.max_symbols_per_step + 1)
+
     def cond(s):
-        return jnp.any(s["t"] < enc_lens) & (s["steps"] < t_max * 4)
+        return jnp.any(s["t"] < enc_lens) & (s["steps"] < step_cap)
 
     def body(s):
         idx = jnp.clip(s["t"], 0, t_max - 1)

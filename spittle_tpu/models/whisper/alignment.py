@@ -84,19 +84,24 @@ def decoder_cross_attention(
 
 
 def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
-    """Median filter along the last axis (audio time)."""
-    if width <= 1:
+    """Median filter along the last axis (audio time), reflect-padded —
+    OpenAI timing.py `median_filter` uses F.pad(mode="reflect")."""
+    if width <= 1 or x.shape[-1] <= 1:
         return x
-    pad = width // 2
-    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
+    pad = min(width // 2, x.shape[-1] - 1)
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     windows = np.stack(
-        [xp[..., i : i + x.shape[-1]] for i in range(width)], axis=-1
+        [xp[..., i : i + x.shape[-1]] for i in range(2 * pad + 1)], axis=-1
     )
     return np.median(windows, axis=-1)
 
 
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Monotonic DTW over cost [N_text, M_audio] -> (text_idx, audio_idx)."""
+    """Monotonic DTW over cost [N_text, M_audio] -> (text_idx, audio_idx).
+
+    Tie-breaking matches OpenAI timing.py `dtw_cpu` exactly: diagonal only
+    when STRICTLY smaller than both alternatives, then up, else left —
+    equal-cost ties fall through to the left move."""
     n, m = cost.shape
     D = np.full((n + 1, m + 1), np.inf)
     D[0, 0] = 0.0
@@ -105,10 +110,10 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         c_row = cost[i - 1]
         for j in range(1, m + 1):
             c0, c1, c2 = D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]
-            if c0 <= c1 and c0 <= c2:
+            if c0 < c1 and c0 < c2:
                 D[i, j] = c0 + c_row[j - 1]
                 trace[i, j] = 0
-            elif c1 <= c2:
+            elif c1 < c0 and c1 < c2:
                 D[i, j] = c1 + c_row[j - 1]
                 trace[i, j] = 1
             else:
@@ -162,32 +167,39 @@ def load_alignment_heads(model_path: str) -> Optional[List[Tuple[int, int]]]:
     return [(int(l), int(h)) for l, h in data]
 
 
-def token_times(
+def token_emission_times(
     attn: np.ndarray,  # [L, 1, H, T, 1500] for one item
+    n_prefix: int,
     n_frames: int,
     cfg: WhisperConfig,
     heads: Optional[Sequence[Tuple[int, int]]] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-token (start, end) seconds from the attention alignment."""
+) -> np.ndarray:
+    """Emission times (seconds) for the generated tokens + EOT.
+
+    OpenAI timing.py `find_alignment` recipe, exactly: stack the alignment
+    heads' cross-attention, truncate to the valid audio frames and
+    renormalize (== softmax over the truncated frames), z-normalize over
+    the token axis per (head, frame) with population std, median-filter
+    over audio time, average heads, take the rows whose NEXT-token
+    emission is a text token or EOT (row i attends while predicting token
+    i+1, hence rows n_prefix-1 .. T-2), DTW, and read each row's first
+    path occurrence ("jump") as its emission time.
+
+    attn covers the teacher-forced sequence prefix + text + [eot] of
+    length T; returns [T - n_prefix] times for [text..., eot]."""
     heads = heads or alignment_heads(cfg)
     w = np.stack([attn[l, 0, h] for l, h in heads])  # [NH, T, 1500]
-    w = w[:, :, : max(n_frames, 1)]
-    # Normalize each head over audio, average, filter.
-    w = w / (w.sum(-1, keepdims=True) + 1e-8)
-    matrix = _median_filter(w.mean(0))  # [T, frames]
+    w = w[:, :, : max(n_frames, 1)].astype(np.float64)
+    w = w / (w.sum(-1, keepdims=True) + 1e-10)
+    mean = w.mean(-2, keepdims=True)
+    std = w.std(-2, keepdims=True)  # ddof=0: torch.std_mean(unbiased=False)
+    w = (w - mean) / (std + 1e-10)
+    w = _median_filter(w)
+    matrix = w.mean(0)  # [T, frames]
+    matrix = matrix[max(n_prefix, 1) - 1 : -1]
     text_idx, audio_idx = dtw_path(-matrix)
-    t = matrix.shape[0]
-    starts = np.zeros(t)
-    ends = np.zeros(t)
-    for tok in range(t):
-        frames = audio_idx[text_idx == tok]
-        if len(frames):
-            starts[tok] = frames[0] * TIME_PER_FRAME
-            ends[tok] = (frames[-1] + 1) * TIME_PER_FRAME
-        elif tok > 0:
-            starts[tok] = ends[tok - 1]
-            ends[tok] = ends[tok - 1]
-    return starts, ends
+    jumps = np.pad(np.diff(text_idx), (1, 0), constant_values=1).astype(bool)
+    return audio_idx[jumps] * TIME_PER_FRAME  # one per matrix row
 
 
 def word_timestamps(
@@ -205,41 +217,45 @@ def word_timestamps(
     tokens: generated token ids (no prefix/EOT). prefix: the SOT sequence
     used during decoding (re-applied for teacher forcing).
     """
-    toks = list(prefix) + [t for t in tokens if t < cfg.eot]
-    if len(toks) <= len(prefix):
+    text_toks = [t for t in tokens if t < cfg.eot]
+    if not text_toks or not prefix:
         return []
+    full = list(prefix) + text_toks + [cfg.eot]
     # Pad to a length bucket so the teacher-forced pass compiles once per
     # bucket, not per token count (causal attention: padding after the real
     # tokens cannot affect their rows).
-    bucket = min(-(-len(toks) // 64) * 64, cfg.n_text_ctx)
-    padded = toks[:bucket] + [cfg.eot] * (bucket - len(toks))
+    bucket = min(-(-len(full) // 64) * 64, cfg.n_text_ctx)
+    padded = full[:bucket] + [cfg.eot] * (bucket - len(full))
     arr = jnp.asarray(padded, jnp.int32)[None]
     attn = np.asarray(decoder_cross_attention(params, arr, xa, cfg))
-    attn = attn[:, :, :, : len(toks)]
-    starts, ends = token_times(attn, n_frames, cfg, heads=heads)
-    gen_start = len(prefix)
+    attn = attn[:, :, :, : len(full)]
+    # jump_times[i] = emission time of text_toks[i]; [-1] = EOT emission
+    # (OpenAI timing.py: word start = first token's jump, word end = next
+    # group's jump — words tile the audio contiguously).
+    jump_times = token_emission_times(
+        attn, len(prefix), n_frames, cfg, heads=heads
+    )
+    n_text = len(text_toks)
+    if len(jump_times) != n_text + 1:  # bucket truncation dropped tokens
+        n_text = max(len(jump_times) - 1, 0)
+        text_toks = text_toks[:n_text]
+
+    # Group tokens into words at space boundaries.
+    groups: List[List[int]] = []  # token INDEX groups
+    for i, tok in enumerate(text_toks):
+        piece = tokenizer.decode([tok])
+        if groups and not piece.startswith(" "):
+            groups[-1].append(i)
+        else:
+            groups.append([i])
 
     words: List[WordTiming] = []
-    cur_tokens: List[int] = []
-    cur_start: Optional[float] = None
-    cur_end = 0.0
-
-    def flush():
-        nonlocal cur_tokens, cur_start, cur_end
-        if cur_tokens:
-            text = tokenizer.decode(cur_tokens).strip()
-            if text:
-                words.append(WordTiming(text, cur_start or 0.0, cur_end))
-        cur_tokens, cur_start = [], None
-
-    for i in range(gen_start, len(toks)):
-        tok = toks[i]
-        piece = tokenizer.decode([tok])
-        if piece.startswith(" ") and cur_tokens:
-            flush()
-        if cur_start is None:
-            cur_start = starts[i]
-        cur_end = ends[i]
-        cur_tokens.append(tok)
-    flush()
+    for g, group in enumerate(groups):
+        text = tokenizer.decode([text_toks[i] for i in group]).strip()
+        if not text:
+            continue
+        start = float(jump_times[group[0]])
+        next_idx = groups[g + 1][0] if g + 1 < len(groups) else n_text
+        end = float(jump_times[next_idx])
+        words.append(WordTiming(text, start, end))
     return words

@@ -10,7 +10,7 @@ from spittle_tpu.models.whisper.alignment import (
     alignment_heads,
     decoder_cross_attention,
     dtw_path,
-    token_times,
+    token_emission_times,
     word_timestamps,
     _median_filter,
 )
@@ -78,13 +78,15 @@ class TestAlignment:
         assert all(l >= cfg.n_text_layer // 2 for l, _ in heads)
         assert len(heads) == (cfg.n_text_layer - cfg.n_text_layer // 2) * cfg.n_text_head
 
-    def test_token_times_monotonic(self, tiny):
+    def test_token_emission_times_monotonic(self, tiny):
         cfg, params, xa = tiny
-        toks = jnp.asarray([[cfg.sot, 10, 20, 30, 40]], jnp.int32)
+        # teacher-forced over prefix [sot] + text [10,20,30] + [eot]
+        toks = jnp.asarray([[cfg.sot, 10, 20, 30, cfg.eot]], jnp.int32)
         attn = np.asarray(decoder_cross_attention(params, toks, xa, cfg))
-        starts, ends = token_times(attn, n_frames=40, cfg=cfg)
-        assert (ends >= starts).all()
-        assert (np.diff(starts) >= 0).all()
+        times = token_emission_times(attn, n_prefix=1, n_frames=40, cfg=cfg)
+        assert times.shape == (4,)  # [text0, text1, text2, eot]
+        assert (np.diff(times) >= 0).all()
+        assert (times >= 0).all() and (times <= 40 * 0.02 + 1e-6).all()
 
     def test_word_timestamps_end_to_end(self, tiny):
         cfg, params, xa = tiny

@@ -144,6 +144,13 @@ def main():
     for _ in engine.transcribe_stream([make_batch()], params):
         pass
 
+    # Link-speed covariate: transfer-bound throughput swings ±30-40% with
+    # tunnel weather; stamping h2d MB/s before/after makes rounds
+    # comparable (VERDICT r3 #7).
+    from spittle_tpu.utils.linkprobe import measure_link_mbps
+
+    link_before = measure_link_mbps()
+
     # Best-of-N: the tunnel's h2d bandwidth varies run to run (measured
     # 15-45 MB/s across rounds -> 518-708x spread); each repeat is a full
     # sustained N_BATCHES measurement and the best one is the least
@@ -159,6 +166,7 @@ def main():
         assert n_done == BATCH * N_BATCHES
         runs.append(n_done * WINDOW_SECONDS / dt)
     rtfx = max(runs)
+    link_after = measure_link_mbps()
 
     wire_desc = "int16" if exact else "mu-law 8-bit"
     enc_desc = "bf16" if exact else "W8A8 int8 encoder, bf16 decode"
@@ -172,6 +180,8 @@ def main():
         "unit": "x realtime per chip",
         "vs_baseline": round(rtfx / 500.0, 3),
         "runs": [round(r, 1) for r in runs],
+        "link_mbps": link_before,
+        "link_mbps_after": link_after,
     }))
 
 

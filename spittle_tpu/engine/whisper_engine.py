@@ -636,12 +636,25 @@ class WhisperEngine:
         batch is placed with a NamedSharding over the mesh's leading
         axis (rows must divide evenly — the serving ladder guarantees
         it); XLA then runs the frontend/decode data-parallel across the
-        mesh with no further annotation."""
+        mesh with no further annotation. On a process-spanning (multi-
+        host) mesh the local rows are this host's contribution and the
+        global batch is assembled across processes
+        (make_array_from_process_local_data — jax.device_put cannot fill
+        non-addressable shards)."""
         if self.mesh is None:
             return jax.device_put(windows)
         from jax.sharding import NamedSharding, PartitionSpec
 
+        from spittle_tpu.parallel.multihost import (
+            global_batch_from_local,
+            mesh_is_multiprocess,
+        )
+
         axis = self.mesh.axis_names[0]
+        if mesh_is_multiprocess(self.mesh):
+            return global_batch_from_local(
+                windows, self.mesh, PartitionSpec(axis)
+            )
         if windows.shape[0] % self.mesh.shape[axis]:
             return jax.device_put(windows)  # ragged: replicate instead
         return jax.device_put(

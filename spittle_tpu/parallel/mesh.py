@@ -79,12 +79,17 @@ def whisper_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a parameter tree onto the mesh per the sharding rules."""
+    """Place a parameter tree onto the mesh per the sharding rules.
+
+    Works on process-spanning (multi-host) meshes too: placement routes
+    through parallel.multihost.global_put, which falls back to
+    make_array_from_callback when the mesh holds non-addressable devices
+    (jax.device_put can only fill local shards)."""
+    from spittle_tpu.parallel.multihost import global_put
+
     specs = whisper_param_specs(params)
     return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        params,
-        specs,
+        lambda leaf, spec: global_put(leaf, mesh, spec), params, specs
     )
 
 

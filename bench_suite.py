@@ -61,6 +61,17 @@ def guard(fn):
 def main():
     import sys
 
+    from spittle_tpu.utils.linkprobe import measure_link_mbps
+
+    # Link-speed covariate bracketing the suite (VERDICT r3 #7): transfer-
+    # bound configs swing ±30-40% with tunnel weather; the MB/s stamps
+    # make cross-round comparisons meaningful.
+    print(json.dumps({"link_mbps": measure_link_mbps()}), flush=True)
+    import atexit
+
+    atexit.register(lambda: print(
+        json.dumps({"link_mbps_after": measure_link_mbps()}), flush=True))
+
     all_configs = {
         "1": _config1, "2": _config2, "3": _config3, "4": _config4,
         "5": _config5, "6": _config6, "7": _config7, "8": _config8,

@@ -77,6 +77,11 @@ class TranscriptionResult:
     segments: List[Segment] = dataclasses.field(default_factory=list)
     language: Optional[str] = None
     words: List[Word] = dataclasses.field(default_factory=list)
+    # Raw decoded token ids (text + timestamp tokens, before tokenizer
+    # decode) — the unit the north star's "token-for-token match vs
+    # whisper.cpp" (transcription.rs:445-504) is verified in; golden
+    # tests compare these, not just text.
+    tokens: List[int] = dataclasses.field(default_factory=list)
 
 
 def normalize_pcm(a) -> np.ndarray:

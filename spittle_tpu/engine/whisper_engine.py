@@ -617,7 +617,7 @@ class WhisperEngine:
             results.append(
                 TranscriptionResult(
                     text=text, segments=segments[i], language=languages[i],
-                    words=words[i],
+                    words=words[i], tokens=[int(t) for t in seg_tokens[i]],
                 )
             )
         return results
@@ -941,6 +941,7 @@ class WhisperEngine:
                 segments=segments[i],
                 language=languages[i],
                 words=words[i],
+                tokens=[int(t) for t in seg_tokens[i]],
             )
             for i in range(n)
         ]

@@ -344,16 +344,79 @@ def hf_to_openai_names(t: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def save_npz_checkpoint(path: str, cfg: WhisperConfig, params,
+                        vocab: Optional[Dict[bytes, int]] = None) -> None:
+    """Spittle-native checkpoint: one .npz holding the stacked parameter
+    tree (float leaves stored f16 — loaders cast back to the requested
+    dtype; goldens are recorded against the SAVED artifact so the f16
+    round-trip is part of the contract), the config as embedded JSON, and
+    optionally the token table. Purpose: committable MB-scale trained
+    checkpoints so fidelity tests run non-random weights in CI
+    (VERDICT r3 next-round #2)."""
+    import dataclasses
+    import jax
+
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(
+            k.key if hasattr(k, "key") else str(k) for k in keypath
+        )
+        arr = np.asarray(leaf)
+        flat["param:" + name] = (
+            arr.astype(np.float16) if arr.dtype.kind == "f" else arr
+        )
+    flat["__config__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(cfg)).encode(), np.uint8
+    )
+    if vocab is not None:
+        table = [""] * (max(vocab.values()) + 1)
+        for tok, i in vocab.items():
+            table[i] = tok.decode("latin1")
+        flat["__vocab__"] = np.frombuffer(
+            json.dumps(table).encode(), np.uint8
+        )
+    np.savez_compressed(path, **flat)
+
+
+def load_npz_checkpoint(path: str, dtype=np.float32):
+    """Inverse of save_npz_checkpoint -> (cfg, params, extras)."""
+    z = np.load(path)
+    cfg = WhisperConfig(**json.loads(bytes(z["__config__"]).decode()))
+    params: Dict[str, Any] = {}
+    for key in z.files:
+        if not key.startswith("param:"):
+            continue
+        node = params
+        parts = key[len("param:"):].split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = z[key]
+        node[parts[-1]] = (
+            arr.astype(dtype) if arr.dtype.kind == "f" else arr
+        )
+    extras: Dict[str, Any] = {}
+    if "__vocab__" in z.files:
+        table = json.loads(bytes(z["__vocab__"]).decode())
+        extras["vocab"] = [t.encode("latin1") for t in table]
+    return cfg, params, extras
+
+
 def load_params(
     model_path: str, cfg: Optional[WhisperConfig] = None, dtype=np.float32
 ):
-    """Load a Whisper checkpoint (GGML file or HF safetensors dir).
+    """Load a Whisper checkpoint (GGML file, HF safetensors dir, or a
+    spittle-native .npz from save_npz_checkpoint).
 
     Returns (cfg, params, extras) where extras may contain "mel_filters"
-    and "vocab" (GGML files embed both).
+    and "vocab" (GGML files embed both; npz may embed "vocab").
     """
     import jax.numpy as jnp
     import jax
+
+    if model_path.endswith(".npz"):
+        cfg, params, extras = load_npz_checkpoint(model_path, dtype=dtype)
+        params = jax.tree.map(jnp.asarray, params)
+        return cfg, params, extras
 
     extras: Dict[str, Any] = {}
     if os.path.isdir(model_path):

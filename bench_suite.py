@@ -742,7 +742,13 @@ def _config19():
                  "w8a8": ("w8a8", False, False, "auto"),
                  "int4": ("int4", False, False, "auto"),
                  "int4c": ("int4", True, False, "auto"),
-                 "full": ("int8", False, True, "mulaw")}
+                 "full": ("int8", False, True, "mulaw"),
+                 # int4 cross-KV + W8A8 encoder + mu-law wire: the
+                 # candidate large-v3 winning stack now that the int4
+                 # program compiles (the r3 "crash" was the quantizer's
+                 # 7.5 GB wide temp OOMing the compile; fixed in
+                 # ops/quant.quantize_kv_int4).
+                 "full4": ("int4", False, True, "mulaw")}
     picks = os.environ.get("BENCH_LV3_ARMS", "bf16,int8,w8a8,int4,int4c")
     for name in picks.split(","):
         qdec, qcache, qenc, wire = arm_names[name.strip()]

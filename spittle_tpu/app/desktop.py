@@ -127,12 +127,12 @@ def build_app(
     # Real OS surfaces when the desktop offers them: a
     # StatusNotifierItem tray on the session bus (tray.rs analog) and an
     # X11 override-redirect recording overlay (overlay.rs analog).
+    from spittle_tpu.shell.overlay_select import attach_session_overlay
     from spittle_tpu.shell.tray_sni import attach_tray
-    from spittle_tpu.shell.x11_overlay import attach_overlay
 
     commands = Commands(services, actions)
     tray = attach_tray(services, actions, ui, commands=commands)
-    overlay = attach_overlay(services)
+    overlay = attach_session_overlay(services)
 
     # OS login launcher, reconciled with the persisted setting at boot
     # (lib.rs:219-228) and applied immediately by

@@ -77,7 +77,8 @@ def main():
         "5": _config5, "6": _config6, "7": _config7, "8": _config8,
         "9": _config9, "9f": lambda: _config9(fit_audio_ctx=True),
         "10": _config10, "11": _config11, "12": _config12,
-        "13": _config13, "14": _config14, "15": _config15,
+        "13": _config13, "13r": _config13r, "14": _config14,
+        "15": _config15,
         "16": _config16, "17": _config17, "18": _config18,
         "19": _config19, "20": _config20, "21": _config21,
     }
@@ -472,6 +473,53 @@ def _config13():
         "the batched min-advance emits the verify pass's own token)",
         16 * 30.0, dt,
     )
+
+
+def _config13r():
+    # 13r. RTFx(acceptance) for large-v3 self-draft speculative decode,
+    # measured with the advance rig (DecodeOptions.rig_advance via
+    # SPITTLE_SPEC_RIG): real acceptance needs real checkpoints this
+    # environment can't fetch, but the WALL-CLOCK at each acceptance
+    # level is weight-independent — the rig pins the per-round advance
+    # to 1..K with the full draft+verify compute path running, so this
+    # publishes the curve real weights will land on. The trained-tiny
+    # anchor (tests/test_trained_checkpoint.py) shows a trained model's
+    # stride-2 self-draft verifying at >1.5 tokens/round. Compare the
+    # rig=1 row against config 12's plain-greedy int8 number for the
+    # speculative overhead, and rig=4 for the full-acceptance ceiling.
+    import os as _os
+
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_LV3_BATCH", "16"))
+    batch = [
+        (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+        for _ in range(bsz)
+    ]
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=96, temperatures=(0.0,),
+    )
+    eng = WhisperEngine(dtype=jnp.bfloat16, quantize_decoder="int8")
+    eng.load_model("random:large-v3")
+    eng.load_self_draft(stride=4)
+    try:
+        for rig in (1, 2, 3, 4):
+            _os.environ["SPITTLE_SPEC_RIG"] = str(rig)
+            eng.transcribe_batch(batch, p)  # compile this rig's program
+            dt = timed(lambda: eng.transcribe_batch(batch, p), n=3)
+            stats = eng.last_spec_stats or {}
+            tpr = stats.get("accepted_total", 0.0) / max(
+                stats.get("rounds", 1.0), 1.0)
+            report(
+                f"whisper-large-v3 batch {bsz} int8, self-draft stride 4 "
+                f"k=4, RIGGED advance={rig} ({tpr:.2f} tokens/round)",
+                bsz * 30.0, dt,
+            )
+    finally:
+        _os.environ.pop("SPITTLE_SPEC_RIG", None)
 
 
 def _config14():

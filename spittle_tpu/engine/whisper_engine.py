@@ -439,6 +439,7 @@ class WhisperEngine:
             quant_kv_bits=4 if self.quantize_decoder == "int4" else 8,
             quant_kv_w8a8=self.quantize_decoder == "w8a8",
             quant_cache=self.quantize_cache,
+            rig_advance=int(os.environ.get("SPITTLE_SPEC_RIG", "0")),
             # whisper.cpp splits the text context: half for the carried
             # prompt, half for the window's decode. Bounding max_tokens
             # also halves the static KV cache the decode loop re-reads

@@ -70,6 +70,14 @@ class DecodeOptions:
     # columns are written): halves the OTHER stream every decode step
     # re-reads. Independent of quant_kv so the two can be A/B'd apart.
     quant_cache: bool = False
+    # MEASUREMENT RIG (bench-only, SPITTLE_SPEC_RIG): forces every
+    # speculative round's uniform advance to min(rig_advance, K)
+    # regardless of draft/main agreement, so the wall-clock of the
+    # speculative loop can be measured as a function of acceptance on
+    # random weights (real acceptance needs real checkpoints, which
+    # can't reach this environment). When non-zero the emitted tokens
+    # are NOT the main model's greedy transcript — never production.
+    rig_advance: int = 0
 
 
 def sot_sequence(

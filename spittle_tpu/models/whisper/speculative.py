@@ -221,6 +221,15 @@ def _speculative_loop(
             acc = jnp.sum(jnp.cumprod(match, axis=0), axis=0)  # [B] 0..K-1
         acc = jnp.where(s["finished"], kk - 1, acc)
         advance = 1 + jnp.min(acc)  # uniform advance, 1..K
+        if opts.rig_advance:
+            # Timing rig (see DecodeOptions.rig_advance): identical
+            # compute path — draft chain, block verify, emit scan all
+            # run — only the advance decision is pinned, publishing
+            # wall-clock(acceptance) so real weights land on a known
+            # curve.
+            advance = jnp.asarray(
+                min(opts.rig_advance, kk), jnp.int32
+            )
 
         # Emit block[:, :advance]; bookkeeping over a static-K masked scan.
         def emit_scan(carry, j):

@@ -171,9 +171,38 @@ def test_speculative_self_draft_exact_and_accepted(goldens):
     eng.load_self_draft(stride=2)
     p = TranscribeParams(language="en", condition_on_previous_text=False,
                          temperatures=(0.0,))
+    rates = []
     for case in goldens["cases"][:3]:
         res = eng.transcribe_samples(_audio(case), p)
         assert res.tokens == case["greedy_tokens"], case["word_ids"]
+        stats = eng.last_spec_stats
+        rates.append(stats["accepted_total"] / max(stats["rounds"], 1.0))
+    # Trained weights make acceptance REAL: >1 token/round means draft
+    # proposals verified (random weights measured 1.01 — pure overhead).
+    # This is the anchor point on the rig-measured RTFx(acceptance)
+    # curve (bench_suite config 13r).
+    assert max(rates) > 1.5, rates
+
+
+def test_speculative_rig_pins_advance(goldens, monkeypatch):
+    """SPITTLE_SPEC_RIG pins the per-round advance (the timing rig used
+    to publish RTFx as a function of acceptance on-chip). Rigged output
+    is NOT the greedy transcript by contract; what must hold is that the
+    loop runs, reports the pinned rate, and the default (unset) path is
+    untouched (asserted by the test above)."""
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
+    monkeypatch.setenv("SPITTLE_SPEC_RIG", "4")
+    eng = WhisperEngine()
+    eng.load_model(NPZ)
+    eng.load_self_draft(stride=2)
+    p = TranscribeParams(language="en", condition_on_previous_text=False,
+                         temperatures=(0.0,))
+    eng.transcribe_samples(_audio(goldens["cases"][0]), p)
+    stats = eng.last_spec_stats
+    rate = stats["accepted_total"] / max(stats["rounds"], 1.0)
+    assert rate > 3.5, stats  # pinned at K=4 tokens/round
 
 
 def test_npz_checkpoint_roundtrip_stability():

@@ -232,6 +232,11 @@ def apply_mute() -> None:
                 break
     elif sys.platform == "darwin":
         _run(["osascript", "-e", "set volume output muted true"])
+    elif sys.platform == "win32":
+        # COM IAudioEndpointVolume chain (audio.rs:17-104).
+        from spittle_tpu.shell.windows_audio import set_mute as _win_mute
+
+        _win_mute(True)
     _mute_state["muted"] = True
 
 
@@ -248,4 +253,8 @@ def remove_mute() -> None:
                 break
     elif sys.platform == "darwin":
         _run(["osascript", "-e", "set volume output muted false"])
+    elif sys.platform == "win32":
+        from spittle_tpu.shell.windows_audio import set_mute as _win_mute
+
+        _win_mute(False)
     _mute_state["muted"] = False

@@ -9,12 +9,15 @@ bailout (:79-84) — and a plain always-on-top window otherwise. Here:
       session is KDE/Plasma (reference bailout) — then fall through to
       X11 via XWayland when DISPLAY exists.
   DISPLAY -> X11 override-redirect pill (shell/x11_overlay.py).
+  win32 -> topmost popup pill (shell/windows_overlay.py), matching the
+      reference's plain always-on-top Windows arm.
   neither -> None (headless: the state-only controller still runs).
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 from spittle_tpu.utils.logging import get_logger
 
@@ -28,6 +31,15 @@ def attach_session_overlay(services):
     )
     from spittle_tpu.shell.x11_overlay import attach_overlay
 
+    if sys.platform == "win32":
+        # Reference Windows arm: plain always-on-top popup (overlay.rs,
+        # the windows cfg of create_recording_overlay).
+        from spittle_tpu.shell.windows_overlay import attach_windows_overlay
+
+        overlay = attach_windows_overlay(services)
+        if overlay is not None:
+            _log.info("overlay: win32 topmost popup")
+        return overlay
     if (os.environ.get("XDG_SESSION_TYPE", "").lower() == "wayland"
             and os.environ.get("WAYLAND_DISPLAY")
             and not session_is_kde_wayland()):

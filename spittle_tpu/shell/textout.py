@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
+import sys
 import time
 from typing import Callable, List, Optional, Sequence
 
@@ -128,6 +129,26 @@ PASTE_KEYS = {
 }
 
 
+def _platform_keyboard():
+    """Default native keystroke backend for this OS, or None.
+
+    Linux: /dev/uinput (shell/uinput.py, the enigo analog). Windows:
+    user32.SendInput with layout-independent VKs (shell/windows_input.py,
+    input.rs:28-52). macOS keeps the tool/AX paths.
+    """
+    if sys.platform == "win32":
+        from .windows_input import SendInputKeyboard
+
+        if SendInputKeyboard.available():
+            return SendInputKeyboard()
+        return None
+    from .uinput import UinputKeyboard
+
+    if UinputKeyboard.available():
+        return UinputKeyboard()
+    return None
+
+
 def _default_runner(cmd: Sequence[str], stdin: Optional[bytes] = None) -> bool:
     try:
         return (
@@ -201,10 +222,7 @@ class SystemTextOutput:
             if self._uinput_factory is not None:
                 self._uinput = self._uinput_factory()
             else:
-                from .uinput import UinputKeyboard
-
-                if UinputKeyboard.available():
-                    self._uinput = UinputKeyboard()
+                self._uinput = _platform_keyboard()
         except OSError:
             self._uinput = None
         return self._uinput
@@ -269,12 +287,20 @@ class SystemTextOutput:
         return ok
 
     def _clipboard_write(self, text: str) -> bool:
+        if sys.platform == "win32":
+            from .windows_clipboard import clipboard_write
+
+            return clipboard_write(text)
         cmd, stdin = clipboard_write_command(text, is_wayland(), self._which)
         if cmd is None:
             return False
         return self._run(cmd, stdin)
 
     def _clipboard_read(self) -> Optional[str]:
+        if sys.platform == "win32":
+            from .windows_clipboard import clipboard_read
+
+            return clipboard_read()
         cmd = clipboard_read_command(is_wayland(), self._which)
         if cmd is None:
             return None

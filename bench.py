@@ -23,7 +23,10 @@ path re-transcribes random-token tails that real speech doesn't produce.
 The reference publishes no quantitative numbers (BASELINE.md); the north
 star is >=500x RTFx per v5e chip, so vs_baseline is value / 500.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"}: the
+turbo headline (the reference catalog's recommended large model) and
+whisper-large-v3 proper (the north star's named model) on its measured
+winning stack.
 """
 
 from __future__ import annotations
@@ -182,7 +185,70 @@ def main():
         "runs": [round(r, 1) for r in runs],
         "link_mbps": link_before,
         "link_mbps_after": link_after,
-    }))
+    }), flush=True)
+
+    # ---- Second line: whisper-large-v3 PROPER, the north star's named
+    # model (VERDICT r3 #1c: the driver must record a large-v3 number
+    # every round, not just turbo). Measured winning large-v3 stack on
+    # this chip (2026-08-19 in-loop ladder + same-draw A/B): int8 decoder
+    # weights + int8 cross-KV + int8 self-cache + W8A8 encoder + mu-law
+    # wire at batch 32 — 309.0 vs 302.6 without the self-cache in the
+    # same draw (317.4 best across draws); int8-alone 277x, bf16 238x.
+    # Reference-faithful: its own large-v3 catalog artifact is
+    # q5_0-quantized. SPITTLE_BENCH_EXACT=1 reverts to the exact
+    # int16+bf16 path here too.
+    del engine
+    import gc
+
+    gc.collect()  # release turbo weights/caches before the 32-layer model
+    lv3 = WhisperEngine(
+        dtype=jnp.bfloat16,
+        wire="auto" if exact else "mulaw",
+        quantize_encoder=not exact,
+        quantize_decoder=False if exact else "int8",
+        quantize_cache=not exact,
+    )
+    lv3.load_model("random:large-v3")
+    # Batch 44 is the measured frontier: b48 fails from both directions
+    # (scan form kills tpu_compile_helper — 6 attempts across 3 sessions;
+    # ring form is a genuine HBM RESOURCE_EXHAUSTED even on this stack),
+    # while the in-loop ladder climbs monotonically to it (b32 309.0,
+    # b40 341.2, b44 348.9; 2026-08-19).
+    lv3_batch_size = 44
+
+    def make_lv3_batch():
+        return [
+            (rng.standard_normal(int(16000 * WINDOW_SECONDS)) * 3000)
+            .astype(np.int16)
+            for _ in range(lv3_batch_size)
+        ]
+
+    for _ in lv3.transcribe_stream([make_lv3_batch()], params):
+        pass
+    lv3_runs = []
+    for _ in range(N_REPEATS):
+        batches = [make_lv3_batch() for _ in range(N_BATCHES)]
+        t0 = time.perf_counter()
+        n_done = 0
+        for results in lv3.transcribe_stream(batches, params):
+            n_done += len(results)
+        dt = time.perf_counter() - t0
+        assert n_done == lv3_batch_size * N_BATCHES
+        lv3_runs.append(n_done * WINDOW_SECONDS / dt)
+    lv3_rtfx = max(lv3_runs)
+    dec_desc = "bf16" if exact else "int8 W+KV decoder + int8 self-cache"
+    print(json.dumps({
+        "metric": "whisper-large-v3 (32-layer decoder, north-star model) "
+                  f"sustained engine-path RTFx (transcribe_stream, best of "
+                  f"{N_REPEATS} runs of {N_BATCHES} x batch {lv3_batch_size} "
+                  f"x 30s {wire_desc} wire, {enc_desc}, {dec_desc}, "
+                  f"{MAX_TOKENS}-token rule-applying greedy decode)",
+        "value": round(lv3_rtfx, 1),
+        "unit": "x realtime per chip",
+        "vs_baseline": round(lv3_rtfx / 500.0, 3),
+        "runs": [round(r, 1) for r in lv3_runs],
+        "link_mbps_after": measure_link_mbps(),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -796,7 +796,12 @@ def _config19():
                  # program compiles (the r3 "crash" was the quantizer's
                  # 7.5 GB wide temp OOMing the compile; fixed in
                  # ops/quant.quantize_kv_int4).
-                 "full4": ("int4", False, True, "mulaw")}
+                 "full4": ("int4", False, True, "mulaw"),
+                 # int8 everything: the 2026-08-19 b32 draw showed int8
+                 # self-cache stacking a further win on the int4 arm
+                 # (int4c 279.2 vs int4 258.9); stack it on the measured
+                 # winning int8 arm instead.
+                 "fullc": ("int8", True, True, "mulaw")}
     picks = os.environ.get("BENCH_LV3_ARMS", "bf16,int8,w8a8,int4,int4c")
     for name in picks.split(","):
         qdec, qcache, qenc, wire = arm_names[name.strip()]

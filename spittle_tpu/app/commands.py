@@ -26,6 +26,7 @@ from spittle_tpu.config.settings import (
 from spittle_tpu.events import CHECK_FOR_UPDATES, SETTINGS_CHANGED
 from spittle_tpu.text.jargon import builtin_profiles
 from spittle_tpu import llm_client
+from . import ui_state
 from .actions import ActionContext
 from .services import AppServices
 
@@ -435,7 +436,9 @@ class Commands:
         return url
 
     def check_apple_intelligence_available(self) -> bool:
-        return False  # non-macOS builds report unavailable (reference stub)
+        # Real FFI probe where the shim dylib exists (macOS arm64 or a
+        # test fake); False elsewhere (commands/mod.rs counterpart).
+        return ui_state.check_apple_intelligence_availability()
 
     def initialize_enigo(self) -> None:
         pass  # keyboard runtime is owned by the desktop shell

@@ -29,6 +29,7 @@ from spittle_tpu.config.i18n import get_language_code as _get_language_code
 from spittle_tpu.config.i18n import get_locale_table
 from spittle_tpu.config.settings import AppSettings, SoundTheme
 from spittle_tpu.events import EventBus, HIDE_OVERLAY, SHOW_OVERLAY
+from spittle_tpu.shell import apple_llm
 
 
 class TrayIconState(enum.Enum):
@@ -217,17 +218,24 @@ def is_laptop(run=subprocess.run) -> bool:
     return os.path.exists("/sys/class/power_supply/BAT0")
 
 
-# -- Apple Intelligence provider stub (apple_intelligence.rs) ----------------
+# -- Apple Intelligence provider (apple_intelligence.rs:23-60) ---------------
+#
+# Real FFI where the shim dylib exists (macOS arm64, or a fake pointed
+# at via SPITTLE_APPLE_LLM_DYLIB in tests); elsewhere these report
+# unavailable/raise, matching the reference's off-macOS cfg stubs
+# (pipeline.rs:852-856).
 
 
 def check_apple_intelligence_availability() -> bool:
-    """True only on macOS arm64 with the FoundationModels runtime; this
-    build targets TPU servers, so it reports unavailable (the reference
-    stubs identically off-macOS)."""
-    return False
+    client = apple_llm.default_client()
+    return client is not None and client.available()
 
 
-def apple_intelligence_process_text(prompt: str, token_limit: int = 0):
-    raise RuntimeError(
-        "Apple Intelligence is a macOS-arm64-only provider (FFI stub)"
-    )
+def apple_intelligence_process_text(prompt: str, token_limit: int = 0) -> str:
+    client = apple_llm.default_client()
+    if client is None:
+        raise apple_llm.AppleLLMError(
+            "Apple Intelligence is a macOS-arm64-only provider "
+            "(no shim dylib on this platform)"
+        )
+    return client.process_text(prompt, token_limit)

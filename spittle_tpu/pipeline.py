@@ -172,6 +172,22 @@ class PipelineState(Enum):
     DONE = "done"
 
 
+def _apple_llm_default_available() -> bool:
+    from spittle_tpu.shell import apple_llm
+
+    client = apple_llm.default_client()
+    return client is not None and client.available()
+
+
+def _apple_llm_default_process(prompt: str, token_limit: int) -> str:
+    from spittle_tpu.shell import apple_llm
+
+    client = apple_llm.default_client()
+    if client is None:
+        raise RuntimeError("Apple Intelligence shim is not loaded")
+    return client.process_text(prompt, token_limit)
+
+
 @dataclass
 class PipelineHooks:
     """Optional integration points (overlay/tray/history/at-file/OpenCC)."""
@@ -183,6 +199,12 @@ class PipelineHooks:
     expand_at_refs: Optional[Callable[[str], str]] = None
     convert_chinese: Optional[Callable[[str, str], Optional[str]]] = None
     send_chat_completion: Callable = llm_client.send_chat_completion
+    # Apple Intelligence FFI seam (pipeline.rs:817,831): real client on
+    # macOS arm64 via shell/apple_llm.py, unavailable elsewhere.
+    apple_intelligence_available: Callable[[], bool] = (
+        lambda: _apple_llm_default_available())
+    apple_intelligence_process: Callable[[str, int], str] = (
+        lambda prompt, limit: _apple_llm_default_process(prompt, limit))
 
 
 class TranscriptionPipeline:
@@ -450,9 +472,33 @@ class TranscriptionPipeline:
             )
 
         if provider.id == APPLE_INTELLIGENCE_PROVIDER_ID:
-            # Platform-specific FFI provider; stubbed off-macOS like the
-            # reference (pipeline.rs:852-856).
-            return None
+            # On-device FoundationModels provider (pipeline.rs:815-856):
+            # no system-message support, so the system text is folded
+            # into the prompt; the provider's "model" field carries a
+            # word-budget integer; every failure falls open to the raw
+            # transcription. Off-macOS the hook reports unavailable,
+            # matching the reference's cfg stub (:852-856).
+            if not self.hooks.apple_intelligence_available():
+                return None
+            ai_prompt = (
+                f"[System instruction: {system_message}]\n\n{processed_prompt}"
+                if system_message
+                else processed_prompt
+            )
+            try:
+                token_limit = int(model.strip())
+            except ValueError:
+                token_limit = 0
+            try:
+                result = self.hooks.apple_intelligence_process(
+                    ai_prompt, token_limit
+                )
+            except RuntimeError:
+                return None  # error path logs + falls open (:845-848)
+            sanitized = strip_leaked_prompt_instructions(result)
+            if not sanitized.strip():
+                return None
+            return sanitized
 
         api_key = s.post_process_api_keys.get(provider.id, "")
         try:

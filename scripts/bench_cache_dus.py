@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -92,6 +94,64 @@ def fresh_cols(acc):
     ).astype(jnp.bfloat16)
 
 
+# -- Pallas aliased column write (the eighth direction) ----------------------
+#
+# input_output_aliasing is an explicit buffer-assignment constraint: the
+# cache operand and the result share one HBM buffer, and the output
+# BlockSpec touches ONLY the 128-lane block containing pos (Mosaic
+# requires lane-dim blocks 128-divisible, so the single column lands via
+# an in-kernel lane mask). If XLA honors the alias through the
+# while_loop carry even with a scan read in the same iteration, the
+# whole-cache copy-on-write disappears; if it inserts a copy anyway,
+# that is the eighth measured direction on the law.
+#
+# Mosaic lowering notes (bisected on-chip, 2026-08-19): rank>3 blocks
+# and mixed-rank refs (a rank-2 cols block next to rank-3 cache blocks)
+# crash tpu_compile_helper with no front-end error; the working form is
+# everything rank-3 via a free collapse-reshape, cols carried as
+# [rows, HD, 1]. Dynamic lane-block index maps from a prefetched scalar
+# DO lower.
+
+_RB = 8  # row block (Mosaic: second-to-last block dim must be 8k)
+
+
+def _alias_write_kernel(pos_ref, cols_ref, cache_ref, out_ref):
+    # refs: cols [RB, HD, 1], cache/out [RB, HD, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
+    mask = lane == (pos_ref[0] % 128)
+    out_ref[...] = jnp.where(mask, cols_ref[...], cache_ref[...])
+
+
+def alias_col_write(cache, cols, pos):
+    """Write cols[...] into cache[..., pos] via the aliased kernel.
+
+    cache [L, 2, B, H, DH, ctx]; cols [L, 2, B, H, DH].
+    """
+    L_, two, B_, H_, DH_, ctx = cache.shape
+    rows, hd = L_ * two * B_, H_ * DH_
+    flat = cache.reshape(rows, hd, ctx)
+    cols3 = cols.reshape(rows, hd, 1)
+    lane_spec = pl.BlockSpec(
+        (_RB, hd, 128), lambda r, p: (r, 0, p[0] // 128)
+    )
+    out = pl.pallas_call(
+        _alias_write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(rows // _RB,),
+            in_specs=[
+                pl.BlockSpec((_RB, hd, 1), lambda r, p: (r, 0, 0)),
+                lane_spec,
+            ],
+            out_specs=lane_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+        input_output_aliases={2: 0},  # cache -> out (scalars count: gmm.py:507)
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.reshape(pos, (1,)).astype(jnp.int32), cols3, flat)
+    return out.reshape(cache.shape)
+
+
 def main():
     key = jax.random.PRNGKey(0)
     cache = jax.random.normal(key, (L, 2, B, H, DH, CTX), jnp.bfloat16)
@@ -145,6 +205,15 @@ def main():
         c = jax.lax.dynamic_update_slice(c, slab, (pos, 0, 0, 0, 0, 0))
         return out, c
 
+    def v_read_aliaswrite(acc, c, pos):
+        acc = scan_read(acc, c)
+        c = alias_col_write(c, fresh_cols(acc)[..., 0], pos)
+        return acc, c
+
+    def v_aliaswrite_only(acc, c, pos):
+        c = alias_col_write(c, fresh_cols(acc)[..., 0], pos)
+        return acc + c[0, 0, :, :, :, 0][:, :, None, :], c
+
     for name, fn, arr in (
         ("read-only", v_read, cache),
         ("read+dus", v_read_dus, cache),
@@ -152,7 +221,12 @@ def main():
         ("dus-only", v_dus_only, cache),
         ("scan-rewrite", v_scan_rewrite, cache),
         ("ctx-major-dus", v_ctx_major, cache_t),
+        ("read+aliaswrite", v_read_aliaswrite, cache),
+        ("aliaswrite-only", v_aliaswrite_only, cache),
     ):
+        only = os.environ.get("CD_VARIANTS")
+        if only and name not in only.split(","):
+            continue
         try:
             t = run(fn, arr)
             print(
@@ -171,8 +245,11 @@ def main():
     # columns live in a small [L, 2, B, H, Dh, R] ring rewritten as
     # scan ys each step; every R-th step a flush scan merges ring ->
     # cache (the expensive whole-slice rewrite, amortized by R).
+    only = os.environ.get("CD_VARIANTS")
     for ring in (8, 16, 32):
         if ring > CTX:
+            continue
+        if only and f"pending-ring-{ring}" not in only.split(","):
             continue
 
         def ring_step(acc, c, pend, pos):

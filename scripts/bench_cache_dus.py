@@ -122,6 +122,40 @@ def _alias_write_kernel(pos_ref, cols_ref, cache_ref, out_ref):
     out_ref[...] = jnp.where(mask, cols_ref[...], cache_ref[...])
 
 
+def _alias_write_kernel_sub(pos_ref, cols_ref, cache_ref, out_ref):
+    # refs: cols [RB, 1, HD], cache/out [RB, 8, HD]; ctx on sublanes
+    sub = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    mask = sub == (pos_ref[0] % 8)
+    out_ref[...] = jnp.where(mask, cols_ref[...], cache_ref[...])
+
+
+def alias_col_write_sub(cache_t, cols, pos):
+    """Aliased column write, ctx-on-sublanes layout.
+
+    cache_t [rows, ctx, HD]; cols [rows, HD]. The written 8-sublane
+    block is 1/16 of the cache at ctx=128 (vs the whole cache for the
+    lane-dim form, where the minimum 128-lane block == ctx).
+    """
+    rows, ctx, hd = cache_t.shape
+    cols3 = cols.reshape(rows, 1, hd)
+    spec = pl.BlockSpec((_RB, 8, hd), lambda r, p: (r, p[0] // 8, 0))
+    return pl.pallas_call(
+        _alias_write_kernel_sub,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(rows // _RB,),
+            in_specs=[
+                pl.BlockSpec((_RB, 1, hd), lambda r, p: (r, 0, 0)),
+                spec,
+            ],
+            out_specs=spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache_t.shape, cache_t.dtype),
+        input_output_aliases={2: 0},
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.reshape(pos, (1,)).astype(jnp.int32), cols3, cache_t)
+
+
 def alias_col_write(cache, cols, pos):
     """Write cols[...] into cache[..., pos] via the aliased kernel.
 
@@ -245,7 +279,101 @@ def main():
     # columns live in a small [L, 2, B, H, Dh, R] ring rewritten as
     # scan ys each step; every R-th step a flush scan merges ring ->
     # cache (the expensive whole-slice rewrite, amortized by R).
+    # -- ctx-on-sublanes layout arms (for the aliased write) ------------
+    # [L, 2B, ctx, HD]: the aliased kernel's minimum write block is 8
+    # sublanes (1/16 of the cache at ctx=128) instead of 128 lanes (all
+    # of it). read+dus-sub is the same-layout control for the law.
     only = os.environ.get("CD_VARIANTS")
+    sub_names = ("read-only-sub", "read+dus-sub", "read+aliaswrite-sub",
+                 "aliaswrite-sub-only", "scan-rewrite-sub")
+    if not only or any(n in only.split(",") for n in sub_names):
+        rows, hd = L * 2 * B, H * DH
+        c_sub = jnp.transpose(cache, (0, 1, 2, 5, 3, 4)).reshape(
+            L, 2 * B, CTX, hd
+        )
+
+        def sub_read(acc, c):
+            def rd(carry, cache_l):
+                return carry + cache_l.sum((0, 1)), None
+
+            out, _ = jax.lax.scan(rd, acc, c)
+            return out
+
+        def sub_fresh(acc):
+            return jnp.broadcast_to(acc[None, :], (rows, hd)).astype(
+                jnp.bfloat16
+            )
+
+        def sv_read(acc, c, pos):
+            return sub_read(acc, c), c
+
+        def sv_read_dus(acc, c, pos):
+            acc = sub_read(acc, c)
+            cols = sub_fresh(acc).reshape(L, 2 * B, 1, hd)
+            c = jax.lax.dynamic_update_slice(c, cols, (0, 0, pos, 0))
+            return acc, c
+
+        def sv_read_alias(acc, c, pos):
+            acc = sub_read(acc, c)
+            c = alias_col_write_sub(
+                c.reshape(rows, CTX, hd), sub_fresh(acc), pos
+            ).reshape(L, 2 * B, CTX, hd)
+            return acc, c
+
+        def sv_alias_only(acc, c, pos):
+            c = alias_col_write_sub(
+                c.reshape(rows, CTX, hd), sub_fresh(acc), pos
+            ).reshape(L, 2 * B, CTX, hd)
+            return acc + c[0, 0, 0], c
+
+        def sv_scan_rewrite(acc, c, pos):
+            cols = sub_fresh(acc).reshape(L, 2 * B, 1, hd)
+
+            def rd(carry, xs):
+                cache_l, col_l = xs
+                cache_l = jax.lax.dynamic_update_slice(
+                    cache_l, col_l, (0, pos, 0)
+                )
+                return carry + cache_l.sum((0, 1)), cache_l
+
+            out, c = jax.lax.scan(rd, acc, (c, cols))
+            return out, c
+
+        def run_sub(step_fn):
+            def body(state):
+                acc, c, pos = state
+                acc, c = step_fn(acc, c, pos)
+                return acc, c, pos + 1
+
+            @jax.jit
+            def go(c):
+                acc = jnp.zeros((hd,), jnp.bfloat16)
+                final = jax.lax.while_loop(
+                    lambda s: s[2] < STEPS, body, (acc, c, jnp.int32(0))
+                )
+                return final[0].sum()
+
+            return timed(lambda: go(c_sub))
+
+        for name, fn in (
+            ("read-only-sub", sv_read),
+            ("read+dus-sub", sv_read_dus),
+            ("read+aliaswrite-sub", sv_read_alias),
+            ("aliaswrite-sub-only", sv_alias_only),
+            ("scan-rewrite-sub", sv_scan_rewrite),
+        ):
+            if only and name not in only.split(","):
+                continue
+            try:
+                t = run_sub(fn)
+                print(json.dumps({
+                    "variant": name,
+                    "ms_per_step": round(t / STEPS * 1e3, 3),
+                    "eff_read_gbps": round(gb * STEPS / t, 1),
+                }))
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"variant": name, "error": str(e)[:200]}))
+
     for ring in (8, 16, 32):
         if ring > CTX:
             continue

@@ -32,6 +32,8 @@ from .model import (
     decode_step,
     decode_form,
     decode_step_deferred,
+    decode_step_tmajor,
+    transpose_cache_tmajor,
     decode_step_ring,
     decoder_prefill,
     init_kv_cache,
@@ -267,12 +269,18 @@ def _greedy_loop(
     )
 
     deferred = form == "deferred"
+    tmajor = form == "tmajor"
     if form == "ring":
         pending = init_ring(cache, ring)
     elif deferred:
         pending = init_pending(cache, prefix_len)
     else:
         pending = ()
+    if tmajor:
+        # ctx-major carry layout: the per-step bulk DUS updates in
+        # place (decode_step_tmajor docstring); transposed back after
+        # the loop so callers see the canonical layout.
+        cache = transpose_cache_tmajor(cache)
     state = dict(
         tokens=tokens,
         pos=jnp.asarray(prefix_len, jnp.int32),
@@ -356,6 +364,12 @@ def _greedy_loop(
                 params, next_tok, pos, s["cache"], s["pending"], cross_kv,
                 cfg, audio_ctx=xa.shape[1],
             )
+        elif tmajor:
+            cur_logits, cache = decode_step_tmajor(
+                params, next_tok, pos, s["cache"], cross_kv, cfg,
+                audio_ctx=xa.shape[1],
+            )
+            pending = ()
         else:
             cur_logits, cache = decode_step(
                 params, next_tok, pos, s["cache"], cross_kv, cfg,
@@ -390,6 +404,8 @@ def _greedy_loop(
         final["cache"] = _write_columns_bulk(
             final["cache"], final["pending"], final["pos"] - 1
         )
+    elif tmajor:
+        final["cache"] = transpose_cache_tmajor(final["cache"])
     return final, pre_logits
 
 

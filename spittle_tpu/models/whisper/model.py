@@ -690,6 +690,12 @@ def decode_form() -> str:
       that beats scan IN-LOOP (21.4 vs 23.6) but loses e2e (config 19
       int8 220 vs 277: the dict-cache ring attend's extra dequant
       dots).
+    - "tmajor" (greedy loop only): the cache rides the while_loop carry
+      TRANSPOSED to [L, 2, B, H, ctx, Dh] (transpose_cache_tmajor at
+      loop entry/exit); hybrid attend + one ctx-axis bulk DUS
+      (decode_step_tmajor). The copy-on-write law is layout-dependent:
+      read+DUS costs 1.64 ms/step in this layout vs 10.8 ctx-minor
+      (bench_cache_dus sublane arms, 2026-08-19).
 
     decode_step honors "scan"/"hybrid" ("deferred"/"ring" fall back to
     scan there — their machinery lives in the greedy while_loop, which
@@ -1050,6 +1056,149 @@ def decode_step_deferred(params, tokens, pos, kv_cache, pending, cross_kv,
         emit_cols=True,
     )
     return logits_from_hidden(params, x)[:, 0], kv_cache, cols
+
+
+def transpose_cache_tmajor(kv_cache):
+    """[L, 2, B, H, Dh, ctx] <-> [L, 2, B, H, ctx, Dh] (dict form: qw
+    only — the per-position scale is already ctx-minor). An involution;
+    the greedy loop applies it once at entry and once at exit, ~2 full
+    cache streams per window (negligible vs the per-step savings)."""
+    if isinstance(kv_cache, dict):
+        return {
+            "qw": kv_cache["qw"].swapaxes(-1, -2),
+            "scale": kv_cache["scale"],
+        }
+    return kv_cache.swapaxes(-1, -2)
+
+
+def _attend_fresh_column_t(q, cache_l, k_new, v_new, pos, col):
+    """_attend_fresh_column for the ctx-major ("tmajor") cache layout:
+    cache_l [2, B, H, ctx, Dh] (dict: qw [2, B, H, ctx, Dh], scale
+    [2, B, H, ctx]). Same algebra; the einsums contract the minor Dh
+    axis and the emitted column is [2, B, H, 1, Dh], so the caller's
+    bulk write is a ctx-axis DUS — the layout where XLA updates the
+    loop-carried cache in place (bench_cache_dus: read+dus-sub
+    1.64 ms/step vs 10.8 for the ctx-minor layout at large-v3 b32)."""
+    mask_lt = col < pos
+    if isinstance(cache_l, dict):
+        from spittle_tpu.ops.quant import quantize_kv_t
+
+        new = jnp.stack([k_new, v_new])  # [2, B, H, 1, Dh]
+        q8 = quantize_kv_t(new)
+        ks = cache_l["scale"][0]  # [B, H, ctx] f32
+        vs = cache_l["scale"][1]
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, cache_l["qw"][0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * ks[:, :, None, :]
+        s_pos = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, q8["qw"][0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * q8["scale"][0][:, :, None, :]  # [B, H, 1, 1]
+        s = jnp.where(col == pos, s_pos, s)
+        s = jnp.where(col <= pos, s, -1e30)
+        probs = jax.nn.softmax(s, axis=-1)
+        p_pos = jax.lax.dynamic_slice_in_dim(probs, pos, 1, axis=-1)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            ((probs * mask_lt) * vs[:, :, None, :]).astype(q.dtype),
+            cache_l["qw"][1].astype(q.dtype),
+        )
+        o = o + jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            (p_pos * q8["scale"][1][:, :, None, :]).astype(q.dtype),
+            q8["qw"][1].astype(q.dtype),
+        )
+        return o, (q8["qw"], q8["scale"])
+    dtype = cache_l.dtype
+    kd = k_new.astype(dtype)
+    vd = v_new.astype(dtype)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, cache_l[0], preferred_element_type=jnp.float32
+    )
+    s_pos = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, kd, preferred_element_type=jnp.float32
+    )
+    s = jnp.where(col == pos, s_pos, s)
+    s = jnp.where(col <= pos, s, -1e30)
+    probs = jax.nn.softmax(s, axis=-1)
+    p_pos = jax.lax.dynamic_slice_in_dim(probs, pos, 1, axis=-1)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", (probs * mask_lt).astype(dtype), cache_l[1]
+    )
+    o = o + jnp.einsum("bhqk,bhkd->bhqd", p_pos.astype(dtype), vd)
+    return o, jnp.stack([kd, vd])  # [2, B, H, 1, Dh]
+
+
+def _write_columns_bulk_t(cache, cols, pos):
+    """_write_columns_bulk for the ctx-major layout: one ctx-axis DUS
+    ([L, 2, B, H, ctx, Dh] array or the int8 dict form). In this layout
+    XLA performs the update in place even with the layer-scan read in
+    the same loop iteration (the ctx-minor layout copy-on-writes the
+    whole cache; bench_cache_dus sublane arms)."""
+    if isinstance(cache, dict):
+        qw_cols, sc_cols = cols  # [L, 2, B, H, K, Dh], [L, 2, B, H, K]
+        return {
+            "qw": jax.lax.dynamic_update_slice(
+                cache["qw"], qw_cols, (0, 0, 0, 0, pos, 0)
+            ),
+            "scale": jax.lax.dynamic_update_slice(
+                cache["scale"], sc_cols, (0, 0, 0, 0, pos)
+            ),
+        }
+    return jax.lax.dynamic_update_slice(
+        cache, cols.astype(cache.dtype), (0, 0, 0, 0, pos, 0)
+    )
+
+
+def _step_blocks_layers_t(blocks, x, kv_cache, cross_k, cross_v, pos,
+                          n_head, cross_kv_len):
+    """One token through all decoder layers, ctx-major cache as a
+    READ-ONLY scan xs; returns (x, per-layer fresh columns) for the
+    caller's bulk ctx-axis write."""
+    scale = (x.shape[-1] // n_head) ** -0.25
+    quant = isinstance(kv_cache, dict)
+    n_ctx = (kv_cache["qw"] if quant else kv_cache).shape[4]
+    col = jnp.arange(n_ctx)[None, None, None, :]
+
+    def body(carry, inputs):
+        (h,) = carry
+        blk, cache_l, ck, cv = inputs
+        q, k_new, v_new = _proj_qkv_step(h, blk, n_head, scale)
+        o, ys = _attend_fresh_column_t(q, cache_l, k_new, v_new, pos, col)
+        return (_layer_rest(h, o, blk, ck, cv, n_head, cross_kv_len),), ys
+
+    (x,), cols = jax.lax.scan(
+        body, (x,), (blocks, kv_cache, cross_k, cross_v)
+    )
+    return x, cols
+
+
+def decode_step_tmajor(params, tokens, pos, kv_cache, cross_kv, cfg,
+                       audio_ctx: int = 0):
+    """One greedy-loop decode step in the ctx-major cache layout
+    (decode_form "tmajor"): read-only layer scan + in-register fresh
+    column + ONE in-place ctx-axis bulk DUS.
+
+    The copy-on-write law is layout-dependent: with ctx on the minor
+    axis, XLA copies the whole loop-carried cache per step (10.8 vs
+    0.79 ms read-only at large-v3 b32); with ctx second-minor the same
+    read+DUS structure costs 1.64 ms (bench_cache_dus sublane arms,
+    2026-08-19). The caller owns the layout transposes at loop
+    entry/exit (transpose_cache_tmajor)."""
+    dec = params["decoder"]
+    x = dec["tok_emb"][tokens][:, None, :]  # [B, 1, D]
+    x = (x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1)[None]).astype(
+        dec["tok_emb"].dtype
+    )
+    x, cols = _step_blocks_layers_t(
+        dec["blocks"], x, kv_cache, cross_kv[0], cross_kv[1], pos,
+        cfg.n_text_head, cross_kv_len=audio_ctx or cfg.n_audio_ctx,
+    )
+    return (
+        logits_from_hidden(params, x)[:, 0],
+        _write_columns_bulk_t(kv_cache, cols, pos),
+    )
 
 
 def logits_from_hidden(params: Params, h: jnp.ndarray) -> jnp.ndarray:

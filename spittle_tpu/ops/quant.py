@@ -155,6 +155,21 @@ def quantize_kv(kv: jnp.ndarray) -> QuantW:
     return {"qw": q, "scale": scale}
 
 
+def quantize_kv_t(kv: jnp.ndarray) -> QuantW:
+    """quantize_kv for the ctx-major decode layout: kv [..., T, Dh],
+    one scale per (..., T) vector (max-abs over the minor Dh axis).
+    Numerically identical to quantize_kv on the transposed tensor —
+    same scale values, same rounding — so the tmajor decode form stores
+    byte-equal quantized columns (tests/test_decode_forms.py)."""
+    kv32 = kv.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kv32), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(kv32 / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return {"qw": q, "scale": scale}
+
+
 def dequantize_kv(q: QuantW, dtype=jnp.bfloat16) -> jnp.ndarray:
     qw = q["qw8"] if "qw8" in q else q["qw"]
     return (

@@ -156,6 +156,54 @@ def test_ring_steps_match_scan(quant_cache):
         )
 
 
+def _steps_tmajor(params, cross_kv, cache, toks, pos0):
+    """ctx-major form: transpose at entry/exit like the greedy loop."""
+    logits = []
+    cache = M.transpose_cache_tmajor(cache)
+    pos = pos0
+    for t in toks:
+        lg, cache = M.decode_step_tmajor(
+            params, t, jnp.int32(pos), cache, cross_kv, TINY
+        )
+        logits.append(lg)
+        pos += 1
+    return jnp.stack(logits), M.transpose_cache_tmajor(cache)
+
+
+@pytest.mark.parametrize("quant_cache", [False, True])
+def test_tmajor_steps_match_scan(quant_cache):
+    """The ctx-major layout form matches the scan form's logits and
+    final cache bytes (quantized columns byte-equal: quantize_kv_t is
+    quantize_kv on the transposed tensor)."""
+    params, xa = _setup()
+    cross_kv = M.precompute_cross_kv(params, xa, TINY)
+    prefix = jnp.asarray([[TINY.sot, 50259, 50359]] * 2, jnp.int32)
+    _, cache = M.decoder_prefill(
+        params, prefix, cross_kv, TINY, 32, quant_cache=quant_cache
+    )
+    rng = np.random.default_rng(2)
+    toks = [
+        jnp.asarray(rng.integers(0, TINY.n_vocab, 2), jnp.int32)
+        for _ in range(8)
+    ]
+    lg_s, cache_s = _steps_scan(params, cross_kv, cache, toks, 3)
+    lg_t, cache_t = _steps_tmajor(params, cross_kv, cache, toks, 3)
+    # Same reduction-order caveat as the deferred form (fresh-column
+    # split V contraction + a different einsum operand layout): ULP
+    # deltas, argmax-stable.
+    np.testing.assert_allclose(
+        np.asarray(lg_s), np.asarray(lg_t), rtol=1e-4, atol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(cache_s), jax.tree_util.tree_leaves(cache_t)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a).astype(np.float32),
+            np.asarray(b).astype(np.float32),
+            rtol=1e-3, atol=1e-3,
+        )
+
+
 @pytest.mark.parametrize("quant_cache", [False, True])
 def test_greedy_forms_token_identical(monkeypatch, quant_cache):
     """greedy_decode under scan / hybrid / deferred / ring: same tokens
@@ -168,14 +216,14 @@ def test_greedy_forms_token_identical(monkeypatch, quant_cache):
     )
     outs = {}
     monkeypatch.setenv("SPITTLE_DECODE_RING", "4")
-    for form in ("scan", "deferred", "hybrid", "ring"):
+    for form in ("scan", "deferred", "hybrid", "ring", "tmajor"):
         monkeypatch.setenv("SPITTLE_DECODE_FORM", form)
         jax.clear_caches()
         outs[form] = greedy_decode(params, xa, TINY, opts)
     monkeypatch.delenv("SPITTLE_DECODE_FORM")
     monkeypatch.delenv("SPITTLE_DECODE_RING")
     jax.clear_caches()
-    for form in ("deferred", "hybrid", "ring"):
+    for form in ("deferred", "hybrid", "ring", "tmajor"):
         np.testing.assert_array_equal(
             np.asarray(outs["scan"]["tokens"]),
             np.asarray(outs[form]["tokens"]),

@@ -666,9 +666,12 @@ def decode_form() -> str:
     knob (SPITTLE_DECODE_FORM) for every decode path; legacy
     SPITTLE_DECODE_SCAN=1 forces "scan".
 
-    Values (default "scan" — every alternative measured worse e2e
-    on-chip, 2026-08-18; full table in docs/PERFORMANCE.md and the
-    probes in scripts/bench_cache_dus.py):
+    Values (default "tmajor" since 2026-08-19 — the copy-on-write law
+    turned out to be layout-dependent and the ctx-major form measured
+    +35% e2e, config 19 fullc b32 300.7 -> 405.0, lv3 sustained
+    399.5 -> 470.2, turbo headline 849.4 -> 894.6; every OTHER
+    alternative measured worse e2e on-chip, 2026-08-18; full table in
+    docs/PERFORMANCE.md and the probes in scripts/bench_cache_dus.py):
 
     - "scan": lax.scan with the cache as xs AND ys rewrites every
       layer's whole 21 MB cache slice per step to change one 160 KB
@@ -705,7 +708,7 @@ def decode_form() -> str:
     runs process-per-arm."""
     if os.environ.get("SPITTLE_DECODE_SCAN", "0") == "1":
         return "scan"
-    return os.environ.get("SPITTLE_DECODE_FORM", "scan")
+    return os.environ.get("SPITTLE_DECODE_FORM", "tmajor")
 
 
 def _proj_qkv_step(h, blk, n_head, scale):

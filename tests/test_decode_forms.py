@@ -238,10 +238,11 @@ def test_greedy_forms_token_identical(monkeypatch, quant_cache):
 
 
 def test_default_forms():
-    """Production default: scan everywhere (every alternative measured
-    worse e2e on-chip — see decode_form docstring); legacy
-    SPITTLE_DECODE_SCAN=1 also forces scan."""
-    assert M.decode_form() == "scan"
+    """Production default: tmajor for the greedy loop (+35% e2e — the
+    copy-on-write law is layout-dependent, see decode_form docstring);
+    decode_step/beam/speculative fall back to scan for non-greedy
+    forms. Legacy SPITTLE_DECODE_SCAN=1 forces scan."""
+    assert M.decode_form() == "tmajor"
     try:
         import os
 

@@ -209,12 +209,12 @@ def main():
         quantize_cache=not exact,
     )
     lv3.load_model("random:large-v3")
-    # Batch 44 is the measured frontier: b48 fails from both directions
-    # (scan form kills tpu_compile_helper — 6 attempts across 3 sessions;
-    # ring form is a genuine HBM RESOURCE_EXHAUSTED even on this stack),
-    # while the in-loop ladder climbs monotonically to it (b32 309.0,
-    # b40 341.2, b44 348.9; 2026-08-19).
-    lv3_batch_size = 44
+    # Batch 44 is the measured frontier: b48 fails (compile-helper crash
+    # on the scan form; genuine HBM RESOURCE_EXHAUSTED under tmajor/ring
+    # even on this stack). Under the tmajor default (2026-08-19) b44
+    # sustained measured 470.2 vs scan's 399.5 prior best; b32/b46
+    # in-loop measured lower (405.0/389.9). BENCH_LV3_BATCH sweeps.
+    lv3_batch_size = int(os.environ.get("BENCH_LV3_BATCH", "44"))
 
     def make_lv3_batch():
         return [

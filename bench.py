@@ -116,6 +116,21 @@ def main():
     # the reference itself ships quantized GGML artifacts (q4_1/q5_0).
     # SPITTLE_BENCH_EXACT=1 reverts to the int16+bf16 exact path.
     exact = os.environ.get("SPITTLE_BENCH_EXACT", "0") == "1"
+    # BENCH_ONLY=lv3|turbo runs a single leg (batch-frontier sweeps on
+    # one model shouldn't pay the other model's compile+runs).
+    only = os.environ.get("BENCH_ONLY", "")
+    if only != "lv3":
+        _turbo_leg(exact)
+    if only != "turbo":
+        _lv3_leg(exact)
+
+
+def _turbo_leg(exact):
+    import jax.numpy as jnp
+
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+
     engine = WhisperEngine(
         dtype=jnp.bfloat16,
         wire="auto" if exact else "mulaw",
@@ -187,20 +202,38 @@ def main():
         "link_mbps_after": link_after,
     }), flush=True)
 
+    del engine
+
+
+def _lv3_leg(exact):
     # ---- Second line: whisper-large-v3 PROPER, the north star's named
     # model (VERDICT r3 #1c: the driver must record a large-v3 number
     # every round, not just turbo). Measured winning large-v3 stack on
-    # this chip (2026-08-19 in-loop ladder + same-draw A/B): int8 decoder
-    # weights + int8 cross-KV + int8 self-cache + W8A8 encoder + mu-law
-    # wire at batch 32 — 309.0 vs 302.6 without the self-cache in the
-    # same draw (317.4 best across draws); int8-alone 277x, bf16 238x.
-    # Reference-faithful: its own large-v3 catalog artifact is
-    # q5_0-quantized. SPITTLE_BENCH_EXACT=1 reverts to the exact
-    # int16+bf16 path here too.
-    del engine
+    # this chip (2026-08-19 in-loop ladder + same-draw A/Bs, re-confirmed
+    # post-tmajor 2026-08-20: int8 fullc 391.2 vs int4 348.3/329.4):
+    # int8 decoder weights + int8 cross-KV + int8 self-cache + W8A8
+    # encoder + mu-law wire. Reference-faithful: its own large-v3
+    # catalog artifact is q5_0-quantized. SPITTLE_BENCH_EXACT=1 reverts
+    # to the exact int16+bf16 path here too.
     import gc
 
+    import jax.numpy as jnp
+
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+    from spittle_tpu.utils.linkprobe import measure_link_mbps
+
     gc.collect()  # release turbo weights/caches before the 32-layer model
+    rng = np.random.default_rng(0)
+    params = TranscribeParams(
+        language="en",
+        condition_on_previous_text=False,
+        parallel_windows=True,
+        max_tokens=MAX_TOKENS,
+        temperatures=(0.0,),
+    )
+    wire_desc = "int16" if exact else "mu-law 8-bit"
+    enc_desc = "bf16" if exact else "W8A8 int8 encoder, bf16 decode"
     lv3 = WhisperEngine(
         dtype=jnp.bfloat16,
         wire="auto" if exact else "mulaw",

@@ -801,7 +801,14 @@ def _config19():
                  # self-cache stacking a further win on the int4 arm
                  # (int4c 279.2 vs int4 258.9); stack it on the measured
                  # winning int8 arm instead.
-                 "fullc": ("int8", True, True, "mulaw")}
+                 "fullc": ("int8", True, True, "mulaw"),
+                 # full4 + int8 self-cache: pre-tmajor the int4 arms
+                 # measured OUT vs int8 (2026-08-19 session-4, two
+                 # draws), but that balance included the copy-on-write
+                 # overhead tmajor removed — with the self-cache fixed,
+                 # the cross-KV stream is a larger fraction of step
+                 # time and halving it is worth a re-measure.
+                 "full4c": ("int4", True, True, "mulaw")}
     picks = os.environ.get("BENCH_LV3_ARMS", "bf16,int8,w8a8,int4,int4c")
     for name in picks.split(","):
         qdec, qcache, qenc, wire = arm_names[name.strip()]

@@ -242,12 +242,12 @@ def _lv3_leg(exact):
         quantize_cache=not exact,
     )
     lv3.load_model("random:large-v3")
-    # Batch 44 is the measured frontier: b48 fails (compile-helper crash
-    # on the scan form; genuine HBM RESOURCE_EXHAUSTED under tmajor/ring
-    # even on this stack). Under the tmajor default (2026-08-19) b44
-    # sustained measured 470.2 vs scan's 399.5 prior best; b32/b46
-    # in-loop measured lower (405.0/389.9). BENCH_LV3_BATCH sweeps.
-    lv3_batch_size = int(os.environ.get("BENCH_LV3_BATCH", "44"))
+    # Batch 45 is the measured frontier (2026-08-20 same-draw sweep:
+    # b44 456.5 / b45 469.0 / b46 467.9 / b47 genuine HBM
+    # RESOURCE_EXHAUSTED; b48 also OOMs). Under the tmajor default the
+    # prior b44 record was 470.2 in a better-weather draw.
+    # BENCH_LV3_BATCH sweeps.
+    lv3_batch_size = int(os.environ.get("BENCH_LV3_BATCH", "45"))
 
     def make_lv3_batch():
         return [

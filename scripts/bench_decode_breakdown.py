@@ -89,13 +89,34 @@ def main():
     )
     cross_kv = precompute_cross_kv(params, xa, cfg)
     ctx = -(-(STEPS + 8) // 32) * 32
-    cache0 = init_kv_cache(cfg, B, jnp.bfloat16, ctx=ctx)
+    # BDB_STACK=fullc ablates the PRODUCTION winning stack instead of the
+    # plain bf16 scan form: int8 decoder weights + int8 cross-KV + int8
+    # self-cache, stepped through decode_step_tmajor (the default form
+    # since 2026-08-19). The bf16 default keeps the historical ablation
+    # comparable across rounds.
+    STACK = os.environ.get("BDB_STACK", "bf16")
+    if STACK == "fullc":
+        from spittle_tpu.ops.attention import pad_cross_kv
+        from spittle_tpu.ops.quant import quantize_kv, quantize_whisper_decoder
+
+        params = quantize_whisper_decoder(params)
+        cross_kv = pad_cross_kv(
+            (quantize_kv(cross_kv[0]), quantize_kv(cross_kv[1]))
+        )
+        cache0 = M.transpose_cache_tmajor(
+            init_kv_cache(cfg, B, jnp.bfloat16, ctx=ctx, quant=True)
+        )
+    else:
+        cache0 = init_kv_cache(cfg, B, jnp.bfloat16, ctx=ctx)
     # Fixed token path: every variant feeds the same ids, so programs
     # differ only in the knocked-out compute.
     toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (STEPS, B)), jnp.int32)
 
     def build():
-        step = M.decode_step.__wrapped__  # unjitted body
+        if STACK == "fullc":
+            step = M.decode_step_tmajor  # plain function (caller jits)
+        else:
+            step = M.decode_step.__wrapped__  # unjitted body
 
         @jax.jit
         def run(params, cache0, cross_kv, toks):
@@ -147,12 +168,26 @@ def main():
         ).swapaxes(-1, -2)
         return q, ys
 
+    def _fresh_noattend_t(q, cache_l, k_new, v_new, pos, col):
+        # tmajor emits [2, B, H, 1, Dh] columns; the int8 dict cache
+        # wants (qw int8, scale f32 [2, B, H, 1]) so the bulk write
+        # stays traceable with the attend knocked out.
+        new = jnp.stack([k_new, v_new])
+        if isinstance(cache_l, dict):
+            return q, (
+                new.astype(jnp.int8),
+                jnp.ones(new.shape[:-1], jnp.float32),
+            )
+        return q, new.astype(cache_l.dtype)
+
     with patched(
         M,
         _cache_attend=lambda q, cache_l, mask: q,
         _cache_write=lambda cache_l, k, v, pos: cache_l,
         _attend_fresh_column=_fresh_noattend,
         _write_columns_bulk=lambda cache, cols, pos: cache,
+        _attend_fresh_column_t=_fresh_noattend_t,
+        _write_columns_bulk_t=lambda cache, cols, pos: cache,
     ):
         measure("no-self")
     # Split the self-attention cost: the column WRITE into the time-minor
@@ -161,12 +196,14 @@ def main():
         M,
         _cache_write=lambda cache_l, k, v, pos: cache_l,
         _write_columns_bulk=lambda cache, cols, pos: cache,
+        _write_columns_bulk_t=lambda cache, cols, pos: cache,
     ):
         measure("no-self-write")
     with patched(
         M,
         _cache_attend=lambda q, cache_l, mask: q,
         _attend_fresh_column=_fresh_noattend,
+        _attend_fresh_column_t=_fresh_noattend_t,
     ):
         measure("no-self-attend")
     with patched(M, _mlp=lambda x, blk: x):
@@ -182,6 +219,10 @@ def main():
         ),
     ):
         measure("no-logits")
+
+    if STACK == "fullc":
+        _report_marginals(results, STEPS)
+        return  # deferred/ring are scan-form experiments (bf16 cache)
 
     # The production greedy-loop form: deferred cache writes (pending
     # columns land at the top of the next iteration — in-place DUS; see
@@ -265,6 +306,10 @@ def main():
                 "error": str(e).replace("\n", " ")[:200],
             }), flush=True)
 
+    _report_marginals(results, STEPS)
+
+
+def _report_marginals(results, steps):
     full = results["full"]
     for name in ("no-cross", "no-self", "no-self-write",
                  "no-self-attend", "no-mlp", "no-logits"):
@@ -272,7 +317,7 @@ def main():
             print(json.dumps({
                 "component": name[3:],
                 "marginal_ms_per_step": round(
-                    (full - results[name]) / STEPS * 1e3, 3),
+                    (full - results[name]) / steps * 1e3, 3),
                 "share_of_full": round(1 - results[name] / full, 3),
             }), flush=True)
 

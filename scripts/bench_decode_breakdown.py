@@ -99,10 +99,19 @@ def main():
         from spittle_tpu.ops.attention import pad_cross_kv
         from spittle_tpu.ops.quant import quantize_kv, quantize_whisper_decoder
 
+        # HBM discipline: unlike the engine (whose encoder/params are
+        # already int8 at this point), this harness holds a full bf16
+        # init — drop the encoder tree and free each bf16 cross-KV half
+        # as soon as its int8 copy exists, or large-v3 b32 OOMs.
         params = quantize_whisper_decoder(params)
-        cross_kv = pad_cross_kv(
-            (quantize_kv(cross_kv[0]), quantize_kv(cross_kv[1]))
-        )
+        params = {"decoder": params["decoder"]}
+        ck_bf, cv_bf = cross_kv
+        qk = jax.block_until_ready(quantize_kv(ck_bf))
+        ck_bf.delete()
+        qv = jax.block_until_ready(quantize_kv(cv_bf))
+        cv_bf.delete()
+        xa.delete()
+        cross_kv = pad_cross_kv((qk, qv))
         cache0 = M.transpose_cache_tmajor(
             init_kv_cache(cfg, B, jnp.bfloat16, ctx=ctx, quant=True)
         )

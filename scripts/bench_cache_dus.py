@@ -279,11 +279,71 @@ def main():
     # columns live in a small [L, 2, B, H, Dh, R] ring rewritten as
     # scan ys each step; every R-th step a flush scan merges ring ->
     # cache (the expensive whole-slice rewrite, amortized by R).
+    # -- PRODUCTION tmajor layout arms ([L, 2, B, H, ctx, Dh]) ----------
+    # decode_step_tmajor carries the cache with ctx second-minor and
+    # Dh=64 minor — a layout the original probe matrix never measured
+    # directly (the "sub" arms below merge H into a 1280-wide minor).
+    # These arms time the attend-shaped read (einsum contracting the
+    # minor Dh) and the production ctx-axis bulk DUS at the exact carry
+    # layout, so the 528-vs-866 GB/s question is answered for the form
+    # the engine actually runs.
+    only = os.environ.get("CD_VARIANTS")
+    tmaj_names = ("read-only-tmaj", "read+dus-tmaj")
+    if not only or any(n in only.split(",") for n in tmaj_names):
+        c_tmaj = jnp.swapaxes(cache, -1, -2)  # [L, 2, B, H, CTX, DH]
+        q_t = jax.random.normal(
+            jax.random.PRNGKey(1), (B, H, 1, DH), jnp.bfloat16
+        )
+
+        def tmaj_read(acc, c):
+            def rd(carry, cache_l):
+                # attend-shaped: scores contract minor Dh, V-dot
+                # contracts ctx — touches K and V like the real step
+                s = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q_t, cache_l[0],
+                    preferred_element_type=jnp.float32,
+                )
+                o = jnp.einsum(
+                    "bhqk,bhkd->bhqd", s.astype(jnp.bfloat16), cache_l[1]
+                )
+                return carry + o, None
+
+            out, _ = jax.lax.scan(rd, acc, c)
+            return out
+
+        def tv_read(acc, c, pos):
+            return tmaj_read(acc, c), c
+
+        def tv_read_dus(acc, c, pos):
+            acc = tmaj_read(acc, c)
+            cols = jnp.broadcast_to(
+                acc[None, None, :, :, 0, None, :], (L, 2, B, H, 1, DH)
+            ).astype(jnp.bfloat16)
+            c = jax.lax.dynamic_update_slice(
+                c, cols, (0, 0, 0, 0, pos, 0)
+            )
+            return acc, c
+
+        for name, fn in (
+            ("read-only-tmaj", tv_read),
+            ("read+dus-tmaj", tv_read_dus),
+        ):
+            if only and name not in only.split(","):
+                continue
+            try:
+                t = run(fn, c_tmaj)
+                print(json.dumps({
+                    "variant": name,
+                    "ms_per_step": round(t / STEPS * 1e3, 3),
+                    "eff_read_gbps": round(gb * STEPS / t, 1),
+                }))
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"variant": name, "error": str(e)[:200]}))
+
     # -- ctx-on-sublanes layout arms (for the aliased write) ------------
     # [L, 2B, ctx, HD]: the aliased kernel's minimum write block is 8
     # sublanes (1/16 of the cache at ctx=128) instead of 128 lanes (all
     # of it). read+dus-sub is the same-layout control for the law.
-    only = os.environ.get("CD_VARIANTS")
     sub_names = ("read-only-sub", "read+dus-sub", "read+aliaswrite-sub",
                  "aliaswrite-sub-only", "scan-rewrite-sub")
     if not only or any(n in only.split(",") for n in sub_names):

@@ -105,11 +105,24 @@ def main():
         # as soon as its int8 copy exists, or large-v3 b32 OOMs.
         params = quantize_whisper_decoder(params)
         params = {"decoder": params["decoder"]}
+        # Quantize per LAYER (the [32, B, H, Dh, 1500] bf16 halves are
+        # 3.9 GB each at b32 — holding both bf16 + int8 copies OOMs the
+        # 16 GB chip; one jitted per-layer call bounds the bf16 live set
+        # to 1/32 of that).
+        lq = jax.jit(quantize_kv)
+
+        def _quant_free(kv_bf):
+            qs = [jax.block_until_ready(lq(kv_bf[i]))
+                  for i in range(kv_bf.shape[0])]
+            kv_bf.delete()
+            return {
+                "qw": jnp.stack([q["qw"] for q in qs]),
+                "scale": jnp.stack([q["scale"] for q in qs]),
+            }
+
         ck_bf, cv_bf = cross_kv
-        qk = jax.block_until_ready(quantize_kv(ck_bf))
-        ck_bf.delete()
-        qv = jax.block_until_ready(quantize_kv(cv_bf))
-        cv_bf.delete()
+        qk = _quant_free(ck_bf)
+        qv = _quant_free(cv_bf)
         xa.delete()
         cross_kv = pad_cross_kv((qk, qv))
         cache0 = M.transpose_cache_tmajor(

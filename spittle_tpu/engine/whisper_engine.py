@@ -687,7 +687,8 @@ class WhisperEngine:
             audios, params, self._base_prompt(params), staged=staged
         )
 
-    def transcribe_stream(self, batches, params=None, prefetch: int = 1):
+    def transcribe_stream(self, batches, params=None, prefetch: int = 1,
+                          overlap_fetch: bool = False):
         """Pipelined batched transcription: prefetch-to-device double
         buffering (the tf.data-prefetch pattern, TPU-idiomatic input
         pipelining).
@@ -698,6 +699,14 @@ class WhisperEngine:
         them host->device while the PREVIOUS batch's encode/decode runs
         on the device — on a host link slower than the model, sustained
         throughput becomes max(transfer, compute) instead of their sum.
+
+        overlap_fetch: additionally dispatch batch k+1's device programs
+        BEFORE blocking on batch k's token fetch, hiding the
+        device->host round-trip + host parse behind device compute (the
+        measured inter-group stream gap). Results still yield in order,
+        one batch later than the dispatch. Costs one extra in-flight
+        group's device buffers (~xa: B x 1500 x d_model bf16), so leave
+        it off when batch size sits at the HBM frontier.
 
         Requires independent windows (parallel_windows semantics;
         condition_on_previous_text must be off). prefetch bounds how many
@@ -813,6 +822,23 @@ class WhisperEngine:
         staged: optional (plan, device_windows, content_frames, overlap)
         from _plan_parallel_windows + device_put on a prefetch thread.
         """
+        return self._finalize_parallel_windows(
+            self._dispatch_parallel_windows(audios, params, base_prompt,
+                                            staged)
+        )
+
+    def _dispatch_parallel_windows(
+        self, audios, params: TranscribeParams, base_prompt, staged=None
+    ) -> dict:
+        """Device half of _transcribe_parallel_windows: frontend + language
+        detect + the temperature ladder's FIRST decode rung, dispatched but
+        NOT fetched. Returns the context _finalize_parallel_windows needs.
+
+        Splitting here lets transcribe_stream(overlap_fetch=True) enqueue
+        group k+1's device programs before blocking on group k's token
+        fetch, so the fetch round-trip + host parse hide behind device
+        compute instead of serializing the stream (the measured ~139 ms
+        inter-group gap, docs/PERFORMANCE.md stream-gap probe)."""
         cfg = self.cfg
         tok = self.tokenizer
         n = len(audios)
@@ -857,8 +883,32 @@ class WhisperEngine:
                 )
 
         opts = self._decode_options(params)
-        out = self._decode_with_fallback(
+        out0 = self._dispatch_decode(
             xa, opts, params, lt, base_prompt, draft_xa=draft_xa
+        )
+        return dict(
+            out0=out0, xa=xa, opts=opts, params=params, lt=lt,
+            base_prompt=base_prompt, draft_xa=draft_xa, plan=plan,
+            content_frames=content_frames, overlap=overlap, wf=wf,
+            languages=languages, n=n,
+        )
+
+    def _finalize_parallel_windows(self, disp) -> List[TranscriptionResult]:
+        """Host half of _transcribe_parallel_windows: fetch the dispatched
+        rung-0 decode, run any temperature-ladder retries, parse + stitch."""
+        cfg = self.cfg
+        tok = self.tokenizer
+        params = disp["params"]
+        xa = disp["xa"]
+        plan = disp["plan"]
+        content_frames = disp["content_frames"]
+        overlap = disp["overlap"]
+        wf = disp["wf"]
+        languages = disp["languages"]
+        n = disp["n"]
+        out = self._finish_decode(
+            disp["out0"], xa, disp["opts"], params, disp["lt"],
+            disp["base_prompt"], draft_xa=disp["draft_xa"],
         )
         tokens = np.asarray(out["tokens"])
         sb = out["sample_begin"]
@@ -1006,25 +1056,50 @@ class WhisperEngine:
         """Per-item retry ladder: a window whose decode looks degenerate
         (compression ratio > 2.4 or avg logprob < -1.0) re-decodes at the
         next temperature; accepted items keep their first good result."""
+        return self._finish_decode(
+            self._dispatch_decode(xa, opts, params, lt, prompt_tokens,
+                                  draft_xa=draft_xa),
+            xa, opts, params, lt, prompt_tokens, draft_xa=draft_xa,
+        )
+
+    def _dispatch_decode(self, xa, opts, params, lt, prompt_tokens,
+                         draft_xa=None):
+        """Dispatch the temperature ladder's FIRST rung without fetching:
+        device work is enqueued, the returned out dict holds device
+        arrays. _finish_decode owns the fetch and any retry rungs."""
+        import dataclasses as _dc
+
+        ladder = params.temperatures or self.FALLBACK_TEMPERATURES
+        return self._decode_once(
+            xa, _dc.replace(opts, temperature=ladder[0]), params, lt,
+            prompt_tokens, draft_xa=draft_xa,
+        )
+
+    def _finish_decode(self, out, xa, opts, params, lt, prompt_tokens,
+                       draft_xa=None):
+        """Fetch a dispatched rung-0 decode and run the remaining
+        temperature-ladder rungs (per-item retry on degenerate decodes)."""
         import dataclasses as _dc
 
         n = xa.shape[0]
         best = None
         pending = list(range(n))
         ladder = params.temperatures or self.FALLBACK_TEMPERATURES
-        for temp in ladder:
-            t_opts = _dc.replace(opts, temperature=temp)
-            sub = len(pending) != n
-            out = self._decode_once(
-                xa[np.asarray(pending)] if sub else xa,
-                t_opts, params,
-                (lt[np.asarray(pending)] if lt is not None and sub else lt),
-                prompt_tokens,
-                draft_xa=(
-                    draft_xa[np.asarray(pending)]
-                    if draft_xa is not None and sub else draft_xa
-                ),
-            )
+        for ri, temp in enumerate(ladder):
+            if ri > 0:
+                t_opts = _dc.replace(opts, temperature=temp)
+                sub = len(pending) != n
+                out = self._decode_once(
+                    xa[np.asarray(pending)] if sub else xa,
+                    t_opts, params,
+                    (lt[np.asarray(pending)]
+                     if lt is not None and sub else lt),
+                    prompt_tokens,
+                    draft_xa=(
+                        draft_xa[np.asarray(pending)]
+                        if draft_xa is not None and sub else draft_xa
+                    ),
+                )
             # One batched device->host fetch: three separate np.asarray
             # calls cost three round-trips on a tunneled backend.
             tokens, avg_lp, ns_prob = jax.device_get(

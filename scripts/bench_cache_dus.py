@@ -275,10 +275,6 @@ def main():
         except Exception as e:  # noqa: BLE001 - report and continue
             print(json.dumps({"variant": name, "error": str(e)[:200]}))
 
-    # Pending-ring: big cache stays a READ-ONLY scan xs; the last R
-    # columns live in a small [L, 2, B, H, Dh, R] ring rewritten as
-    # scan ys each step; every R-th step a flush scan merges ring ->
-    # cache (the expensive whole-slice rewrite, amortized by R).
     # -- PRODUCTION tmajor layout arms ([L, 2, B, H, ctx, Dh]) ----------
     # decode_step_tmajor carries the cache with ctx second-minor and
     # Dh=64 minor — a layout the original probe matrix never measured
@@ -434,6 +430,10 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({"variant": name, "error": str(e)[:200]}))
 
+    # Pending-ring: big cache stays a READ-ONLY scan xs; the last R
+    # columns live in a small [L, 2, B, H, Dh, R] ring rewritten as
+    # scan ys each step; every R-th step a flush scan merges ring ->
+    # cache (the expensive whole-slice rewrite, amortized by R).
     for ring in (8, 16, 32):
         if ring > CTX:
             continue

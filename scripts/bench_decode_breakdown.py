@@ -105,10 +105,11 @@ def main():
         # as soon as its int8 copy exists, or large-v3 b32 OOMs.
         params = quantize_whisper_decoder(params)
         params = {"decoder": params["decoder"]}
-        # Quantize per LAYER (the [32, B, H, Dh, 1500] bf16 halves are
-        # 3.9 GB each at b32 — holding both bf16 + int8 copies OOMs the
-        # 16 GB chip; one jitted per-layer call bounds the bf16 live set
-        # to 1/32 of that).
+        # Quantize per LAYER: kv_bf itself stays fully live until after
+        # the loop — what the per-layer jitted call bounds to 1/32 is
+        # the fp32 quantization intermediate inside quantize_kv (plus
+        # the int8 temporaries), which at ~7.9 GB for the whole tensor
+        # at b32 was the OOM driver.
         lq = jax.jit(quantize_kv)
 
         def _quant_free(kv_bf):

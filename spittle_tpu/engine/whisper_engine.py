@@ -765,6 +765,7 @@ class WhisperEngine:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
+            held = None  # overlap_fetch: batch k's dispatched programs
             while True:
                 item = q.get()
                 if item is done:
@@ -772,9 +773,22 @@ class WhisperEngine:
                 if isinstance(item, tuple) and item[0] == "__error__":
                     raise item[1]
                 audios, staged = item
-                yield self._transcribe_parallel_windows(
-                    audios, params, base_prompt, staged=staged
+                if not overlap_fetch:
+                    yield self._transcribe_parallel_windows(
+                        audios, params, base_prompt, staged=staged
+                    )
+                    continue
+                # Dispatch batch k+1's device programs FIRST, then block
+                # on batch k's token fetch — the fetch round-trip + host
+                # parse now hide behind k+1's device compute.
+                disp = self._dispatch_parallel_windows(
+                    audios, params, base_prompt, staged
                 )
+                if held is not None:
+                    yield self._finalize_parallel_windows(held)
+                held = disp
+            if held is not None:  # flush the last held dispatch
+                yield self._finalize_parallel_windows(held)
         finally:
             stop.set()  # unblock + terminate the producer on early exit
 
@@ -867,20 +881,24 @@ class WhisperEngine:
 
         languages: List[Optional[str]] = [params.language] * n
         lt = None
+        det = None
         if cfg.multilingual:
             if params.language is None:
                 # Detect on each item's FIRST window; share across windows.
+                # Everything stays on device (argmax + gather) so dispatch
+                # never blocks — the per-item language STRINGS are resolved
+                # from `det` in _finalize_parallel_windows, where a fetch
+                # already happens anyway (overlap_fetch depends on this
+                # half being non-blocking).
                 first = [next(w for w, (j, s) in enumerate(plan) if j == i)
                          for i in range(n)]
-                probs = np.asarray(
-                    detect_language(self.params, xa[np.asarray(first)], cfg)
+                probs = detect_language(
+                    self.params, xa[np.asarray(first)], cfg
                 )
-                det = probs.argmax(-1)
-                per_item = [int(cfg.lang_begin + det[i]) for i in range(n)]
-                languages = [tok.lang_code(t) for t in per_item]
-                lt = jnp.asarray(
-                    [per_item[i] for i, _ in plan], jnp.int32
-                )
+                det = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [n]
+                lt = (cfg.lang_begin + det)[
+                    jnp.asarray([i for i, _ in plan], jnp.int32)
+                ]
 
         opts = self._decode_options(params)
         out0 = self._dispatch_decode(
@@ -890,7 +908,7 @@ class WhisperEngine:
             out0=out0, xa=xa, opts=opts, params=params, lt=lt,
             base_prompt=base_prompt, draft_xa=draft_xa, plan=plan,
             content_frames=content_frames, overlap=overlap, wf=wf,
-            languages=languages, n=n,
+            languages=languages, det=det, n=n,
         )
 
     def _finalize_parallel_windows(self, disp) -> List[TranscriptionResult]:
@@ -905,6 +923,13 @@ class WhisperEngine:
         overlap = disp["overlap"]
         wf = disp["wf"]
         languages = disp["languages"]
+        if disp.get("det") is not None:
+            # Language detect ran on device in the dispatch half; resolve
+            # the per-item code strings at this (first) fetch point.
+            det = np.asarray(disp["det"])
+            languages = [
+                tok.lang_code(int(cfg.lang_begin + d)) for d in det
+            ]
         n = disp["n"]
         out = self._finish_decode(
             disp["out0"], xa, disp["opts"], params, disp["lt"],
@@ -1027,25 +1052,15 @@ class WhisperEngine:
                 speculative_greedy_decode,
             )
 
-            out = speculative_greedy_decode(
+            # Acceptance telemetry (rounds/accepted_total/length) is
+            # fetched in _finish_decode, folded into the same device_get
+            # as the tokens — keeping this dispatch half non-blocking so
+            # overlap_fetch's dispatch-ahead actually overlaps.
+            return speculative_greedy_decode(
                 self.params, self.draft_params, xa, draft_xa,
                 self.cfg, self.draft_cfg, opts,
                 lang_tokens=lt, prompt_tokens=prompt_tokens,
             )
-            # Host-side acceptance telemetry: rounds/accepted_total are
-            # already outputs of the compiled loop, so fetching them
-            # costs one extra transfer and no recompile. Benches report
-            # acceptance so speculative earns (or loses) its number on
-            # evidence.
-            rounds, accepted, length = jax.device_get(
-                (out["rounds"], out["accepted_total"], out["length"])
-            )
-            self.last_spec_stats = {
-                "rounds": float(np.mean(rounds)),
-                "accepted_total": float(np.mean(accepted)),
-                "emitted": float(np.mean(length)),
-            }
-            return out
         return greedy_decode(
             self.params, xa, self.cfg, opts,
             lang_tokens=lt, prompt_tokens=prompt_tokens,
@@ -1100,11 +1115,23 @@ class WhisperEngine:
                         if draft_xa is not None and sub else draft_xa
                     ),
                 )
-            # One batched device->host fetch: three separate np.asarray
-            # calls cost three round-trips on a tunneled backend.
-            tokens, avg_lp, ns_prob = jax.device_get(
-                (out["tokens"], out["avg_logprob"], out["no_speech_prob"])
-            )
+            # One batched device->host fetch: separate np.asarray calls
+            # cost one round-trip each on a tunneled backend. Speculative
+            # acceptance telemetry rides the same fetch when present.
+            spec = "rounds" in out
+            fetch = [out["tokens"], out["avg_logprob"],
+                     out["no_speech_prob"]]
+            if spec:
+                fetch += [out["rounds"], out["accepted_total"],
+                          out["length"]]
+            vals = jax.device_get(tuple(fetch))
+            tokens, avg_lp, ns_prob = vals[:3]
+            if spec:
+                self.last_spec_stats = {
+                    "rounds": float(np.mean(vals[3])),
+                    "accepted_total": float(np.mean(vals[4])),
+                    "emitted": float(np.mean(vals[5])),
+                }
             sb = out["sample_begin"]
             if best is None:
                 best = {

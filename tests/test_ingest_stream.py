@@ -79,6 +79,36 @@ def test_stream_matches_batch(engine, audio_pairs):
     assert streamed == direct
 
 
+def test_stream_overlap_fetch_matches_batch(engine, audio_pairs):
+    """overlap_fetch=True dispatches batch k+1 before fetching batch k;
+    results must still arrive in order and transcript-identical, with
+    the held last dispatch flushed after the queue drains."""
+    f32q, i16 = audio_pairs
+    for batches in ([i16, i16[:2], list(reversed(i16))], [i16]):
+        streamed = [
+            texts(r)
+            for r in engine.transcribe_stream(batches, PAR,
+                                              overlap_fetch=True)
+        ]
+        direct = [texts(engine.transcribe_batch(b, PAR)) for b in batches]
+        assert streamed == direct
+
+
+def test_stream_overlap_fetch_detected_language(engine, audio_pairs):
+    """Language detection must survive the dispatch/finalize split: with
+    params.language=None the detect runs on device in the dispatch half
+    and the code strings resolve at finalize (multilingual tiny)."""
+    _, i16 = audio_pairs
+    par = TranscribeParams(
+        language=None, condition_on_previous_text=False,
+        parallel_windows=True, max_tokens=8, temperatures=(0.0,),
+    )
+    outs = list(engine.transcribe_stream([i16[:2]], par, overlap_fetch=True))
+    direct = engine.transcribe_batch(i16[:2], par)
+    assert [r.language for r in outs[0]] == [r.language for r in direct]
+    assert all(isinstance(r.language, str) for r in outs[0])
+
+
 def test_stream_rejects_conditioned_decode(engine):
     bad = TranscribeParams(condition_on_previous_text=True)
     with pytest.raises(ValueError):

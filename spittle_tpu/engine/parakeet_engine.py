@@ -3,8 +3,12 @@
 Engine-slot parity with the reference's ParakeetEngine (transcribe-rs ONNX
 int8, `managers/transcription.rs:278-296,505-513`): load/unload/
 transcribe_samples with segment timestamps (80 ms encoder frames) and the
-v3 model's multilingual operation (language is implicit in the model; the
-`language` param is accepted and recorded in the result).
+v3 model's multilingual operation. v3 has no language head — the language
+is implicit in what it decodes — so the result's `language` carries what
+the MODEL produced (text/lang_id.py classification of the decoded text),
+falling back to the request only when the text is inconclusive: the
+reference result reflects the engine's decision, not an echo of the
+request (transcription.rs:505-513).
 
 Tokens decode through a SentencePiece-style piece table (vocab.txt /
 tokenizer.json next to the checkpoint; a deterministic test table under
@@ -183,7 +187,7 @@ class ParakeetEngine:
                     TranscriptionResult(
                         text=text,
                         segments=[Segment(0.0, dur, text)] if text else [],
-                        language=params.language,
+                        language=self._result_language(text, params),
                     )
                 )
             return results
@@ -205,7 +209,18 @@ class ParakeetEngine:
                 segments = [Segment(start=float(start), end=float(end), text=text)]
             results.append(
                 TranscriptionResult(
-                    text=text, segments=segments, language=params.language
+                    text=text, segments=segments,
+                    language=self._result_language(text, params),
                 )
             )
         return results
+
+    @staticmethod
+    def _result_language(text: str, params: TranscribeParams):
+        """The language the MODEL decided on: classified from the decoded
+        text (v3 is multilingual with no language head), with the
+        caller's requested language as the fallback when the text gives
+        no evidence (empty, digits-only, unknown script)."""
+        from spittle_tpu.text.lang_id import detect_language
+
+        return detect_language(text) or params.language

@@ -152,6 +152,28 @@ def main():
     print(f"blocks scan W8A8    {t*1e3:8.1f} ms   "
           f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
 
+    # Fused W8A8 Pallas kernel path (SPITTLE_W8A8_KERNEL=1): the whole
+    # quantize->int8 dot->dequant(+bias+gelu+scale) pipeline in one
+    # kernel per GEMM — no int8 activation round trip, no separate
+    # bias/gelu passes. Env read at trace time -> fresh jit wrapper;
+    # BM block sweep via SPITTLE_W8A8_BM.
+    for bm in ("128", "256", "512"):
+        os.environ["SPITTLE_W8A8_KERNEL"] = "1"
+        os.environ["SPITTLE_W8A8_BM"] = bm
+        fker = jax.jit(
+            lambda blocks, xx: _encoder_blocks(blocks, xx, cfg.n_audio_head)
+        )
+        try:
+            t = timed(lambda: fker(qblocks, x))
+            print(f"blocks W8A8-ker bm={bm:<4}{t*1e3:8.1f} ms   "
+                  f"{t/n_layer*1e3:6.2f} ms/layer", flush=True)
+        except Exception as e:
+            msg = str(e).replace("\n", " ")[:160]
+            print(f"blocks W8A8-ker bm={bm:<4}FAILED: {msg}", flush=True)
+        finally:
+            os.environ.pop("SPITTLE_W8A8_KERNEL", None)
+            os.environ.pop("SPITTLE_W8A8_BM", None)
+
     # In-loop sublayer split: scan the SAME 32 layers but with only one
     # sublayer active per variant. Single-call sublayer timings above are
     # per-program-overhead-dominated on this tunnel (bench_chip.py showed

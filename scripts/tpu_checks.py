@@ -180,6 +180,33 @@ def main() -> int:
           lambda: mm(x8, qw8),
           lambda: np.asarray(x8, np.float32) @ wdq, 0.05)
 
+    # Fused W8A8 Pallas kernel (quantize->int8 dot->dequant in one
+    # pass, ops/w8a8_gemm.py): must lower through Mosaic AND match the
+    # XLA W8A8 path (same algebra, so tolerance is f32 noise + bf16
+    # output rounding). Also the epilogue-folded bias+gelu form.
+    from spittle_tpu.ops.w8a8_gemm import w8a8_gemm
+
+    xf = jnp.asarray(rng.standard_normal((1536, 1280)), jnp.bfloat16) * 0.3
+    check("w8a8_fused_kernel",
+          lambda: w8a8_gemm(xf, qw8["qw8"], qw8["scale"]),
+          lambda: mm(xf, qw8), 0.05)
+    b8 = jnp.asarray(rng.standard_normal(1280), jnp.float32) * 0.02
+    check("w8a8_fused_bias_gelu",
+          lambda: w8a8_gemm(xf, qw8["qw8"], qw8["scale"], bias=b8,
+                            act="gelu", out_scale=0.5),
+          lambda: jax.nn.gelu((mm(xf, qw8) + b8) * 0.5,
+                              approximate=False), 0.05)
+    # fc2 shape (K=5120): the largest VMEM-resident weight the gate
+    # admits.
+    wbig = jnp.asarray(
+        rng.standard_normal((5120, 1280)), jnp.float32) * 0.02
+    qbig = quantize_weight_w8a8(wbig)
+    xbig = jnp.asarray(rng.standard_normal((1536, 5120)),
+                       jnp.bfloat16) * 0.3
+    check("w8a8_fused_fc2_shape",
+          lambda: w8a8_gemm(xbig, qbig["qw8"], qbig["scale"]),
+          lambda: mm(xbig, qbig), 0.05)
+
     print(json.dumps({"result": "FAIL" if failures else "PASS",
                       "failures": failures}))
     return 1 if failures else 0

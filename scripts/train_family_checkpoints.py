@@ -1,0 +1,486 @@
+"""Train + bless committed tiny checkpoints for Parakeet-TDT, Moonshine
+and SenseVoice (VERDICT r4 #2: extend the trained-tiny pattern beyond
+Whisper so every engine family's full decode path runs NON-RANDOM
+weights in CI).
+
+Task: the same synthetic tone-naming problem as the Whisper trained-tiny
+(scripts/train_committed_checkpoint.py) — each vocabulary word is a pure
+tone, utterances are 2-6 tones — but with a 16-word bilingual vocabulary
+(8 English words, 8 Russian words) so the Parakeet engine's
+detected-language surface (text/lang_id.py) is asserted on trained
+weights too.
+
+Per-family training objective (all plain cross-entropy — every target
+alignment is known by construction, so no transducer/CTC loss machinery
+is needed to reach 100% on the task):
+
+- **Parakeet-TDT**: trajectory imitation of the greedy duration-advance
+  loop. The supervised trajectory is: blank with duration 2 between
+  tones, the word token with duration 1 at each tone-start frame (tone
+  grid is frame-exact: 0.48 s tones + 0.24 s gaps on 80 ms encoder
+  frames). The prediction-network state is teacher-forced along the
+  trajectory (LSTM consumes exactly the emitted non-blank tokens), so
+  when every argmax is learned the REAL tdt_greedy_decode reproduces
+  the trajectory exactly — including duration-2 hops, which makes the
+  decode exercise the TDT advance machinery, not a degenerate
+  advance-by-1 loop. NeMo semantics per models/parakeet/decode.py.
+- **Moonshine**: teacher-forced CE on [sot, w1..wk] -> [w1..wk, eot]
+  through decoder_forward (the same recipe as Whisper trained-tiny).
+- **SenseVoice**: frame-level CE on the CTC logits with the known
+  alignment (token on frames inside a tone, blank elsewhere, prompt
+  frames blank); greedy CTC collapse then yields the word sequence.
+
+Usage:
+  JAX_PLATFORMS=cpu python scripts/train_family_checkpoints.py train
+  JAX_PLATFORMS=cpu python scripts/train_family_checkpoints.py goldens
+  # (goldens recorded on CPU f32 against the SAVED artifacts — the f16
+  #  round-trip is inside the contract)
+
+Artifacts: tests/data/trained_families/{parakeet,moonshine,sensevoice}.npz
++ goldens.json. Consumed by tests/test_trained_families.py.
+Matches: transcription.rs:444-534 (the engines whose transcripts the
+north star says to bit-match; these checkpoints prove the machinery
+end-to-end while real weights stay environment-blocked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_DIR = os.path.join(REPO, "tests", "data", "trained_families")
+GOLDENS = os.path.join(OUT_DIR, "goldens.json")
+
+SR = 16000
+TONE_S = 0.48   # 6 x 80 ms encoder frames / 8 x 60 ms LFR frames
+GAP_S = 0.24    # 3 x 80 ms / 4 x 60 ms
+LEAD_S = 0.16   # 2 x 80 ms
+UTT_S = 6.0     # fixed training/eval window (6-tone utterance fits)
+
+# 16-word bilingual tone vocabulary. English half includes lang_id
+# stopwords (the/and/that/was/is) so detect_language("en") fires;
+# Russian half likewise (и/не/на/что/это).
+WORDS_EN = [" the", " and", " that", " was", " is", " hello", " world",
+            " test"]
+WORDS_RU = [" и", " не", " на", " что", " это", " он", " как", " его"]
+WORDS = WORDS_EN + WORDS_RU
+FREQS = [float(f) for f in np.geomspace(210.0, 3500.0, len(WORDS)).round(1)]
+
+# Shared token layout: 0..2 specials, 3..18 words. vocab_size 32 for all
+# three families (Parakeet blank = vocab_size = 32; SenseVoice blank = 0;
+# Moonshine sot=1 eot=2).
+N_SPECIAL = 3
+VOCAB = 32
+PIECES = (["<blank>", "<s>", "</s>"]
+          + ["▁" + w.strip() for w in WORDS]
+          + [f"<unused{i}>" for i in range(VOCAB - N_SPECIAL - len(WORDS))])
+
+
+def word_token(w: int) -> int:
+    return N_SPECIAL + w
+
+
+def utterance(word_ids):
+    """Tone sequence on the fixed frame grid, padded to UTT_S seconds."""
+    audio = np.zeros(int(UTT_S * SR), np.float32)
+    pos = int(LEAD_S * SR)
+    n = int(TONE_S * SR)
+    t = np.arange(n) / SR
+    ramp = np.minimum(1.0, np.arange(n) / (0.01 * SR))
+    env = (ramp * ramp[::-1]).astype(np.float32)
+    for w in word_ids:
+        tone = 0.4 * np.sin(2 * np.pi * FREQS[w] * t).astype(np.float32)
+        audio[pos: pos + n] = tone * env
+        pos += n + int(GAP_S * SR)
+    return audio
+
+
+def sample_word_ids(rng, lang=None) -> list:
+    """2-6 words from one language half (mixed-language utterances would
+    make the detected-language golden ill-defined)."""
+    if lang is None:
+        lang = ["en", "ru"][rng.integers(0, 2)]
+    base = 0 if lang == "en" else len(WORDS_EN)
+    return (base + rng.integers(0, 8, rng.integers(2, 7))).tolist()
+
+
+def eval_cases(n=10):
+    rng = np.random.default_rng(4242)
+    cases = [sample_word_ids(rng, "en") for _ in range(n // 2)]
+    cases += [sample_word_ids(rng, "ru") for _ in range(n - n // 2)]
+    return cases
+
+
+def expected_text(ws) -> str:
+    return "".join(WORDS[w] for w in ws).strip()
+
+
+def _apply_platform():
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def _adam_stepper(loss_fn, params, lr=2e-3):
+    import jax
+    import optax
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step, opt_state
+
+
+# ---------------------------------------------------------------------------
+# Parakeet-TDT: trajectory imitation
+# ---------------------------------------------------------------------------
+
+FRAME_S = 0.08  # HOP * subsampling_factor / SR
+
+
+def parakeet_cfg():
+    from spittle_tpu.models.parakeet.config import ParakeetConfig
+
+    return ParakeetConfig(
+        name="trained-tiny-parakeet", n_mels=80, d_model=64, n_layers=2,
+        n_heads=4, ff_mult=2, conv_kernel=9, subsampling_channels=32,
+        pred_hidden=32, joint_hidden=32, vocab_size=VOCAB,
+    )
+
+
+def tdt_trajectory(word_ids, t_frames, max_steps):
+    """(visit_frames, token_targets, dur_targets, mask) for the greedy
+    trajectory: blank/dur-2 hops between tones, word/dur-1 at starts.
+
+    Tone k starts at frame 2 + 9k (LEAD_S + k*(TONE_S+GAP_S) on the
+    80 ms grid); from an odd frame f+1 the dur-2 hops land on f+3, f+5,
+    f+7, f+9 = the next start. From frame 0 the first hop lands on 2."""
+    starts = {2 + 9 * k: word_ids[k] for k in range(len(word_ids))}
+    visits, toks, durs = [], [], []
+    t = 0
+    while t < t_frames and len(visits) < max_steps:
+        visits.append(t)
+        if t in starts:
+            toks.append(word_token(starts[t]))
+            durs.append(1)
+            t += 1
+        else:
+            toks.append(VOCAB)  # blank
+            durs.append(2)
+            t += 2
+    k = len(visits)
+    pad = max_steps - k
+    return (np.asarray(visits + [0] * pad, np.int32),
+            np.asarray(toks + [VOCAB] * pad, np.int32),
+            np.asarray(durs + [1] * pad, np.int32),
+            np.asarray([1.0] * k + [0.0] * pad, np.float32))
+
+
+def train_parakeet(steps=900):
+    import jax
+    import jax.numpy as jnp
+
+    from spittle_tpu.io.npz_checkpoint import save_family_npz
+    from spittle_tpu.models.parakeet.features import parakeet_features
+    from spittle_tpu.models.parakeet.model import (
+        encode, init_params, joint, pred_init_state, pred_step,
+    )
+
+    cfg = parakeet_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    blank = cfg.blank_id
+
+    feat_fn = jax.jit(
+        lambda a: parakeet_features(a, n_mels=cfg.n_mels)
+    )
+
+    def loss_fn(params, batch):
+        enc = encode(params, batch["feats"], cfg)  # [B, T, D]
+        b = enc.shape[0]
+        visits, toks, durs, mask = (batch["visits"], batch["toks"],
+                                    batch["durs"], batch["mask"])
+        enc_steps = jnp.take_along_axis(
+            enc, visits[:, :, None], axis=1
+        )  # [B, S, D]
+        state0 = pred_init_state(cfg, b, enc.dtype)
+        pred0, state0 = pred_step(
+            params, jnp.full((b,), blank, jnp.int32), state0, cfg
+        )
+
+        def body(carry, s):
+            pred, state = carry
+            logits, dur_logits = joint(params, enc_steps[:, s], pred)
+            lt = -jax.nn.log_softmax(logits)[jnp.arange(b), toks[:, s]]
+            ld = -jax.nn.log_softmax(dur_logits)[jnp.arange(b), durs[:, s]]
+            # Teacher-force: consume the TARGET token when non-blank.
+            new_pred, (nh, nc) = pred_step(params, toks[:, s], state, cfg)
+            emit = (toks[:, s] != blank)[:, None]
+            pred = jnp.where(emit, new_pred, pred)
+            state = (jnp.where(emit, nh, state[0]),
+                     jnp.where(emit, nc, state[1]))
+            return (pred, state), (lt + ld) * mask[:, s]
+        _, losses = jax.lax.scan(
+            body, (pred0, state0), jnp.arange(visits.shape[1])
+        )
+        return jnp.sum(losses) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    step, opt_state = _adam_stepper(loss_fn, params)
+    rng = np.random.default_rng(777)
+    B = 16
+    max_steps = 48  # 75 frames / avg hop 2 + 6 emissions, padded
+    t0 = time.time()
+    for i in range(steps):
+        word_lists = [sample_word_ids(rng) for _ in range(B)]
+        audio = np.stack([utterance(ws) for ws in word_lists])
+        feats = feat_fn(jnp.asarray(audio))
+        t_frames = feats.shape[1] // 8 + 1
+        traj = [tdt_trajectory(ws, t_frames, max_steps)
+                for ws in word_lists]
+        batch = {
+            "feats": feats,
+            "visits": jnp.asarray(np.stack([t[0] for t in traj])),
+            "toks": jnp.asarray(np.stack([t[1] for t in traj])),
+            "durs": jnp.asarray(np.stack([t[2] for t in traj])),
+            "mask": jnp.asarray(np.stack([t[3] for t in traj])),
+        }
+        params, opt_state, loss = step(params, opt_state, batch)
+        if i % 100 == 0 or i == steps - 1:
+            print(f"parakeet step {i:4d} loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    save_family_npz(
+        os.path.join(OUT_DIR, "parakeet.npz"), cfg, params, PIECES
+    )
+    print("saved parakeet.npz", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Moonshine: teacher-forced CE
+# ---------------------------------------------------------------------------
+
+
+def moonshine_cfg():
+    from spittle_tpu.models.moonshine.model import MoonshineConfig
+
+    return MoonshineConfig(
+        name="trained-tiny-moonshine", dim=64, enc_layers=2, dec_layers=2,
+        n_heads=4, intermediate=128, vocab_size=VOCAB, max_tokens=16,
+    )
+
+
+def train_moonshine(steps=700):
+    import jax
+    import jax.numpy as jnp
+
+    from spittle_tpu.io.npz_checkpoint import save_family_npz
+    from spittle_tpu.models.moonshine.model import (
+        decoder_forward, encode, init_params,
+    )
+
+    cfg = moonshine_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    T = 8  # max 6 words + eot + pad
+
+    def loss_fn(params, batch):
+        xa = encode(params, batch["audio"], cfg)
+        logits = decoder_forward(params, batch["tokens"], xa, cfg)
+        ll = jax.nn.log_softmax(logits)
+        ce = -jnp.take_along_axis(
+            ll, batch["targets"][:, :, None], axis=-1
+        )[:, :, 0]
+        return jnp.sum(ce * batch["mask"]) / jnp.sum(batch["mask"])
+
+    step, opt_state = _adam_stepper(loss_fn, params)
+    rng = np.random.default_rng(888)
+    B = 16
+    t0 = time.time()
+    for i in range(steps):
+        word_lists = [sample_word_ids(rng) for _ in range(B)]
+        audio = np.stack([utterance(ws) for ws in word_lists])
+        tokens = np.full((B, T), cfg.eot, np.int32)
+        targets = np.full((B, T), cfg.eot, np.int32)
+        mask = np.zeros((B, T), np.float32)
+        for b, ws in enumerate(word_lists):
+            seq = [cfg.sot] + [word_token(w) for w in ws] + [cfg.eot]
+            tokens[b, : len(seq) - 1] = seq[:-1]
+            targets[b, : len(seq) - 1] = seq[1:]
+            mask[b, : len(seq) - 1] = 1.0
+        batch = {
+            "audio": jnp.asarray(audio),
+            "tokens": jnp.asarray(tokens),
+            "targets": jnp.asarray(targets),
+            "mask": jnp.asarray(mask),
+        }
+        params, opt_state, loss = step(params, opt_state, batch)
+        if i % 100 == 0 or i == steps - 1:
+            print(f"moonshine step {i:4d} loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    save_family_npz(
+        os.path.join(OUT_DIR, "moonshine.npz"), cfg, params, PIECES
+    )
+    print("saved moonshine.npz", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# SenseVoice: frame-level CE on the CTC logits
+# ---------------------------------------------------------------------------
+
+LFR_S = 0.06  # lfr_n * 10 ms mel hop
+
+
+def sensevoice_cfg():
+    from spittle_tpu.models.sensevoice.model import SenseVoiceConfig
+
+    return SenseVoiceConfig(
+        name="trained-tiny-sensevoice", d_model=64, n_heads=4, ff_dim=128,
+        n_blocks=2, tp_blocks=1, vocab_size=VOCAB,
+    )
+
+
+def sv_frame_labels(word_ids, t_frames):
+    """Per-LFR-frame targets: token inside a tone, blank (0) elsewhere."""
+    labels = np.zeros(t_frames, np.int64)
+    for k, w in enumerate(word_ids):
+        start = LEAD_S + k * (TONE_S + GAP_S)
+        f0 = int(np.ceil((start + 0.03) / LFR_S))
+        f1 = int(np.floor((start + TONE_S - 0.03) / LFR_S))
+        labels[f0: min(f1 + 1, t_frames)] = word_token(w)
+    return labels
+
+
+def train_sensevoice(steps=600):
+    import jax
+    import jax.numpy as jnp
+
+    from spittle_tpu.io.npz_checkpoint import save_family_npz
+    from spittle_tpu.models.parakeet.features import parakeet_features
+    from spittle_tpu.models.sensevoice.model import (
+        encode, init_params, lfr_stack, prompt_ids_for,
+    )
+
+    cfg = sensevoice_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    pids = np.asarray(prompt_ids_for(cfg, "auto", True))
+
+    feat_fn = jax.jit(lambda a: lfr_stack(
+        parakeet_features(a, n_mels=cfg.n_mels), cfg.lfr_m, cfg.lfr_n
+    ))
+
+    def loss_fn(params, batch):
+        logits = encode(params, batch["feats"], batch["pids"], cfg)
+        ll = jax.nn.log_softmax(logits)
+        ce = -jnp.take_along_axis(
+            ll, batch["labels"][:, :, None], axis=-1
+        )[:, :, 0]
+        return jnp.mean(ce)
+
+    step, opt_state = _adam_stepper(loss_fn, params)
+    rng = np.random.default_rng(999)
+    B = 16
+    t0 = time.time()
+    for i in range(steps):
+        word_lists = [sample_word_ids(rng) for _ in range(B)]
+        audio = np.stack([utterance(ws) for ws in word_lists])
+        feats = feat_fn(jnp.asarray(audio))
+        tf = feats.shape[1]
+        # Labels cover prompt frames (blank) + content frames.
+        labels = np.zeros((B, cfg.n_prompt + tf), np.int64)
+        for b, ws in enumerate(word_lists):
+            labels[b, cfg.n_prompt:] = sv_frame_labels(ws, tf)
+        batch = {
+            "feats": feats,
+            "pids": jnp.asarray(np.tile(pids, (B, 1))),
+            "labels": jnp.asarray(labels),
+        }
+        params, opt_state, loss = step(params, opt_state, batch)
+        if i % 100 == 0 or i == steps - 1:
+            print(f"sensevoice step {i:4d} loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    save_family_npz(
+        os.path.join(OUT_DIR, "sensevoice.npz"), cfg, params, PIECES
+    )
+    print("saved sensevoice.npz", flush=True)
+
+
+# ---------------------------------------------------------------------------
+
+
+def train():
+    _apply_platform()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    only = os.environ.get("FAMILIES", "parakeet,moonshine,sensevoice")
+    if "parakeet" in only:
+        train_parakeet()
+    if "moonshine" in only:
+        train_moonshine()
+    if "sensevoice" in only:
+        train_sensevoice()
+
+
+def goldens():
+    """Record golden transcripts on CPU f32 against the SAVED artifacts."""
+    _apply_platform()
+    import jax
+
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.moonshine_engine import MoonshineEngine
+    from spittle_tpu.engine.parakeet_engine import ParakeetEngine
+    from spittle_tpu.engine.sensevoice_engine import SenseVoiceEngine
+
+    assert jax.devices()[0].platform == "cpu", "goldens must be CPU f32"
+    cases = eval_cases()
+    audios = [utterance(ws) for ws in cases]
+    langs = ["en" if ws[0] < len(WORDS_EN) else "ru" for ws in cases]
+    out = {"cases": [
+        {"word_ids": [int(w) for w in ws],
+         "expected_text": expected_text(ws), "language": lg}
+        for ws, lg in zip(cases, langs)
+    ]}
+
+    engines = {
+        "parakeet": ParakeetEngine(),
+        "moonshine": MoonshineEngine(),
+        "sensevoice": SenseVoiceEngine(),
+    }
+    for fam, eng in engines.items():
+        eng.load_model(os.path.join(OUT_DIR, f"{fam}.npz"))
+        results = eng.transcribe_batch(
+            audios, TranscribeParams(language=None)
+        )
+        correct = 0
+        for case, res in zip(out["cases"], results):
+            ok = res.text.strip() == case["expected_text"]
+            correct += ok
+            case[fam] = {
+                "text": res.text,
+                "language": res.language,
+                "exact": bool(ok),
+            }
+            print(f"{fam}: {res.text!r} vs {case['expected_text']!r} "
+                  f"lang={res.language} {'OK' if ok else 'MISS'}")
+        out[f"{fam}_accuracy"] = correct / len(cases)
+        print(f"{fam} accuracy {out[f'{fam}_accuracy']:.2f}", flush=True)
+
+    with open(GOLDENS, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {GOLDENS}")
+
+
+if __name__ == "__main__":
+    {"train": train, "goldens": goldens}[sys.argv[1]]()

@@ -35,6 +35,19 @@ class MoonshineEngine:
             self.params = init_params(self.cfg, jax.random.PRNGKey(0), self.dtype)
             self.table = SentencePieceTable.test_table(self.cfg.vocab_size)
             return
+        if model_path.endswith(".npz"):
+            # Spittle-native committed checkpoint (the trained-tiny
+            # pattern; io/npz_checkpoint.py).
+            from spittle_tpu.io.npz_checkpoint import load_family_npz
+
+            self.cfg, tree, pieces = load_family_npz(
+                model_path, MoonshineConfig
+            )
+            self.params = jax.tree.map(
+                lambda a: jnp.asarray(a, self.dtype), tree
+            )
+            self.table = SentencePieceTable(pieces)
+            return
         st = os.path.join(model_path, "model.safetensors")
         if not os.path.exists(st):
             raise FileNotFoundError(f"{model_path}: expected model.safetensors")

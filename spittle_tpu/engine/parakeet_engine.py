@@ -87,6 +87,22 @@ class ParakeetEngine:
             self.table = SentencePieceTable.test_table(self.cfg.vocab_size)
             self.mode = "tdt"
             return
+        if model_path.endswith(".npz"):
+            # Spittle-native committed checkpoint (the trained-tiny
+            # pattern; io/npz_checkpoint.py).
+            from spittle_tpu.io.npz_checkpoint import load_family_npz
+
+            self.cfg, tree, pieces = load_family_npz(
+                model_path, ParakeetConfig
+            )
+            self.params = jax.tree.map(
+                lambda a: jnp.asarray(a, self.dtype)
+                if np.asarray(a).ndim >= 2 else jnp.asarray(a),
+                tree,
+            )
+            self.table = SentencePieceTable(pieces)
+            self.mode = "tdt"
+            return
         if model_path.endswith(".nemo"):
             # NVIDIA .nemo tar: the canonical parakeet-tdt artifact
             # (transcription.rs:278-296 serves its int8 ONNX export).

@@ -40,6 +40,21 @@ class SenseVoiceEngine:
             self.params = init_params(self.cfg, jax.random.PRNGKey(0), self.dtype)
             self.table = SentencePieceTable.test_table(self.cfg.vocab_size)
             return
+        if model_path.endswith(".npz"):
+            # Spittle-native committed checkpoint (the trained-tiny
+            # pattern; io/npz_checkpoint.py).
+            from spittle_tpu.io.npz_checkpoint import load_family_npz
+
+            self.cfg, tree, pieces = load_family_npz(
+                model_path, SenseVoiceConfig
+            )
+            self.params = jax.tree.map(
+                lambda a: jnp.asarray(a, self.dtype)
+                if np.asarray(a).ndim >= 2 else jnp.asarray(a),
+                tree,
+            )
+            self.table = SentencePieceTable(pieces)
+            return
         # FunASR SenseVoiceSmall release layout: model.pt (torch) or
         # model.safetensors with FunASR names, am.mvn CMVN stats, and a
         # SentencePiece .bpe.model. Config is inferred from tensor shapes.

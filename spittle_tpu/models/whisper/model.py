@@ -56,7 +56,7 @@ from spittle_tpu.ops.attention import (
     use_decode_cross_kernel_q8,
 )
 from spittle_tpu.ops.quant import (
-    is_quant, is_quant_kv4, is_quant_w8a8, mm, unpack_kv_int4,
+    is_quant, is_quant_kv4, is_quant_w8a8, mm, mm_bias, unpack_kv_int4,
 )
 from .config import WhisperConfig
 
@@ -205,16 +205,19 @@ def _attn_full(x, blk, n_head, causal):
     shape. Scaling by head_dim**-0.25 commutes with the (pure reshape)
     head split, so numerics are unchanged."""
     scale = (x.shape[-1] // n_head) ** -0.25
-    q = (mm(x, blk["wq"]) + blk["bq"]) * scale
-    k = mm(x, blk["wk"]) * scale
-    v = mm(x, blk["wv"]) + blk["bv"]
+    # mm_bias folds bias + head-dim scale (and GELU in _mlp) into the
+    # fused W8A8 kernel's epilogue when that path is active; on every
+    # other path it traces byte-identically to the open-coded forms.
+    q = mm_bias(x, blk["wq"], blk["bq"], out_scale=scale)
+    k = mm_bias(x, blk["wk"], out_scale=scale)
+    v = mm_bias(x, blk["wv"], blk["bv"])
     o = multihead_attention_packed(q, k, v, n_head, causal=causal)
-    return mm(o, blk["wo"]) + blk["bo"]
+    return mm_bias(o, blk["wo"], blk["bo"])
 
 
 def _mlp(x, blk):
-    h = jax.nn.gelu(mm(x, blk["fc1_w"]) + blk["fc1_b"], approximate=False)
-    return mm(h, blk["fc2_w"]) + blk["fc2_b"]
+    h = mm_bias(x, blk["fc1_w"], blk["fc1_b"], act="gelu")
+    return mm_bias(h, blk["fc2_w"], blk["fc2_b"])
 
 
 def _moe_mlp(x: jnp.ndarray, blk) -> jnp.ndarray:

@@ -75,7 +75,16 @@ def _mm_w8a8(x: jnp.ndarray, w: QuantW) -> jnp.ndarray:
     dot exactly — y = (qx @ qw) * sx[..., None] * sw[None, :]. The int8
     dot runs the MXU in int8 mode (2x the bf16 FLOP rate on v5e-class
     chips); amax/round/clip are cheap VPU work fused around it.
+
+    When SPITTLE_W8A8_KERNEL=1 and the shape qualifies, the whole
+    quantize->dot->dequant pipeline runs as ONE fused Pallas kernel
+    (ops/w8a8_gemm.py) — the int8 activations never touch HBM.
     """
+    from spittle_tpu.ops.w8a8_gemm import maybe_w8a8_gemm
+
+    fused = maybe_w8a8_gemm(x, w)
+    if fused is not None:
+        return fused
     x32 = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     sx = jnp.where(amax > 0, amax / 127.0, 1.0)
@@ -103,6 +112,40 @@ def mm(x: jnp.ndarray, w: WeightLike) -> jnp.ndarray:
         return x @ w
     y = x @ w["qw"].astype(x.dtype)
     return y * w["scale"].astype(x.dtype)
+
+
+def mm_bias(
+    x: jnp.ndarray,
+    w: WeightLike,
+    bias=None,
+    act: str = "none",
+    out_scale: float = 1.0,
+) -> jnp.ndarray:
+    """mm + bias + out-scale + optional exact GELU, with epilogue folding.
+
+    On the fused-W8A8-kernel path the bias add, the attention head-dim
+    out-scale, and GELU all run inside the kernel's epilogue — removing
+    the separate [M, N] elementwise passes (at the encoder's fc1 output
+    that's a ~750 MB/layer HBM round trip at batch 48). Every other path
+    computes the same values through the plain ops IN THE SAME ORDER as
+    the open-coded `(mm(x, w) + b) * s` / `gelu(...)` forms, so the
+    float/weight-only programs trace byte-identically to before.
+    """
+    if is_quant_w8a8(w):
+        from spittle_tpu.ops.w8a8_gemm import maybe_w8a8_gemm
+
+        fused = maybe_w8a8_gemm(x, w, bias=bias, act=act,
+                                out_scale=out_scale)
+        if fused is not None:
+            return fused
+    y = mm(x, w)
+    if bias is not None:
+        y = y + bias
+    if out_scale != 1.0:
+        y = y * out_scale
+    if act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
+    return y
 
 
 def quantize_tree(tree: Any, keys: tuple = (), mode: str = "weight") -> Any:

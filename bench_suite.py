@@ -81,6 +81,7 @@ def main():
         "15": _config15,
         "16": _config16, "17": _config17, "18": _config18,
         "19": _config19, "20": _config20, "21": _config21,
+        "22": _config22,
     }
     if "--only" in sys.argv:  # e.g. --only 12,13,14
         picks = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -922,6 +923,91 @@ def _config21():
             f"whisper-large-v3-turbo sustained {n_batches} x batch {bsz}, "
             f"combo {label}",
             n_done * 30.0, dt,
+        )
+
+
+def _config22():
+    # 22. Overload policy A/B (VERDICT r4 #6): the config-9 Poisson load
+    # with sla_ms admission control ON vs OFF. The sla arm must show a
+    # BOUNDED p99 (degrade to bucket-fitted context when the estimated
+    # queue wait exceeds the SLA, shed past sla*shed_factor) where the
+    # uncontrolled arm queues unboundedly. BENCH_LOAD_RATE /
+    # BENCH_LOAD_SECONDS / BENCH_SLA_MS tune the arms.
+    import threading
+    import time as _t
+
+    from spittle_tpu.engine.base import TranscribeParams
+    from spittle_tpu.engine.whisper_engine import WhisperEngine
+    from spittle_tpu.parallel.serving import (
+        BatchingTranscriptionServer,
+        ServerOverloaded,
+    )
+
+    eng = WhisperEngine(dtype=jnp.bfloat16)
+    eng.load_model("random:large-v3-turbo")
+    p = TranscribeParams(
+        language="en", condition_on_previous_text=False,
+        max_tokens=24, temperatures=(0.0,),
+    )
+    rng = np.random.default_rng(0)
+    utt = rng.standard_normal(16000 * 5).astype(np.float32)
+    rate_hz = float(os.environ.get("BENCH_LOAD_RATE", "8.0"))
+    duration_s = float(os.environ.get("BENCH_LOAD_SECONDS", "20.0"))
+    sla_ms = float(os.environ.get("BENCH_SLA_MS", "400.0"))
+
+    # One arrival schedule for both arms (serving-A/B discipline,
+    # ROUND_NOTES session-2: different schedules masquerade as policy
+    # effects).
+    arrivals = []
+    t = 0.0
+    while t < duration_s:
+        t += rng.exponential(1.0 / rate_hz)
+        arrivals.append(t)
+
+    for arm, sla in (("sla-off", None), (f"sla-{sla_ms:.0f}ms", sla_ms)):
+        srv = BatchingTranscriptionServer(
+            eng, max_batch=32, max_wait_ms=20.0, sla_ms=sla
+        )
+        srv.warmup(p, bucket_s=5.0)
+        lat_ms: list = []
+        shed = [0]
+        lock = threading.Lock()
+
+        def session(delay: float):
+            _t.sleep(delay)
+            t0 = _t.monotonic()
+            try:
+                srv.transcribe(utt, p, timeout=120)
+            except ServerOverloaded:
+                with lock:
+                    shed[0] += 1
+                return
+            with lock:
+                lat_ms.append((_t.monotonic() - t0) * 1000)
+
+        threads = [threading.Thread(target=session, args=(a,))
+                   for a in arrivals]
+        start = _t.monotonic()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=180)
+        wall = _t.monotonic() - start
+        srv.shutdown()
+        lat = np.asarray(sorted(lat_ms))
+        report(
+            f"overload policy [{arm}]: Poisson {rate_hz:.0f} req/s x "
+            f"{duration_s:.0f}s of 5s utterances (turbo, full ctx "
+            "requests, incl. queueing)",
+            len(lat) * 5.0, wall,
+            extra={
+                "requests": len(arrivals),
+                "served": len(lat),
+                "shed": shed[0],
+                "degraded_groups": srv.degraded_groups,
+                "p50_latency_ms": round(float(np.percentile(lat, 50)), 1),
+                "p99_latency_ms": round(float(np.percentile(lat, 99)), 1),
+            },
         )
 
 

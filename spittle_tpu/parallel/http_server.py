@@ -26,7 +26,7 @@ from typing import Optional
 import numpy as np
 
 from spittle_tpu.engine.base import TranscribeParams
-from .serving import BatchingTranscriptionServer
+from .serving import BatchingTranscriptionServer, ServerOverloaded
 
 
 def _parse_audio(
@@ -140,6 +140,9 @@ class TranscriptionHTTPServer:
                             for s in result.segments
                         ],
                     })
+                except ServerOverloaded as e:
+                    # Admission control shed: retryable backpressure.
+                    self._json(503, {"error": str(e), "retryable": True})
                 except Exception as e:  # robust serving loop
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -33,6 +33,15 @@ SAMPLE_RATE = 16_000
 _log = get_logger("serving")
 
 
+class ServerOverloaded(RuntimeError):
+    """Request rejected by admission control: the queue's estimated wait
+    exceeds the configured shed deadline (sla_ms * shed_factor). Callers
+    should surface this as retryable backpressure (the HTTP front maps
+    it to 503) — under sustained overload, failing fast beats queueing
+    unboundedly toward multi-second p99s (the measured saturated arm:
+    p50 1509 ms at 8 req/s full-context, BENCHMARKS.md)."""
+
+
 @dataclasses.dataclass
 class _Request:
     samples: np.ndarray
@@ -70,8 +79,26 @@ class BatchingTranscriptionServer:
         fit_audio_ctx: bool = False,
         overlap_transfers: bool = False,
         prefetch: int = 1,
+        sla_ms: Optional[float] = None,
+        shed_factor: float = 4.0,
     ):
         self.engine = engine
+        # Overload policy (opt-in via sla_ms; see class docstring of
+        # ServerOverloaded): DEGRADE when the estimated queue wait
+        # exceeds sla_ms — new groups run with the bucket-fitted reduced
+        # encoder context (fit_audio_ctx semantics) so service time
+        # drops ~6x on short buckets and the queue drains; SHED when the
+        # estimated wait exceeds sla_ms * shed_factor — submit raises
+        # ServerOverloaded instead of queueing past any useful deadline.
+        # The estimate is (groups ahead + busy groups) x an EWMA of the
+        # measured per-group service time.
+        self.sla_ms = sla_ms
+        self.shed_factor = shed_factor
+        self.shed_count = 0
+        self.degraded_groups = 0
+        self._busy_groups = 0
+        self._busy_lock = threading.Lock()
+        self._service_s: dict = {}  # bucket_len -> EWMA seconds
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.buckets = tuple(buckets)
@@ -138,6 +165,15 @@ class BatchingTranscriptionServer:
     def submit(
         self, samples: np.ndarray, params: Optional[TranscribeParams] = None
     ) -> Future:
+        if self.sla_ms is not None:
+            wait_ms = self._estimated_wait_s() * 1000.0
+            if wait_ms > self.sla_ms * self.shed_factor:
+                self.shed_count += 1
+                raise ServerOverloaded(
+                    f"estimated queue wait {wait_ms:.0f} ms exceeds shed "
+                    f"deadline {self.sla_ms * self.shed_factor:.0f} ms "
+                    f"(sla {self.sla_ms:.0f} ms x {self.shed_factor})"
+                )
         fut: Future = Future()
         samples = np.asarray(samples)
         if samples.dtype != np.int16:
@@ -188,20 +224,29 @@ class BatchingTranscriptionServer:
         sizes = self._ladder_sizes()
         for b in bucket_list:
             bucket_len = int(b * SAMPLE_RATE)
-            run_params = self._fitted_params(
-                bucket_len, params or TranscribeParams()
-            )
-            for dtype in dtypes:
-                # one reusable buffer: identical arrays can dedupe on
-                # the host->device transfer layer
-                silence = np.zeros(bucket_len, dtype)
-                for n in sizes:
-                    batch = [silence] * n
-                    if self.mesh is not None:
-                        with self.mesh:
+            base = params or TranscribeParams()
+            variants = [self._fitted_params(bucket_len, base)]
+            if self.sla_ms is not None and not self.fit_audio_ctx:
+                # The overload DEGRADE arm runs bucket-fitted programs;
+                # they must be warm or the first degraded group pays an
+                # XLA compile exactly when the server is drowning.
+                fitted = self._bucket_ctx_params(bucket_len, base)
+                if fitted not in variants:
+                    variants.append(fitted)
+            for run_params in variants:
+                for dtype in dtypes:
+                    # one reusable buffer: identical arrays can dedupe on
+                    # the host->device transfer layer
+                    silence = np.zeros(bucket_len, dtype)
+                    for n in sizes:
+                        batch = [silence] * n
+                        if self.mesh is not None:
+                            with self.mesh:
+                                self.engine.transcribe_batch(
+                                    batch, run_params
+                                )
+                        else:
                             self.engine.transcribe_batch(batch, run_params)
-                    else:
-                        self.engine.transcribe_batch(batch, run_params)
 
     def shutdown(self) -> None:
         self._shutdown.set()
@@ -277,6 +322,8 @@ class BatchingTranscriptionServer:
                 # long-form request must not wait behind it (head-of-line).
                 groups.sort(key=lambda g: g[0] if g[0] is not None else 1 << 60)
                 for bucket_len, reqs in groups:
+                    with self._busy_lock:
+                        self._busy_groups += 1
                     if self.overlap_transfers:
                         # Stager + runner threads pipeline the groups:
                         # group k+1's assembly/transfer overlaps group
@@ -296,17 +343,58 @@ class BatchingTranscriptionServer:
                     if not r.future.done():
                         r.future.set_exception(e)
 
-    def _fitted_params(
-        self, bucket_len: Optional[int], params: TranscribeParams
+    # -- overload policy --------------------------------------------------
+
+    def _estimated_wait_s(self, exclude_self: bool = False) -> float:
+        """Queue-wait estimate for an arriving request: groups already
+        computing/staged plus the groups the current backlog will form,
+        each at the EWMA service time (0.5 s prior until measured).
+        exclude_self: the dispatch path asks on behalf of a group that
+        is ALREADY counted busy — its own service time is not wait."""
+        svc = max(self._service_s.values(), default=0.5)
+        backlog_groups = -(-self._queue.qsize() // self.max_batch)
+        with self._busy_lock:
+            busy = self._busy_groups
+        ahead = backlog_groups + busy - (1 if exclude_self else 0)
+        return max(ahead, 0) * svc
+
+    def _degrade_active(self) -> bool:
+        return (
+            self.sla_ms is not None
+            and self._estimated_wait_s(exclude_self=True) * 1000.0
+            > self.sla_ms
+        )
+
+    def _note_service(self, bucket_len, seconds: float) -> None:
+        prev = self._service_s.get(bucket_len)
+        self._service_s[bucket_len] = (
+            seconds if prev is None else 0.5 * prev + 0.5 * seconds
+        )
+
+    @staticmethod
+    def _bucket_ctx_params(
+        bucket_len: int, params: TranscribeParams
     ) -> TranscribeParams:
-        """Bucket-matched reduced audio context (fit_audio_ctx mode)."""
-        if not (self.fit_audio_ctx and bucket_len):
-            return params
         if params.audio_ctx:
             return params  # caller's explicit choice wins
         ctx = -(-bucket_len // 320)  # encoder positions covering bucket
         ctx = -(-ctx // 64) * 64  # tile-friendly multiple
         return dataclasses.replace(params, audio_ctx=ctx)
+
+    def _fitted_params(
+        self, bucket_len: Optional[int], params: TranscribeParams
+    ) -> TranscribeParams:
+        """Bucket-matched reduced audio context: always in fit_audio_ctx
+        mode, and under an sla_ms overload as the DEGRADE arm (service
+        time falls ~6x on short buckets so the queue drains instead of
+        compounding)."""
+        degrade = self._degrade_active()
+        if not ((self.fit_audio_ctx or degrade) and bucket_len):
+            return params
+        fitted = self._bucket_ctx_params(bucket_len, params)
+        if degrade and not self.fit_audio_ctx and fitted is not params:
+            self.degraded_groups += 1
+        return fitted
 
     def _ladder_size(self, n: int) -> int:
         """Next power-of-two batch size (capped at max_batch).
@@ -387,6 +475,8 @@ class BatchingTranscriptionServer:
                         r.future.set_exception(e)
                 with self._in_flight_lock:
                     self._in_flight -= 1
+                with self._busy_lock:
+                    self._busy_groups -= 1
                 continue
             self._run_q.put((bucket_len, reqs, padded, run_params, staged))
 
@@ -400,6 +490,8 @@ class BatchingTranscriptionServer:
             finally:
                 with self._in_flight_lock:
                     self._in_flight -= 1
+                with self._busy_lock:
+                    self._busy_groups -= 1
 
     def _run_staged_item(self, item) -> None:
         bucket_len, reqs, padded, run_params, staged = item
@@ -407,6 +499,7 @@ class BatchingTranscriptionServer:
         queue_ms = max(
             (time.monotonic() - r.enqueued_at) * 1000 for r in reqs
         )
+        t_run = time.monotonic()
         try:
             with span("serving.batch", size=len(reqs),
                       bucket=bucket_len, queue_ms=round(queue_ms, 1)):
@@ -431,6 +524,7 @@ class BatchingTranscriptionServer:
                 if not r.future.done():
                     r.future.set_exception(e)
             return
+        self._note_service(bucket_len, time.monotonic() - t_run)
         for r, res in zip(reqs, results):
             r.future.set_result(res)
 
@@ -443,6 +537,7 @@ class BatchingTranscriptionServer:
             (time.monotonic() - r.enqueued_at) * 1000 for r in reqs
         )
         run_params = self._fitted_params(bucket_len, reqs[0].params)
+        t_run = time.monotonic()
         try:
             if self.mesh is not None:
                 with self.mesh:
@@ -460,5 +555,9 @@ class BatchingTranscriptionServer:
                 if not r.future.done():
                     r.future.set_exception(e)
             return
+        finally:
+            with self._busy_lock:
+                self._busy_groups -= 1
+        self._note_service(bucket_len, time.monotonic() - t_run)
         for r, res in zip(reqs, results):
             r.future.set_result(res)

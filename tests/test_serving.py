@@ -665,3 +665,154 @@ def test_mesh_ladder_stays_shardable():
         assert srv._ladder_size(1) == m
     finally:
         srv.shutdown()
+
+
+# -- admission control (sla_ms overload policy) ------------------------------
+
+
+class ParamsDelayEngine:
+    """Records the params of every batch; fixed per-call delay."""
+
+    def __init__(self, delay=0.0):
+        self.calls = []
+        self.delay = delay
+
+    def transcribe_batch(self, batch, params=None):
+        self.calls.append((len(batch), params))
+        if self.delay:
+            time.sleep(self.delay)
+        return [TranscriptionResult(text="x") for _ in batch]
+
+
+def test_sla_degrade_applies_fitted_context():
+    """When the estimated queue wait exceeds sla_ms, new groups run with
+    the bucket-fitted reduced audio context (the DEGRADE arm) even
+    though fit_audio_ctx is off."""
+    from spittle_tpu.parallel.serving import BatchingTranscriptionServer
+
+    eng = ParamsDelayEngine(delay=0.15)
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=2, max_wait_ms=5.0, sla_ms=50.0, shed_factor=1e9
+    )
+    try:
+        audio = np.zeros(16000, np.float32)
+        # Idle server: a lone request must NOT be degraded (wait == 0).
+        srv.submit(audio).result(timeout=30)
+        assert srv.degraded_groups == 0
+        assert eng.calls[0][1].audio_ctx is None
+        # Flood: the queue builds up behind the 150 ms service time, so
+        # queued groups must degrade to the 1 s bucket's fitted context.
+        futs = [srv.submit(audio) for _ in range(10)]
+        for f in futs:
+            f.result(timeout=30)
+    finally:
+        srv.shutdown()
+    assert srv.degraded_groups > 0
+    fitted = [p.audio_ctx for _, p in eng.calls if p and p.audio_ctx]
+    assert 64 in fitted
+
+
+def test_sla_shed_raises_server_overloaded():
+    from spittle_tpu.parallel.serving import (
+        BatchingTranscriptionServer,
+        ServerOverloaded,
+    )
+
+    eng = ParamsDelayEngine(delay=0.3)
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=1, max_wait_ms=1.0, sla_ms=20.0, shed_factor=2.0
+    )
+    try:
+        audio = np.zeros(16000, np.float32)
+        futs = []
+        shed = 0
+        for _ in range(30):
+            try:
+                futs.append(srv.submit(audio))
+            except ServerOverloaded:
+                shed += 1
+        assert shed > 0
+        assert srv.shed_count == shed
+        for f in futs:
+            f.result(timeout=60)  # accepted requests still complete
+    finally:
+        srv.shutdown()
+
+
+def test_no_sla_means_no_policy():
+    """Default construction: no shed, no degrade, behavior unchanged."""
+    from spittle_tpu.parallel.serving import BatchingTranscriptionServer
+
+    eng = ParamsDelayEngine(delay=0.05)
+    srv = BatchingTranscriptionServer(eng, max_batch=2, max_wait_ms=5.0)
+    try:
+        audio = np.zeros(16000, np.float32)
+        futs = [srv.submit(audio) for _ in range(12)]
+        for f in futs:
+            f.result(timeout=30)
+    finally:
+        srv.shutdown()
+    assert srv.shed_count == 0
+    assert srv.degraded_groups == 0
+    assert all(p is None or p.audio_ctx is None for _, p in eng.calls)
+
+
+def test_sla_warmup_precompiles_degraded_shapes():
+    from spittle_tpu.parallel.serving import BatchingTranscriptionServer
+
+    eng = ParamsDelayEngine()
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=2, max_wait_ms=5.0, sla_ms=100.0
+    )
+    try:
+        srv.warmup(bucket_s=1.0, dtypes=(np.float32,))
+    finally:
+        srv.shutdown()
+    ctxs = {p.audio_ctx for _, p in eng.calls}
+    assert None in ctxs and 64 in ctxs  # full AND fitted programs warm
+
+
+def test_http_front_maps_shed_to_503():
+    import urllib.error
+    import urllib.request
+
+    from spittle_tpu.parallel.http_server import TranscriptionHTTPServer
+    from spittle_tpu.parallel.serving import BatchingTranscriptionServer
+
+    eng = ParamsDelayEngine(delay=0.5)
+    srv = BatchingTranscriptionServer(
+        eng, max_batch=1, max_wait_ms=1.0, sla_ms=10.0, shed_factor=1.0
+    )
+    http_srv = TranscriptionHTTPServer(srv)
+    http_srv.start()
+    try:
+        host, port = http_srv.address
+        body = np.zeros(16000, np.float32).tobytes()
+
+        def post():
+            req = urllib.request.Request(
+                f"http://{host}:{port}/transcribe", data=body,
+                headers={"X-Language": "en"},
+            )
+            return urllib.request.urlopen(req, timeout=30)
+
+        codes = []
+        import threading as _th
+
+        def worker():
+            try:
+                with post() as r:
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+
+        threads = [_th.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert 503 in codes  # at least one shed surfaced as retryable
+        assert 200 in codes  # accepted requests still served
+    finally:
+        http_srv.stop()
+        srv.shutdown()

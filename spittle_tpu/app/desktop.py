@@ -85,11 +85,21 @@ def build_app(
     actions = ActionContext(services, output, ui=ui)
 
     if backends is None:
-        backends = {KeyboardImplementation.TAURI: InMemoryBackend()}
-        from spittle_tpu.shell.evdev_keys import EvdevBackend
+        import sys as _sys
 
-        if EvdevBackend.available():
-            backends[KeyboardImplementation.HANDY_KEYS] = EvdevBackend()
+        backends = {KeyboardImplementation.TAURI: InMemoryBackend()}
+        if _sys.platform == "darwin":
+            # CGEventTap session listener (shortcut/tauri_impl.rs's
+            # macOS monitor analog); needs Accessibility permission.
+            from spittle_tpu.shell.macos_keys import QuartzBackend
+
+            if QuartzBackend.available():
+                backends[KeyboardImplementation.HANDY_KEYS] = QuartzBackend()
+        else:
+            from spittle_tpu.shell.evdev_keys import EvdevBackend
+
+            if EvdevBackend.available():
+                backends[KeyboardImplementation.HANDY_KEYS] = EvdevBackend()
 
     settings = services.get_settings()
     impl = settings.keyboard_implementation
@@ -124,14 +134,23 @@ def build_app(
     signals = SignalHandler(actions)
     signals.install()
 
-    # Real OS surfaces when the desktop offers them: a
-    # StatusNotifierItem tray on the session bus (tray.rs analog) and an
-    # X11 override-redirect recording overlay (overlay.rs analog).
+    # Real OS surfaces when the desktop offers them: a platform tray
+    # (StatusNotifierItem on the session bus; NSStatusItem on macOS —
+    # tray.rs builds the same tray on every platform) and the session's
+    # recording overlay (overlay.rs analog, arm picked by session type).
+    import sys as _sys
+
     from spittle_tpu.shell.overlay_select import attach_session_overlay
-    from spittle_tpu.shell.tray_sni import attach_tray
 
     commands = Commands(services, actions)
-    tray = attach_tray(services, actions, ui, commands=commands)
+    if _sys.platform == "darwin":
+        from spittle_tpu.shell.macos_tray import attach_macos_tray
+
+        tray = attach_macos_tray(services, actions, ui, commands=commands)
+    else:
+        from spittle_tpu.shell.tray_sni import attach_tray
+
+        tray = attach_tray(services, actions, ui, commands=commands)
     overlay = attach_session_overlay(services)
 
     # OS login launcher, reconciled with the persisted setting at boot

@@ -235,33 +235,27 @@ class EvdevKeyListener:
             _log.exception("evdev key handler failed")
 
 
-class EvdevBackend:
-    """ShortcutBackend over EvdevKeyListener (the handy-keys analog).
+class ChordDispatchBackend:
+    """The listener-independent half of a global-hotkey backend: hotkey
+    bookkeeping, subset chord matching with most-specific-wins, and
+    key-capture recording mode. Subclasses provide the OS listener
+    (evdev here; CGEventTap in shell/macos_keys.py) and feed key events
+    into _on_key — the dispatch semantics are then identical across
+    platforms by construction."""
 
-    register/unregister take the same 'mod+mod+key' strings as the
-    registry; key-capture mode streams raw events into a sink (wire to
-    ShortcutRegistry.feed_captured_key for FrontendKeyEvent parity)."""
-
-    def __init__(self, fds: Optional[List[int]] = None, own_fds: bool = True):
+    def __init__(self):
         self._hotkeys: Dict[Tuple[frozenset, str], Tuple[str, Callable]] = {}
         self._active: Dict[Tuple[frozenset, str], bool] = {}
         self._capture_sink: Optional[Callable[[str, bool, List[str]], None]] = None
         self._lock = threading.Lock()
-        self.listener = EvdevKeyListener(self._on_key, fds=fds, own_fds=own_fds)
         self._started = False
 
-    @classmethod
-    def available(cls) -> bool:
-        return bool(glob.glob("/dev/input/event*"))
+    # subclass hooks
+    def _ensure_started(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
 
-    def _ensure_started(self) -> None:
-        if not self._started:
-            self.listener.start()
-            self._started = True
-
-    def close(self) -> None:
-        self.listener.stop()
-        self._started = False
+    def _listener_ready(self) -> bool:
+        return True
 
     # -- ShortcutBackend protocol ---------------------------------------
 
@@ -269,7 +263,7 @@ class EvdevBackend:
         norm = normalize_hotkey(hotkey)
         if norm is None:
             return False
-        if self.listener.device_count == 0:
+        if not self._listener_ready():
             return False  # no keyboard to hear -> registry falls back
         with self._lock:
             self._hotkeys[norm] = (hotkey, callback)
@@ -331,3 +325,31 @@ class EvdevBackend:
                 ):
                     self._active[norm] = False
                     callback(hotkey, False)
+
+
+class EvdevBackend(ChordDispatchBackend):
+    """ShortcutBackend over EvdevKeyListener (the handy-keys analog).
+
+    register/unregister take the same 'mod+mod+key' strings as the
+    registry; key-capture mode streams raw events into a sink (wire to
+    ShortcutRegistry.feed_captured_key for FrontendKeyEvent parity)."""
+
+    def __init__(self, fds: Optional[List[int]] = None, own_fds: bool = True):
+        super().__init__()
+        self.listener = EvdevKeyListener(self._on_key, fds=fds, own_fds=own_fds)
+
+    @classmethod
+    def available(cls) -> bool:
+        return bool(glob.glob("/dev/input/event*"))
+
+    def _listener_ready(self) -> bool:
+        return self.listener.device_count > 0
+
+    def _ensure_started(self) -> None:
+        if not self._started:
+            self.listener.start()
+            self._started = True
+
+    def close(self) -> None:
+        self.listener.stop()
+        self._started = False

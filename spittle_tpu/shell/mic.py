@@ -59,6 +59,15 @@ class CaptureTool:
                 cmd += ["-D", device]
             return cmd
         if self.name == "ffmpeg":
+            import sys
+
+            if sys.platform == "darwin":
+                # avfoundation input: ":N" = audio-only device N
+                # (recorder.rs captures via cpal/CoreAudio; ffmpeg is
+                # the subprocess fallback behind shell/macos_mic.py).
+                return ["ffmpeg", "-loglevel", "quiet", "-f",
+                        "avfoundation", "-i", f":{device or '0'}",
+                        "-f", "f32le", "-ac", "1", "-ar", str(rate), "-"]
             return ["ffmpeg", "-loglevel", "quiet", "-f", "pulse",
                     "-i", device or "default", "-f", "f32le", "-ac", "1",
                     "-ar", str(rate), "-"]
@@ -247,8 +256,21 @@ def make_mic_source_factory(
     selected microphone each time the recorder (re)opens its stream
     (audio.rs:282 start_microphone_stream analog)."""
 
-    def factory() -> MicSource:
+    def factory():
         device = device_getter() if device_getter else None
+        import sys
+
+        if sys.platform == "darwin" and tool in (None, "audioqueue"):
+            # Native CoreAudio AudioQueue stream first (the cpal-analog
+            # arm, recorder.rs:83-135); subprocess tools are the
+            # fallback (ffmpeg avfoundation / sox).
+            from spittle_tpu.shell.macos_mic import MacMicSource
+
+            try:  # pragma: no cover (darwin)
+                return MacMicSource()
+            except OSError:
+                if tool == "audioqueue":
+                    raise
         return MicSource(device=device, tool=tool)
 
     return factory

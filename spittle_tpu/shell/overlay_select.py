@@ -40,6 +40,15 @@ def attach_session_overlay(services):
         if overlay is not None:
             _log.info("overlay: win32 topmost popup")
         return overlay
+    if sys.platform == "darwin":
+        # Reference macOS arm: non-activating NSPanel at status-window
+        # level, joins all Spaces (overlay.rs:23-31).
+        from spittle_tpu.shell.macos_overlay import attach_macos_overlay
+
+        overlay = attach_macos_overlay(services)
+        if overlay is not None:
+            _log.info("overlay: macos nonactivating NSPanel")
+        return overlay
     if (os.environ.get("XDG_SESSION_TYPE", "").lower() == "wayland"
             and os.environ.get("WAYLAND_DISPLAY")
             and not session_is_kde_wayland()):

@@ -182,14 +182,9 @@ class SniTray:
         self.conn.close()
 
 
-def attach_tray(services, actions, ui, address: Optional[str] = None,
-                commands=None):
-    """Wire an SniTray to the app graph: TrayController state changes
-    drive the live icon, menu clicks drive the real commands
-    (lib.rs menu handlers). Returns the tray or None when there is no
-    session bus."""
-    if address is None and "DBUS_SESSION_BUS_ADDRESS" not in os.environ:
-        return None
+def tray_menu_handler(services, actions, ui, commands=None):
+    """The shared tray-menu dispatch (lib.rs menu handlers), used by
+    every tray arm (SNI on Linux, NSStatusItem on macOS)."""
 
     def on_menu(item_id: str) -> None:
         if item_id == "settings":
@@ -225,10 +220,29 @@ def attach_tray(services, actions, ui, address: Optional[str] = None,
 
             os.kill(os.getpid(), _signal.SIGTERM)
 
+    return on_menu
+
+
+def tray_activate_handler(actions):
     def on_activate() -> None:
         # Left click toggles transcribe, like the reference tray.
         actions.handle_shortcut_event("transcribe", "", True)
         actions.handle_shortcut_event("transcribe", "", False)
+
+    return on_activate
+
+
+def attach_tray(services, actions, ui, address: Optional[str] = None,
+                commands=None):
+    """Wire an SniTray to the app graph: TrayController state changes
+    drive the live icon, menu clicks drive the real commands
+    (lib.rs menu handlers). Returns the tray or None when there is no
+    session bus."""
+    if address is None and "DBUS_SESSION_BUS_ADDRESS" not in os.environ:
+        return None
+
+    on_menu = tray_menu_handler(services, actions, ui, commands)
+    on_activate = tray_activate_handler(actions)
 
     try:
         tray = SniTray(

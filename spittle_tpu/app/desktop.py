@@ -95,6 +95,15 @@ def build_app(
 
             if QuartzBackend.available():
                 backends[KeyboardImplementation.HANDY_KEYS] = QuartzBackend()
+        elif _sys.platform == "win32":
+            # RegisterHotKey message loop (tauri_impl.rs:108-109's
+            # Windows global-shortcut analog).
+            from spittle_tpu.shell.windows_keys import WinHotkeyBackend
+
+            if WinHotkeyBackend.available():
+                backends[KeyboardImplementation.HANDY_KEYS] = (
+                    WinHotkeyBackend()
+                )
         else:
             from spittle_tpu.shell.evdev_keys import EvdevBackend
 

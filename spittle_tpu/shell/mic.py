@@ -271,6 +271,15 @@ def make_mic_source_factory(
             except OSError:
                 if tool == "audioqueue":
                     raise
+        if sys.platform == "win32" and tool in (None, "wavein"):
+            # Native waveIn stream (the cpal/WASAPI-analog arm).
+            from spittle_tpu.shell.windows_mic import WinMicSource
+
+            try:  # pragma: no cover (win32)
+                return WinMicSource()
+            except OSError:
+                if tool == "wavein":
+                    raise
         return MicSource(device=device, tool=tool)
 
     return factory

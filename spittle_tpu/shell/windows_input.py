@@ -40,6 +40,8 @@ _VK_NAMES = {
     "backspace": 0x08, "enter": 0x0D, "tab": 0x09, "escape": 0x1B,
     "insert": 0x2D, "delete": 0x2E, "home": 0x24, "end": 0x23,
     "space": 0x20, "pageup": 0x21, "pagedown": 0x22,
+    # Function keys (VK_F1..VK_F12 — hotkey chords use them).
+    **{f"f{i}": 0x6F + i for i in range(1, 13)},
 }
 
 _MOD_VKS = (

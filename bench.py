@@ -194,9 +194,16 @@ def _turbo_leg(exact):
         temperatures=(0.0,),
     )
 
+    # overlap_fetch: dispatch group k+1's device programs before
+    # fetching group k's tokens (hides the measured ~139 ms inter-group
+    # stream gap). Costs one extra in-flight group's device buffers —
+    # SPITTLE_BENCH_OVERLAP=0 reverts at HBM-frontier batch sizes.
+    ovf = os.environ.get("SPITTLE_BENCH_OVERLAP", "1") == "1"
+
     # Warmup / compile. transcribe_* fetches results to host, which is
     # the only honest completion barrier on the tunneled axon platform.
-    for _ in engine.transcribe_stream([make_batch()], params):
+    for _ in engine.transcribe_stream([make_batch()], params,
+                                      overlap_fetch=ovf):
         pass
 
     # Link-speed covariate: transfer-bound throughput swings ±30-40% with
@@ -215,7 +222,8 @@ def _turbo_leg(exact):
         batches = [make_batch() for _ in range(N_BATCHES)]
         t0 = time.perf_counter()
         n_done = 0
-        for results in engine.transcribe_stream(batches, params):
+        for results in engine.transcribe_stream(batches, params,
+                                                overlap_fetch=ovf):
             n_done += len(results)
         dt = time.perf_counter() - t0
         assert n_done == BATCH * N_BATCHES
@@ -295,14 +303,17 @@ def _lv3_leg(exact):
             for _ in range(lv3_batch_size)
         ]
 
-    for _ in lv3.transcribe_stream([make_lv3_batch()], params):
+    ovf = os.environ.get("SPITTLE_BENCH_OVERLAP", "1") == "1"
+    for _ in lv3.transcribe_stream([make_lv3_batch()], params,
+                                   overlap_fetch=ovf):
         pass
     lv3_runs = []
     for _ in range(N_REPEATS):
         batches = [make_lv3_batch() for _ in range(N_BATCHES)]
         t0 = time.perf_counter()
         n_done = 0
-        for results in lv3.transcribe_stream(batches, params):
+        for results in lv3.transcribe_stream(batches, params,
+                                             overlap_fetch=ovf):
             n_done += len(results)
         dt = time.perf_counter() - t0
         assert n_done == lv3_batch_size * N_BATCHES

@@ -73,6 +73,17 @@ def main():
     t = timed(lambda: stem(mel))
     print(f"conv stem           {t*1e3:8.1f} ms", flush=True)
 
+    # GEMM-form stem (SPITTLE_STEM_GEMM=1): im2col slices + two matmuls
+    # — the conv lowering measures ~5x its FLOP floor (see _stem_gemm).
+    from spittle_tpu.models.whisper.model import _stem_gemm
+
+    stem_g = jax.jit(lambda m: _stem_gemm(enc, m))
+    try:
+        t = timed(lambda: stem_g(mel))
+        print(f"stem GEMM-form      {t*1e3:8.1f} ms", flush=True)
+    except Exception as e:
+        print(f"stem GEMM-form      FAILED: {str(e)[:120]}", flush=True)
+
     x = jnp.asarray(
         rng.standard_normal((B, 1500, cfg.n_audio_state)), jnp.bfloat16
     )

@@ -156,6 +156,10 @@ def build_app(
         from spittle_tpu.shell.macos_tray import attach_macos_tray
 
         tray = attach_macos_tray(services, actions, ui, commands=commands)
+    elif _sys.platform == "win32":
+        from spittle_tpu.shell.windows_tray import attach_windows_tray
+
+        tray = attach_windows_tray(services, actions, ui, commands=commands)
     else:
         from spittle_tpu.shell.tray_sni import attach_tray
 

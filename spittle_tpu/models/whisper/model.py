@@ -315,21 +315,60 @@ def _encoder_blocks(blocks, x, n_head: int):
     return x
 
 
+def _stem_gemm(enc, mel: jnp.ndarray) -> jnp.ndarray:
+    """The conv stem as two im2col GEMMs (SPITTLE_STEM_GEMM=1).
+
+    XLA lowers the NCH strided conv at ~5x its FLOP floor on this chip
+    (31 ms/batch-48 vs ~6 ms for 0.73 TFLOP at the measured encoder
+    GEMM rate, scripts/bench_encoder.py). A k=3 conv IS a [3*C_in ->
+    C_out] matmul over unfolded windows, and the unfold is three
+    strided slices + one concat in time-major layout — no gather, MXU-
+    friendly minor-axis contraction. Same math, same weights; the
+    window unfold order (k-major, C within k) matches
+    w.transpose(2, 1, 0).reshape(3*C, D)."""
+    w1, w2 = enc["conv1_w"], enc["conv2_w"]  # [D, C, 3], [D, D, 3]
+    d, c, _ = w1.shape
+    xt = mel.astype(w1.dtype).transpose(0, 2, 1)  # [B, T, C]
+    t = xt.shape[1]
+    assert t % 2 == 0, t
+    xp = jnp.pad(xt, ((0, 0), (1, 1), (0, 0)))
+    cat1 = jnp.concatenate(
+        [xp[:, 0:t], xp[:, 1:t + 1], xp[:, 2:t + 2]], axis=-1
+    )  # [B, T, 3C]
+    w1m = w1.transpose(2, 1, 0).reshape(3 * c, d)
+    h = jax.nn.gelu(cat1 @ w1m + enc["conv1_b"], approximate=False)
+    hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))  # [B, T+2, D]
+    cat2 = jnp.concatenate(
+        [hp[:, 0:t:2], hp[:, 1:t + 1:2], hp[:, 2:t + 2:2]], axis=-1
+    )  # [B, T/2, 3D]
+    w2m = w2.transpose(2, 1, 0).reshape(3 * d, d)
+    return jax.nn.gelu(cat2 @ w2m + enc["conv2_b"], approximate=False)
+
+
+def _stem_gemm_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPITTLE_STEM_GEMM", "0") == "1"
+
+
 def _encoder_stem(enc, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     """Conv stem + positions: mel [B, n_mels, frames] -> [B, T, D]."""
-    x = jax.lax.conv_general_dilated(
-        mel.astype(enc["conv1_w"].dtype), enc["conv1_w"],
-        window_strides=(1,), padding=[(1, 1)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    ) + enc["conv1_b"][None, :, None]
-    x = jax.nn.gelu(x, approximate=False)
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv2_w"],
-        window_strides=(2,), padding=[(1, 1)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    ) + enc["conv2_b"][None, :, None]
-    x = jax.nn.gelu(x, approximate=False)
-    x = x.transpose(0, 2, 1)  # [B, T=1500, D]
+    if _stem_gemm_enabled():
+        x = _stem_gemm(enc, mel)
+    else:
+        x = jax.lax.conv_general_dilated(
+            mel.astype(enc["conv1_w"].dtype), enc["conv1_w"],
+            window_strides=(1,), padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ) + enc["conv1_b"][None, :, None]
+        x = jax.nn.gelu(x, approximate=False)
+        x = jax.lax.conv_general_dilated(
+            x, enc["conv2_w"],
+            window_strides=(2,), padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ) + enc["conv2_b"][None, :, None]
+        x = jax.nn.gelu(x, approximate=False)
+        x = x.transpose(0, 2, 1)  # [B, T=1500, D]
     pos = jnp.asarray(
         sinusoidal_positions(cfg.n_audio_ctx, cfg.n_audio_state), x.dtype
     )

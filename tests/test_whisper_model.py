@@ -104,3 +104,30 @@ def test_batch_consistency(tiny):
     xa_b = encode(params, mel, cfg)
     xa_1 = encode(params, mel[1:2], cfg)
     np.testing.assert_allclose(np.asarray(xa_b[1]), np.asarray(xa_1[0]), atol=1e-4)
+
+
+def test_stem_gemm_matches_conv(monkeypatch):
+    """SPITTLE_STEM_GEMM: the im2col GEMM stem must match the conv stem
+    (same weights, same unfold order) to float noise."""
+    import numpy as np
+
+    from spittle_tpu.models.whisper.config import CONFIGS
+    from spittle_tpu.models.whisper.model import _encoder_stem, init_params
+
+    cfg = CONFIGS["tiny"]
+    p = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, cfg.n_mels, 3000))
+        * 0.3,
+        jnp.float32,
+    )
+    conv = np.asarray(_encoder_stem(p["encoder"], mel, cfg))
+    monkeypatch.setenv("SPITTLE_STEM_GEMM", "1")
+    gemm = np.asarray(_encoder_stem(p["encoder"], mel, cfg))
+    np.testing.assert_allclose(gemm, conv, rtol=1e-5, atol=1e-5)
+    # Reduced-context mels (audio_ctx path) go through the same unfold.
+    mel_short = mel[:, :, :512]
+    gemm = np.asarray(_encoder_stem(p["encoder"], mel_short, cfg))
+    monkeypatch.setenv("SPITTLE_STEM_GEMM", "0")
+    conv = np.asarray(_encoder_stem(p["encoder"], mel_short, cfg))
+    np.testing.assert_allclose(gemm, conv, rtol=1e-5, atol=1e-5)

@@ -54,6 +54,8 @@ static uint32_t wi_rate = 0, wi_channels = 0, wi_bits = 0, wi_tag = 0;
 uint32_t waveInOpen(void **out, uint32_t dev, WAVEFORMATEX *fmt,
                     wavein_cb cb, void *inst, uint32_t flags) {
     (void)dev; (void)inst; (void)flags;
+    wi_n_hdrs = 0;  /* new stream: drop dangling prior-source headers */
+    wi_added = 0;
     wi_rate = fmt->nSamplesPerSec;
     wi_channels = fmt->nChannels;
     wi_bits = fmt->wBitsPerSample;
@@ -120,6 +122,7 @@ static int16_t key_state[512];
 
 static void post(uint32_t message, size_t w, ssize_t l) {
     pthread_mutex_lock(&mq_mu);
+    mq[mq_tail % QCAP].hwnd = 0;
     mq[mq_tail % QCAP].message = message;
     mq[mq_tail % QCAP].wParam = w;
     mq[mq_tail % QCAP].lParam = l;
@@ -163,6 +166,112 @@ int UnregisterHotKey(void *hwnd, int id) {
 
 int16_t GetAsyncKeyState(int vk) { return key_state[vk & 511]; }
 uint32_t GetCurrentThreadId(void) { return 42; }
+
+/* ---------------- Shell_NotifyIcon tray fake ---------------- */
+
+typedef ssize_t (*wndproc_t)(void *, uint32_t, size_t, ssize_t);
+static wndproc_t wnd_proc = 0;
+
+typedef struct {
+    uint32_t style;
+    wndproc_t lpfnWndProc;
+    int cbClsExtra, cbWndExtra;
+    void *hInstance, *hIcon, *hCursor, *hbrBackground;
+    wchar_t *lpszMenuName, *lpszClassName;
+} WNDCLASSW_;
+
+uint16_t RegisterClassW(WNDCLASSW_ *wc) { wnd_proc = wc->lpfnWndProc; return 1; }
+
+void *CreateWindowExW(uint32_t ex, wchar_t *cls, wchar_t *name,
+                      uint32_t style, int x, int y, int w, int h,
+                      ssize_t parent, void *menu, void *inst, void *p) {
+    (void)ex; (void)cls; (void)name; (void)style; (void)x; (void)y;
+    (void)w; (void)h; (void)parent; (void)menu; (void)inst; (void)p;
+    return (void *)0x77;
+}
+
+typedef struct {
+    uint32_t cbSize;
+    void *hWnd;
+    uint32_t uID, uFlags, uCallbackMessage;
+    void *hIcon;
+    wchar_t szTip[128];
+} NID;
+
+static int ni_ops[64];
+static int ni_n = 0;
+static uint32_t ni_cbmsg = 0;
+static size_t last_icon_id = 0;
+static wchar_t ni_tip[128];
+
+int Shell_NotifyIconW(uint32_t op, NID *nid) {
+    ni_ops[ni_n++ % 64] = (int)op;
+    ni_cbmsg = nid->uCallbackMessage;
+    memcpy(ni_tip, nid->szTip, sizeof(ni_tip));
+    return 1;
+}
+
+void *LoadIconW(void *inst, size_t id) {
+    (void)inst; last_icon_id = id; return (void *)id;
+}
+
+ssize_t DefWindowProcW(void *h, uint32_t m, size_t w, ssize_t l) {
+    (void)h; (void)m; (void)w; (void)l; return 0;
+}
+
+ssize_t DispatchMessageW(MSG *m) {
+    if (wnd_proc) return wnd_proc(m->hwnd, m->message, m->wParam, m->lParam);
+    return 0;
+}
+
+static size_t menu_ids[32];
+static int menu_n = 0;
+static int track_ret = 0;
+static int track_called = 0;
+
+void *CreatePopupMenu(void) { menu_n = 0; return (void *)0x88; }
+int AppendMenuW(void *m, uint32_t f, size_t id, wchar_t *label) {
+    (void)m; (void)f; (void)label;
+    menu_ids[menu_n++ % 32] = id;
+    return 1;
+}
+int TrackPopupMenu(void *m, uint32_t flags, int x, int y, int r,
+                   void *hwnd, void *rect) {
+    (void)m; (void)flags; (void)x; (void)y; (void)r; (void)hwnd;
+    (void)rect;
+    track_called++;
+    return track_ret;
+}
+int DestroyMenu(void *m) { (void)m; return 1; }
+int DestroyWindow(void *h) { (void)h; return 1; }
+int GetCursorPos(long *pt) { pt[0] = 10; pt[1] = 20; return 1; }
+
+int fake_ni_count(void) { return ni_n; }
+int fake_ni_op(int i) { return ni_ops[i]; }
+uint32_t fake_ni_cbmsg(void) { return ni_cbmsg; }
+size_t fake_last_icon_id(void) { return last_icon_id; }
+int fake_menu_count(void) { return menu_n; }
+int fake_track_called(void) { return track_called; }
+void fake_set_track_ret(int v) { track_ret = v; }
+void fake_ni_reset(void) { ni_n = 0; track_called = 0; }
+
+static void post_hwnd(void *hwnd, uint32_t message, size_t w, ssize_t l) {
+    pthread_mutex_lock(&mq_mu);
+    mq[mq_tail % QCAP].hwnd = hwnd;
+    mq[mq_tail % QCAP].message = message;
+    mq[mq_tail % QCAP].wParam = w;
+    mq[mq_tail % QCAP].lParam = l;
+    mq_tail++;
+    pthread_cond_signal(&mq_cv);
+    pthread_mutex_unlock(&mq_mu);
+}
+
+/* Deliver a tray callback: queued (hwnd=0, direct arm) or through the
+   window (hwnd set -> DispatchMessageW -> registered WNDPROC). */
+void fake_tray_event(ssize_t event) { post_hwnd(0, 0x800A, 1, event); }
+void fake_tray_event_hwnd(ssize_t event) {
+    post_hwnd((void *)0x77, 0x800A, 1, event);
+}
 
 int fake_hk_count(void) {
     int c = 0;
@@ -292,3 +401,73 @@ class TestRegisterHotKey:
         register() must reject unknown keys before even posting."""
         assert not backend.register("ctrl+nosuchkey", lambda hk, p: None)
         assert "ctrl+nosuchkey" not in backend._ids
+
+
+class TestWinTray:
+    WM_LBUTTONUP = 0x0202
+    WM_RBUTTONUP = 0x0205
+
+    def _tray(self, fake_lib, activated=None, clicked=None):
+        from spittle_tpu.shell.windows_tray import WinTray
+
+        fake_lib.fake_ni_reset()
+        return WinTray(
+            [("settings", "Settings"), ("cancel", "Cancel"),
+             ("quit", "Quit")],
+            on_activate=(lambda: activated.append(1))
+            if activated is not None else None,
+            on_menu=clicked.append if clicked is not None else None,
+            user32=fake_lib, shell32=fake_lib, kernel32=fake_lib,
+        )
+
+    def test_icon_added_and_removed(self, fake_lib):
+        from spittle_tpu.shell.windows_tray import WM_APP_TRAY
+
+        tray = self._tray(fake_lib)
+        assert _wait(lambda: fake_lib.fake_ni_count() >= 1)
+        assert fake_lib.fake_ni_op(0) == 0  # NIM_ADD
+        assert fake_lib.fake_ni_cbmsg() == WM_APP_TRAY
+        tray.close()
+        ops = [fake_lib.fake_ni_op(i)
+               for i in range(fake_lib.fake_ni_count())]
+        assert 2 in ops  # NIM_DELETE on close
+
+    def test_left_click_activates(self, fake_lib):
+        activated = []
+        tray = self._tray(fake_lib, activated=activated)
+        _wait(lambda: fake_lib.fake_ni_count() >= 1)
+        fake_lib.fake_tray_event(self.WM_LBUTTONUP)
+        assert _wait(lambda: activated == [1])
+        tray.close()
+
+    def test_right_click_menu_dispatches_through_wndproc(self, fake_lib):
+        """The callback routed through the WINDOW (DispatchMessageW ->
+        registered WNDPROC thunk) opens the popup menu; the scripted
+        TrackPopupMenu selection maps back to the item id."""
+        clicked = []
+        tray = self._tray(fake_lib, clicked=clicked)
+        _wait(lambda: fake_lib.fake_ni_count() >= 1)
+        fake_lib.fake_set_track_ret(2)  # second item -> "cancel"
+        fake_lib.fake_tray_event_hwnd(self.WM_RBUTTONUP)
+        assert _wait(lambda: clicked == ["cancel"])
+        assert fake_lib.fake_track_called() >= 1
+        assert fake_lib.fake_menu_count() == 3
+        fake_lib.fake_set_track_ret(0)  # dismissed: no dispatch
+        fake_lib.fake_tray_event_hwnd(self.WM_RBUTTONUP)
+        assert _wait(lambda: fake_lib.fake_track_called() >= 2)
+        assert clicked == ["cancel"]
+        tray.close()
+
+    def test_set_state_modifies_icon(self, fake_lib):
+        from spittle_tpu.app.ui_state import TrayIconState
+        from spittle_tpu.shell.windows_tray import IDI_EXCLAMATION
+
+        tray = self._tray(fake_lib)
+        _wait(lambda: fake_lib.fake_ni_count() >= 1)
+        tray.set_state(TrayIconState.RECORDING)
+        assert _wait(lambda: fake_lib.fake_ni_count() >= 2)
+        ops = [fake_lib.fake_ni_op(i)
+               for i in range(fake_lib.fake_ni_count())]
+        assert 1 in ops  # NIM_MODIFY
+        assert fake_lib.fake_last_icon_id() == IDI_EXCLAMATION
+        tray.close()

@@ -15,15 +15,15 @@ alignment is known by construction, so no transducer/CTC loss machinery
 is needed to reach 100% on the task):
 
 - **Parakeet-TDT**: trajectory imitation of the greedy duration-advance
-  loop. The supervised trajectory is: blank with duration 2 between
-  tones, the word token with duration 1 at each tone-start frame (tone
-  grid is frame-exact: 0.48 s tones + 0.24 s gaps on 80 ms encoder
-  frames). The prediction-network state is teacher-forced along the
-  trajectory (LSTM consumes exactly the emitted non-blank tokens), so
-  when every argmax is learned the REAL tdt_greedy_decode reproduces
-  the trajectory exactly — including duration-2 hops, which makes the
-  decode exercise the TDT advance machinery, not a degenerate
-  advance-by-1 loop. NeMo semantics per models/parakeet/decode.py.
+  loop: uniform duration-2 steps (word token at tone starts, blank
+  elsewhere; frame-exact grid of 0.48 s tones + 0.32 s gaps on 80 ms
+  encoder frames). The prediction-network state is teacher-forced along
+  the trajectory (LSTM consumes exactly the emitted non-blank tokens),
+  so when every argmax is learned the REAL tdt_greedy_decode reproduces
+  the trajectory exactly — visiting every OTHER frame through the TDT
+  advance, not a degenerate advance-by-1 loop. NeMo semantics per
+  models/parakeet/decode.py; see tdt_trajectory for why the duration
+  label is uniform.
 - **Moonshine**: teacher-forced CE on [sot, w1..wk] -> [w1..wk, eot]
   through decoder_forward (the same recipe as Whisper trained-tiny).
 - **SenseVoice**: frame-level CE on the CTC logits with the known
@@ -60,7 +60,8 @@ GOLDENS = os.path.join(OUT_DIR, "goldens.json")
 
 SR = 16000
 TONE_S = 0.48   # 6 x 80 ms encoder frames / 8 x 60 ms LFR frames
-GAP_S = 0.24    # 3 x 80 ms / 4 x 60 ms
+GAP_S = 0.32    # 4 x 80 ms -> tone stride 10 frames (even: the TDT
+                # trajectory advances by 2 EVERYWHERE, see tdt_trajectory)
 LEAD_S = 0.16   # 2 x 80 ms
 UTT_S = 6.0     # fixed training/eval window (6-tone utterance fits)
 
@@ -164,24 +165,30 @@ def parakeet_cfg():
 
 def tdt_trajectory(word_ids, t_frames, max_steps):
     """(visit_frames, token_targets, dur_targets, mask) for the greedy
-    trajectory: blank/dur-2 hops between tones, word/dur-1 at starts.
+    trajectory: duration 2 at EVERY step (word token at tone starts,
+    blank elsewhere).
 
-    Tone k starts at frame 2 + 9k (LEAD_S + k*(TONE_S+GAP_S) on the
-    80 ms grid); from an odd frame f+1 the dur-2 hops land on f+3, f+5,
-    f+7, f+9 = the next start. From frame 0 the first hop lands on 2."""
-    starts = {2 + 9 * k: word_ids[k] for k in range(len(word_ids))}
+    Tone k starts at frame 2 + 10k (LEAD_S + k*(TONE_S+GAP_S) on the
+    80 ms grid, all even), so uniform dur-2 hops visit 0, 2, 4, ... and
+    land exactly on every start. The uniform duration label is
+    deliberately CONTEXT-FREE: the first training of this checkpoint
+    used dur-1-at-starts / dur-2-at-blanks, and the two joint heads
+    disagreed on rare held-out contexts (token head said 'word', dur
+    head said 2), desyncing the decode's frame parity and truncating
+    tails. Uniform d=2 removes the inconsistency while still exercising
+    the real TDT feature — the decode advances by the PREDICTED
+    duration, visiting half the frames of a classic RNNT loop."""
+    starts = {2 + 10 * k: word_ids[k] for k in range(len(word_ids))}
     visits, toks, durs = [], [], []
     t = 0
     while t < t_frames and len(visits) < max_steps:
         visits.append(t)
         if t in starts:
             toks.append(word_token(starts[t]))
-            durs.append(1)
-            t += 1
         else:
             toks.append(VOCAB)  # blank
-            durs.append(2)
-            t += 2
+        durs.append(2)
+        t += 2
     k = len(visits)
     pad = max_steps - k
     return (np.asarray(visits + [0] * pad, np.int32),

@@ -69,8 +69,8 @@ def test_parakeet_tdt_decode_matches_goldens(goldens, tone_task, parakeet):
 
 def test_parakeet_duration_advance_is_exercised(goldens, tone_task,
                                                 parakeet):
-    """The trained trajectory hops blanks with duration 2: the decode
-    must take FEWER steps than frames (a degenerate advance-by-1 decode
+    """The trained trajectory advances by duration 2 at every step: the
+    decode visits every other frame (a degenerate advance-by-1 decode
     would not prove the TDT duration machinery)."""
     import jax.numpy as jnp
 
@@ -89,9 +89,11 @@ def test_parakeet_duration_advance_is_exercised(goldens, tone_task,
     )
     n_words = len(goldens["cases"][0]["word_ids"])
     assert int(counts[0]) == n_words
-    # Emission frames sit on the 9-frame tone grid (starts at frame 2).
+    # Emission frames sit on the 10-frame tone grid (starts at frame 2)
+    # — reached through uniform duration-2 hops, so the decode visited
+    # only every OTHER frame (the TDT advance at work).
     emitted = [int(f) for f in np.asarray(frames)[0, : n_words]]
-    assert emitted == [2 + 9 * k for k in range(n_words)], emitted
+    assert emitted == [2 + 10 * k for k in range(n_words)], emitted
 
 
 def test_parakeet_detected_language_on_trained_weights(goldens, tone_task,

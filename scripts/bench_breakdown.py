@@ -29,6 +29,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = int(os.environ.get("BB_BATCH", "48"))
 TOKENS = int(os.environ.get("BB_TOKENS", "96"))
+MODEL = os.environ.get("BB_MODEL", "large-v3-turbo")
+# BB_FULLC=1 loads the engine with the production large-v3 stack
+# (int8 weights+cross-KV, int8 self-cache, W8A8 encoder) so the stage
+# split matches what bench.py's lv3 line actually runs.
+FULLC = os.environ.get("BB_FULLC", "0") == "1"
 STAGES = set(
     os.environ.get("BB_STAGES", "total,host,mel,encode,loop").split(",")
 )
@@ -64,8 +69,14 @@ def main():
     from spittle_tpu.models.whisper.decode import greedy_decode
     from spittle_tpu.models.whisper.model import encode
 
-    engine = WhisperEngine(dtype=jnp.bfloat16)
-    engine.load_model("random:large-v3-turbo")
+    if FULLC:
+        engine = WhisperEngine(
+            dtype=jnp.bfloat16, wire="mulaw", quantize_encoder=True,
+            quantize_decoder="int8", quantize_cache=True,
+        )
+    else:
+        engine = WhisperEngine(dtype=jnp.bfloat16)
+    engine.load_model(f"random:{MODEL}")
     cfg = engine.cfg
     params = engine.params
 
@@ -124,6 +135,27 @@ def main():
     if "encode" in STAGES:
         t = timed(lambda: encode(params, mel, cfg))
         print(f"encode                      {t*1e3:8.1f} ms", flush=True)
+
+    if "crosskv" in STAGES:
+        # The decoder's cross-attention K/V precompute (+ production int8
+        # quantization when BB_FULLC): 32 layers x 2 projections over
+        # [B, 1500, 1280] — a non-layer stage invisible in both the
+        # encoder and loop breakdowns.
+        from spittle_tpu.models.whisper.model import precompute_cross_kv
+
+        t = timed(lambda: precompute_cross_kv(params, xa, cfg))
+        print(f"cross-KV precompute         {t*1e3:8.1f} ms", flush=True)
+        if FULLC:
+            from spittle_tpu.ops.quant import quantize_kv
+
+            ckv = precompute_cross_kv(params, xa, cfg)
+
+            def qrun():
+                return (quantize_kv(ckv[0]), quantize_kv(ckv[1]))
+
+            t = timed(qrun)
+            print(f"cross-KV int8 quantize      {t*1e3:8.1f} ms",
+                  flush=True)
 
     if "loop" in STAGES:
         opts = engine._decode_options(tparams)

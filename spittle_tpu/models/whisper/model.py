@@ -318,14 +318,17 @@ def _encoder_blocks(blocks, x, n_head: int):
 def _stem_gemm(enc, mel: jnp.ndarray) -> jnp.ndarray:
     """The conv stem as two im2col GEMMs (SPITTLE_STEM_GEMM=1).
 
-    XLA lowers the NCH strided conv at ~5x its FLOP floor on this chip
-    (31 ms/batch-48 vs ~6 ms for 0.73 TFLOP at the measured encoder
-    GEMM rate, scripts/bench_encoder.py). A k=3 conv IS a [3*C_in ->
-    C_out] matmul over unfolded windows, and the unfold is three
-    strided slices + one concat in time-major layout — no gather, MXU-
-    friendly minor-axis contraction. Same math, same weights; the
-    window unfold order (k-major, C within k) matches
-    w.transpose(2, 1, 0).reshape(3*C, D)."""
+    MEASURED OUT on-chip (2026-08-20, scripts/bench_encoder.py b48:
+    GEMM form 53.2 ms vs conv lowering 36.0 ms) — the im2col concats
+    materialize [B, T, 3C] / [B, T/2, 3D] intermediates whose HBM
+    round-trips cost more than the conv lowering's inefficiency. The
+    hypothesis that motivated this form came from an earlier 31 ms
+    conv draw vs a ~6 ms FLOP floor; the floor ignored the unfold
+    bytes. Kept as a tested opt-in for the record. A k=3 conv IS a
+    [3*C_in -> C_out] matmul over unfolded windows: three strided
+    slices + one concat in time-major layout, window unfold order
+    (k-major, C within k) matching w.transpose(2, 1, 0).reshape(3*C,
+    D)."""
     w1, w2 = enc["conv1_w"], enc["conv2_w"]  # [D, C, 3], [D, D, 3]
     d, c, _ = w1.shape
     xt = mel.astype(w1.dtype).transpose(0, 2, 1)  # [B, T, C]

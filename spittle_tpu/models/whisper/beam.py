@@ -64,12 +64,17 @@ def _beam_loop(
     # cross-attention core folds beams into the query axis, so K/V stream
     # from HBM once per item per step instead of once per beam
     # (model.py:_cross_attention).
-    cross_kv = precompute_cross_kv(params, xa, cfg)
-    if opts.quant_kv:
-        from spittle_tpu.ops.quant import quantize_kv, quantize_kv_int4
+    if opts.quant_kv and opts.quant_kv_bits == 8:
+        from spittle_tpu.models.whisper.model import precompute_cross_kv_q8
 
-        qf = quantize_kv_int4 if opts.quant_kv_bits == 4 else quantize_kv
-        cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
+        cross_kv = precompute_cross_kv_q8(params, xa, cfg)
+    else:
+        cross_kv = precompute_cross_kv(params, xa, cfg)
+        if opts.quant_kv:
+            from spittle_tpu.ops.quant import quantize_kv_int4
+
+            cross_kv = (quantize_kv_int4(cross_kv[0]),
+                        quantize_kv_int4(cross_kv[1]))
     ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)
     prefix_k = _expand_beams(prefix, k)
 

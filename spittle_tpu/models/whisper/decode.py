@@ -223,18 +223,27 @@ def _greedy_loop(
         cfg.n_text_ctx,
         prefix_len + (opts.max_tokens or cfg.n_text_ctx),
     )
-    cross_kv = precompute_cross_kv(params, xa, cfg)
-    if opts.quant_kv:
-        from spittle_tpu.ops.quant import (
-            quantize_kv, quantize_kv_int4, quantize_kv_w8a8,
-        )
+    if opts.quant_kv and opts.quant_kv_bits == 8 and not opts.quant_kv_w8a8:
+        # Plain int8: fused per-layer projection+quantization — never
+        # materializes the full bf16 [L, B, H, Dh, 1500] pair (11 GB at
+        # b45), which capped the batch frontier (model.py
+        # precompute_cross_kv_q8 docstring).
+        from spittle_tpu.models.whisper.model import precompute_cross_kv_q8
 
-        qf = (
-            quantize_kv_int4 if opts.quant_kv_bits == 4
-            else quantize_kv_w8a8 if opts.quant_kv_w8a8
-            else quantize_kv
-        )
-        cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
+        cross_kv = precompute_cross_kv_q8(params, xa, cfg)
+    else:
+        cross_kv = precompute_cross_kv(params, xa, cfg)
+        if opts.quant_kv:
+            from spittle_tpu.ops.quant import (
+                quantize_kv, quantize_kv_int4, quantize_kv_w8a8,
+            )
+
+            qf = (
+                quantize_kv_int4 if opts.quant_kv_bits == 4
+                else quantize_kv_w8a8 if opts.quant_kv_w8a8
+                else quantize_kv
+            )
+            cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
     # Cache sized to the decode budget (sublane-aligned): a short decode
     # reads max_len-wide K/V per step instead of n_text_ctx-wide.
     ctx = min(cfg.n_text_ctx, -(-max_len // 32) * 32)

@@ -417,6 +417,38 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig):
     return ks, vs
 
 
+def precompute_cross_kv_q8(params: Params, xa: jnp.ndarray,
+                           cfg: WhisperConfig):
+    """precompute_cross_kv fused with per-layer int8 quantization.
+
+    quantize_kv(precompute_cross_kv(...)) materializes the FULL bf16
+    [L, B, H, Dh, 1500] K/V pair (11 GB at large-v3 batch 45) before
+    the int8 tensors exist — that transient, not the int8 working set,
+    is what capped the batch frontier at b45 (b47 HBM OOM,
+    BENCHMARKS.md 2026-08-20). Quantizing inside the layer scan keeps
+    one layer of bf16/f32 intermediates live (~350 MB at b64) and emits
+    the stacked int8 dict directly. Same arithmetic as the two-step
+    path (quantize_kv is per-position): int8 bytes come out equal;
+    scales agree to float ULP (XLA fuses the amax/divide differently
+    inside the scan) — tests/test_quant.py::
+    test_fused_cross_kv_q8_byte_identical."""
+    from spittle_tpu.ops.quant import quantize_kv
+
+    blocks = params["decoder"]["blocks"]
+    h = cfg.n_text_head
+
+    def body(_, blk):
+        k = _split_heads(xa @ blk["cross_wk"], h).swapaxes(-1, -2)
+        v = _split_heads(
+            xa @ blk["cross_wv"] + blk["cross_bv"], h
+        ).swapaxes(-1, -2)
+        qk, qv = quantize_kv(k), quantize_kv(v)
+        return None, (qk["qw"], qk["scale"], qv["qw"], qv["scale"])
+
+    _, (kq, ksc, vq, vsc) = jax.lax.scan(body, None, blocks)
+    return {"qw": kq, "scale": ksc}, {"qw": vq, "scale": vsc}
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
                   ctx: int = 0, quant: bool = False):
     """Static self-attention cache: [L, 2, B, H, Dh, ctx].

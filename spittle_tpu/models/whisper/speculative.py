@@ -76,23 +76,30 @@ def _speculative_loop(
     static_mask = jnp.asarray(
         _static_suppress_mask(cfg, opts, audio_ctx=xa.shape[1])
     )
-    cross_kv = precompute_cross_kv(params, xa, cfg)
-    d_cross_kv = precompute_cross_kv(draft_params, draft_xa, draft_cfg)
-    if opts.quant_kv:
-        # Same serving options as the greedy loop (engine sets them
-        # uniformly); the draft shares the target's quantization so an
-        # accept/reject decision never compares mixed precisions.
-        from spittle_tpu.ops.quant import (
-            quantize_kv, quantize_kv_int4, quantize_kv_w8a8,
-        )
+    if opts.quant_kv and opts.quant_kv_bits == 8 and not opts.quant_kv_w8a8:
+        # Plain int8: the fused per-layer path (precompute_cross_kv_q8)
+        # that never materializes the full bf16 K/V pair. Draft shares
+        # the target's quantization so an accept/reject decision never
+        # compares mixed precisions.
+        from spittle_tpu.models.whisper.model import precompute_cross_kv_q8
 
-        qf = (
-            quantize_kv_int4 if opts.quant_kv_bits == 4
-            else quantize_kv_w8a8 if opts.quant_kv_w8a8
-            else quantize_kv
-        )
-        cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
-        d_cross_kv = (qf(d_cross_kv[0]), qf(d_cross_kv[1]))
+        cross_kv = precompute_cross_kv_q8(params, xa, cfg)
+        d_cross_kv = precompute_cross_kv_q8(draft_params, draft_xa, draft_cfg)
+    else:
+        cross_kv = precompute_cross_kv(params, xa, cfg)
+        d_cross_kv = precompute_cross_kv(draft_params, draft_xa, draft_cfg)
+        if opts.quant_kv:
+            from spittle_tpu.ops.quant import (
+                quantize_kv, quantize_kv_int4, quantize_kv_w8a8,
+            )
+
+            qf = (
+                quantize_kv_int4 if opts.quant_kv_bits == 4
+                else quantize_kv_w8a8 if opts.quant_kv_w8a8
+                else quantize_kv
+            )
+            cross_kv = (qf(cross_kv[0]), qf(cross_kv[1]))
+            d_cross_kv = (qf(d_cross_kv[0]), qf(d_cross_kv[1]))
 
     pre_logits, cache = decoder_prefill(
         params, prefix, cross_kv, cfg, ctx, quant_cache=opts.quant_cache

@@ -298,3 +298,35 @@ def test_whisper_greedy_encoder_w8a8_runs(tiny):
     toks = np.asarray(out["tokens"])
     assert toks.shape[0] == 1
     assert np.all((toks >= 0) & (toks < cfg.n_vocab))
+
+
+def test_fused_cross_kv_q8_byte_identical(tiny):
+    """precompute_cross_kv_q8 (per-layer fused projection+quantization,
+    the batch-frontier memory fix) must emit byte-equal int8 tensors vs
+    the two-step quantize_kv(precompute_cross_kv(...)) path it replaces
+    in the greedy/beam decode. Scales agree to float ULP (XLA fuses the
+    per-layer amax/divide differently inside the scan — measured
+    last-bit-only differences, same class as any program-structure
+    rewrite)."""
+    from spittle_tpu.models.whisper.model import (
+        precompute_cross_kv,
+        precompute_cross_kv_q8,
+    )
+    from spittle_tpu.ops.quant import quantize_kv
+
+    cfg, params = tiny
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(
+            np.float32
+        )
+    )
+    xa = encode(params, mel, cfg)
+    k2, v2 = precompute_cross_kv(params, xa, cfg)
+    ref = (quantize_kv(k2), quantize_kv(v2))
+    got = precompute_cross_kv_q8(params, xa, cfg)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r["qw"]), np.asarray(g["qw"]))
+        np.testing.assert_allclose(
+            np.asarray(r["scale"]), np.asarray(g["scale"]), rtol=1e-6
+        )

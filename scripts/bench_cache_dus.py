@@ -336,6 +336,75 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({"variant": name, "error": str(e)[:200]}))
 
+    # -- hdmaj layout arms ([L, 2, B, ctx, H*Dh]) -----------------------
+    # Candidate production layout: heads merged into a 1280-wide minor,
+    # ctx second-minor. The sub arms below measured this family's RAW
+    # REDUCTION at 866 GB/s vs production tmajor's 528 — these arms ask
+    # whether the ATTEND-shaped read (per-head einsum through a free
+    # reshape [B, ctx, H, Dh]) keeps that rate, and what read+DUS /
+    # read+aliased-write cost here. If read wins and the write stays
+    # in-place, the production form should migrate.
+    hd_names = ("read-only-hdmaj", "read+dus-hdmaj", "read+alias-hdmaj")
+    if not only or any(n in only.split(",") for n in hd_names):
+        c_hd = jnp.reshape(
+            jnp.moveaxis(cache, -1, -3),  # [L, 2, B, CTX, H, DH]
+            (L, 2, B, CTX, H * DH),
+        )
+        q_h = jax.random.normal(
+            jax.random.PRNGKey(2), (B, H, 1, DH), jnp.bfloat16
+        )
+
+        def hd_read(acc, c):
+            def rd(carry, cache_l):
+                k = cache_l[0].reshape(B, CTX, H, DH)
+                v = cache_l[1].reshape(B, CTX, H, DH)
+                s = jnp.einsum(
+                    "bhqd,bkhd->bhqk", q_h, k,
+                    preferred_element_type=jnp.float32,
+                )
+                o = jnp.einsum("bhqk,bkhd->bhqd", s.astype(jnp.bfloat16), v)
+                return carry + o, None
+
+            out, _ = jax.lax.scan(rd, acc, c)
+            return out
+
+        def hv_read(acc, c, pos):
+            return hd_read(acc, c), c
+
+        def hv_read_dus(acc, c, pos):
+            acc = hd_read(acc, c)
+            cols = jnp.broadcast_to(
+                acc[None, None, :, None, :, 0, :], (L, 2, B, 1, H, DH)
+            ).reshape(L, 2, B, 1, H * DH).astype(jnp.bfloat16)
+            c = jax.lax.dynamic_update_slice(c, cols, (0, 0, 0, pos, 0))
+            return acc, c
+
+        def hv_read_alias(acc, c, pos):
+            acc = hd_read(acc, c)
+            cols = jnp.broadcast_to(
+                acc[None, None, :, None, :, 0, :], (L, 2, B, 1, H, DH)
+            ).reshape(L * 2 * B, H * DH).astype(jnp.bfloat16)
+            flat = c.reshape(L * 2 * B, CTX, H * DH)
+            flat = alias_col_write_sub(flat, cols, pos)
+            return acc, flat.reshape(c.shape)
+
+        for name, fn in (
+            ("read-only-hdmaj", hv_read),
+            ("read+dus-hdmaj", hv_read_dus),
+            ("read+alias-hdmaj", hv_read_alias),
+        ):
+            if only and name not in only.split(","):
+                continue
+            try:
+                t = run(fn, c_hd)
+                print(json.dumps({
+                    "variant": name,
+                    "ms_per_step": round(t / STEPS * 1e3, 3),
+                    "eff_read_gbps": round(gb * STEPS / t, 1),
+                }))
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"variant": name, "error": str(e)[:200]}))
+
     # -- ctx-on-sublanes layout arms (for the aliased write) ------------
     # [L, 2B, ctx, HD]: the aliased kernel's minimum write block is 8
     # sublanes (1/16 of the cache at ctx=128) instead of 128 lanes (all

@@ -289,12 +289,14 @@ def _lv3_leg(exact):
         quantize_cache=not exact,
     )
     lv3.load_model("random:large-v3")
-    # Batch 45 is the measured frontier (2026-08-20 same-draw sweep:
-    # b44 456.5 / b45 469.0 / b46 467.9 / b47 genuine HBM
-    # RESOURCE_EXHAUSTED; b48 also OOMs). Under the tmajor default the
-    # prior b44 record was 470.2 in a better-weather draw.
-    # BENCH_LV3_BATCH sweeps.
-    lv3_batch_size = int(os.environ.get("BENCH_LV3_BATCH", "45"))
+    # Batch 48 is the measured frontier since the fused cross-KV
+    # quantization removed the 11 GB bf16 transient (2026-08-21:
+    # b48 479.2 sustained / compute 495.2 at link 42.1 MB/s beats the
+    # pre-fix b45 record 469.0; b64 compute-ties at 494.1 but loses raw
+    # — weight amortization is spent, encoder efficiency flat).
+    # Pre-fix history: b45 frontier, b47/b48 HBM OOM. BENCH_LV3_BATCH
+    # sweeps.
+    lv3_batch_size = int(os.environ.get("BENCH_LV3_BATCH", "48"))
 
     def make_lv3_batch():
         return [

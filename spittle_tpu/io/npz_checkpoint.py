@@ -27,7 +27,15 @@ def save_family_npz(
     cfg: Any,  # a frozen config dataclass (asdict-able)
     params: Any,  # pytree of arrays
     pieces: Optional[Sequence[str]] = None,
+    store_dtype=np.float16,
 ) -> None:
+    """store_dtype: float leaves are stored at this width. f16 halves
+    the committed artifact and is the default; pass np.float32 for
+    models whose decision boundaries don't survive the rounding — the
+    Parakeet trained-tiny's LSTM+joint argmaxes flipped under f16 (a
+    checkpoint at teacher-forced held-out accuracy 1.000 in memory
+    decoded at 0.00 from the saved artifact, 2026-08-21) while the
+    attention/CTC families' margins survived."""
     import jax
 
     flat: Dict[str, np.ndarray] = {}
@@ -37,7 +45,7 @@ def save_family_npz(
         )
         arr = np.asarray(leaf)
         flat["param:" + name] = (
-            arr.astype(np.float16) if arr.dtype.kind == "f" else arr
+            arr.astype(store_dtype) if arr.dtype.kind == "f" else arr
         )
     flat["__config__"] = np.frombuffer(
         json.dumps(dataclasses.asdict(cfg)).encode(), np.uint8

@@ -437,7 +437,35 @@ def precompute_cross_kv_q8(params: Params, xa: jnp.ndarray,
     blocks = params["decoder"]["blocks"]
     h = cfg.n_text_head
 
+    natural = os.environ.get("SPITTLE_CROSSKV_FORM", "fused") == "natural"
+
+    def _q_natural(x2d: jnp.ndarray):
+        """Quantize a NATURAL-layout projection [B, T, D] and emit the
+        decode layout ({qw [B, H, Dh, T], scale [B, H, T]}) with the
+        transpose applied to the int8 bytes (half the bf16 transpose
+        traffic) instead of being fused into the GEMM epilogue.
+        Motivation: the cross-KV precompute measured 297 ms at b45 vs a
+        ~95 ms floor for its GEMMs (scripts/bench_breakdown.py crosskv
+        stage, 2026-08-21) — XLA folds the [B, T, D] -> [B, H, Dh, T]
+        transpose into the projection's output layout and the GEMM runs
+        ~3x slower. The optimization_barrier pins the natural layout so
+        the matmul and the transpose stay separate programs. Same
+        per-(head, position) scales as quantize_kv (amax over Dh)."""
+        x2d = jax.lax.optimization_barrier(x2d)
+        b, t, _ = x2d.shape
+        x4 = x2d.reshape(b, t, h, -1).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x4), axis=-1)  # [B, T, H]
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(
+            jnp.round(x4 / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return q.transpose(0, 2, 3, 1), scale.transpose(0, 2, 1)
+
     def body(_, blk):
+        if natural:
+            kq_, ksc_ = _q_natural(xa @ blk["cross_wk"])
+            vq_, vsc_ = _q_natural(xa @ blk["cross_wv"] + blk["cross_bv"])
+            return None, (kq_, ksc_, vq_, vsc_)
         k = _split_heads(xa @ blk["cross_wk"], h).swapaxes(-1, -2)
         v = _split_heads(
             xa @ blk["cross_wv"] + blk["cross_bv"], h

@@ -289,14 +289,15 @@ def _lv3_leg(exact):
         quantize_cache=not exact,
     )
     lv3.load_model("random:large-v3")
-    # Batch 48 is the measured frontier since the fused cross-KV
-    # quantization removed the 11 GB bf16 transient (2026-08-21:
-    # b48 479.2 sustained / compute 495.2 at link 42.1 MB/s beats the
-    # pre-fix b45 record 469.0; b64 compute-ties at 494.1 but loses raw
-    # — weight amortization is spent, encoder efficiency flat).
-    # Pre-fix history: b45 frontier, b47/b48 HBM OOM. BENCH_LV3_BATCH
-    # sweeps.
-    lv3_batch_size = int(os.environ.get("BENCH_LV3_BATCH", "48"))
+    # Batch 56 is the measured frontier since the fused cross-KV
+    # quantization removed the 11 GB bf16 transient that OOMed
+    # everything past b45 (2026-08-21 sweep, one draw each):
+    # b48 479.2 raw / 495.2 compute (link 42.1 MB/s), b56 476.4 raw /
+    # 499.0 compute (link 22.3 — held near-b48 raw in HALF the link),
+    # b64 472.3 raw / 494.1 compute (link 36.1). Compute-side peaks at
+    # 56; the raw ordering tracks weather, not batch. Pre-fix history:
+    # b45 frontier, b47+ HBM OOM. BENCH_LV3_BATCH sweeps.
+    lv3_batch_size = int(os.environ.get("BENCH_LV3_BATCH", "56"))
 
     def make_lv3_batch():
         return [

@@ -301,7 +301,16 @@ def train_parakeet(steps=3000):
         word_lists = [sample_word_ids(r) for _ in range(n)]
         audio = np.stack([utterance(ws) for ws in word_lists])
         feats = feat_fn(jnp.asarray(audio))
-        t_frames = feats.shape[1] // 8 + 1
+        # parakeet_features returns [B, n_mels, T_mel]: the encoder
+        # frame count is T_mel // 8 (= the conformer encode's actual T,
+        # 75 for the 6 s window). The first three trainings of this
+        # checkpoint used shape[1] — the MEL axis, 80 — so t_frames was
+        # 11 and only the first ~2 tone starts were ever supervised:
+        # that, not model capacity or f16 rounding, was the "first
+        # words only" decode truncation (0.2-0.5 golden accuracy with
+        # perfect trajectory loss). Held-out probes built from the same
+        # broken trajectories read 1.000 and hid it.
+        t_frames = feats.shape[2] // 8
         traj = [tdt_trajectory(ws, t_frames, max_steps)
                 for ws in word_lists]
         return {

@@ -133,28 +133,32 @@ def main():
 
     xa = encode(params, mel, cfg)
     if "encode" in STAGES:
-        t = timed(lambda: encode(params, mel, cfg))
+        enc_fn = jax.jit(lambda m: encode(params, m, cfg))
+        t = timed(lambda: enc_fn(mel))
         print(f"encode                      {t*1e3:8.1f} ms", flush=True)
 
     if "crosskv" in STAGES:
-        # The decoder's cross-attention K/V precompute (+ production int8
-        # quantization when BB_FULLC): 32 layers x 2 projections over
+        # The decoder's cross-attention K/V precompute (+ the fused
+        # int8 form when BB_FULLC): 32 layers x 2 projections over
         # [B, 1500, 1280] — a non-layer stage invisible in both the
-        # encoder and loop breakdowns.
-        from spittle_tpu.models.whisper.model import precompute_cross_kv
+        # encoder and loop breakdowns. Stages are JITTED: timing the
+        # eager call chain reads ~2x high from per-op dispatch over the
+        # tunnel (2026-08-21: eager 296.8 ms vs jitted 148.2 at these
+        # shapes — the bogus number launched a whole dead-end probe,
+        # scripts/probe_crosskv.py).
+        from spittle_tpu.models.whisper.model import (
+            precompute_cross_kv, precompute_cross_kv_q8,
+        )
 
-        t = timed(lambda: precompute_cross_kv(params, xa, cfg))
+        ck_fn = jax.jit(lambda x: precompute_cross_kv(params, x, cfg))
+        t = timed(lambda: ck_fn(xa))
         print(f"cross-KV precompute         {t*1e3:8.1f} ms", flush=True)
         if FULLC:
-            from spittle_tpu.ops.quant import quantize_kv
-
-            ckv = precompute_cross_kv(params, xa, cfg)
-
-            def qrun():
-                return (quantize_kv(ckv[0]), quantize_kv(ckv[1]))
-
-            t = timed(qrun)
-            print(f"cross-KV int8 quantize      {t*1e3:8.1f} ms",
+            q_fn = jax.jit(
+                lambda x: precompute_cross_kv_q8(params, x, cfg)
+            )
+            t = timed(lambda: q_fn(xa))
+            print(f"cross-KV fused q8           {t*1e3:8.1f} ms",
                   flush=True)
 
     if "loop" in STAGES:
